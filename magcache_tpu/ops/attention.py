@@ -1,0 +1,191 @@
+"""Attention for DiT trunks: first-party Pallas TPU flash attention + XLA fallback.
+
+The reference relies on third-party CUDA flash-attn
+(``videosys/models/modules/attentions.py:78,137``) or SDPA; the TPU-native
+equivalent is a Pallas kernel that streams K/V blocks through VMEM with an
+online-softmax accumulator so the full ``[S, S]`` score matrix never
+materializes in HBM. Full (non-causal) attention, the diffusion-DiT case.
+
+Layout convention at the API boundary is ``[batch, seq, heads, head_dim]``
+(what patch-embedded DiT activations naturally are); the kernel works in
+``[batch, heads, seq, head_dim]``.
+
+Padded text keys: Wan runs cross-attention over the full zero-padded 512-token
+context without masking (``magcache_generate.py:264-270`` passes
+``context_lens=None``), so unmasked padded-key attention is parity there.  A
+``kv_len`` argument masks trailing keys for models that do mask (and for the
+wrapper's own block-size padding).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["attention", "flash_attention_bhsd"]
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                  scale: float, kv_len: int, block_k: int):
+    """One (batch*head, q_block, kv_block) grid cell of online-softmax attention."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [block_q, d]
+    k = k_ref[0]  # [block_k, d]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [block_q, block_k]
+
+    # Mask keys past the true kv length (handles wrapper padding).
+    key_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(key_pos < kv_len, s, _NEG_INF)
+
+    m_prev = m_ref[:, :1]                                   # [block_q, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    m_ref[:, :1] = m_new
+    l_ref[:, :1] = l_new
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def flash_attention_bhsd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    kv_len: Optional[int] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention over ``[B, H, S, D]`` tensors (full attention).
+
+    Sequence lengths are padded to block multiples internally; padded keys are
+    masked, padded query rows are sliced off.
+    """
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    scale = (1.0 / math.sqrt(d)) if scale is None else scale
+    kv_len = skv if kv_len is None else kv_len
+
+    block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (skv - 1).bit_length()))
+    sq_p = -(-sq // block_q) * block_q
+    skv_p = -(-skv // block_k) * block_k
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    if skv_p != skv:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+
+    bh = b * h
+    qr = q.reshape(bh, sq_p, d)
+    kr = k.reshape(bh, skv_p, d)
+    vr = v.reshape(bh, skv_p, d)
+
+    grid = (bh, sq_p // block_q, skv_p // block_k)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, kv_len=kv_len, block_k=block_k
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh_, i, j: (bh_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh_, i, j: (bh_, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh_, i, j: (bh_, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh_, i, j: (bh_, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq_p * skv_p * d,
+            bytes_accessed=(qr.size + kr.size + vr.size) * q.dtype.itemsize,
+            transcendentals=bh * sq_p * skv_p,
+        ),
+        interpret=interpret,
+    )(qr, kr, vr)
+    return out.reshape(b, h, sq_p, d)[:, :, :sq, :]
+
+
+def _xla_attention_bhsd(q, k, v, *, scale, kv_len):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if kv_len is not None and kv_len < k.shape[2]:
+        key_pos = jnp.arange(k.shape[2])
+        s = jnp.where(key_pos[None, None, None, :] < kv_len, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    kv_len: Optional[int] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Full attention over ``[B, S, H, D]`` activations (DiT layout).
+
+    impl: "pallas" (TPU flash kernel), "xla" (fused XLA softmax-attention),
+    "pallas_interpret" (debug), or "auto" (pallas on TPU, xla elsewhere).
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    if impl == "pallas":
+        out = flash_attention_bhsd(qt, kt, vt, scale=scale, kv_len=kv_len)
+    elif impl == "pallas_interpret":
+        out = flash_attention_bhsd(qt, kt, vt, scale=scale, kv_len=kv_len,
+                                   interpret=True)
+    elif impl == "xla":
+        d = q.shape[-1]
+        out = _xla_attention_bhsd(
+            qt, kt, vt, scale=(1.0 / math.sqrt(d)) if scale is None else scale,
+            kv_len=kv_len)
+    else:
+        raise ValueError(f"unknown attention impl {impl!r}")
+    return out.transpose(0, 2, 1, 3)

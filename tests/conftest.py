@@ -1,0 +1,22 @@
+"""Test harness config: run JAX on an 8-device virtual CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding correctness is
+validated on `--xla_force_host_platform_device_count=8` CPU devices, which
+exercises the same mesh/collective code paths XLA uses on ICI.
+"""
+
+import os
+
+# Must be set before the first `import jax` anywhere in the test process.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The container's sitecustomize registers the axon TPU plugin at interpreter
+# start and force-sets jax_platforms; re-force CPU here (backends initialize
+# lazily, so this wins as long as no jax.devices() call has happened yet).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
