@@ -42,8 +42,9 @@ def calibration_stats(residual: jnp.ndarray, prev_residual: jnp.ndarray) -> jnp.
     p_norm = jnp.linalg.norm(p, axis=-1)
     ratio_tok = r_norm / p_norm
     norm_ratio = jnp.mean(ratio_tok)
-    # torch.Tensor.std() is unbiased (ddof=1); match it.
-    norm_std = jnp.std(ratio_tok, ddof=1)
+    # torch.Tensor.std() is unbiased (ddof=1); match it. (ddof=0 when a single
+    # token, where the unbiased estimator is undefined.)
+    norm_std = jnp.std(ratio_tok, ddof=1 if ratio_tok.size > 1 else 0)
     eps = 1e-8
     cos = jnp.sum(r * p, axis=-1) / jnp.maximum(r_norm * p_norm, eps)
     cos_dis = jnp.mean(1.0 - cos)

@@ -1,0 +1,310 @@
+"""Cached denoising loops: MagCache compiled into `lax.scan` samplers.
+
+This replaces the reference's monkey-patched ``Model.forward`` + Python
+scheduler loop (``MagCache4Wan2.1/magcache_generate.py:198-311`` inside wan's
+``generate``) with a functional, jit-once design:
+
+- A model is three pure functions (`DiTCore`): ``prepare`` (embeddings),
+  ``trunk`` (the N transformer blocks — the thing MagCache elides), and
+  ``head`` (final layer + unpatchify). The cached residual is
+  ``trunk_out - trunk_in``, exactly the reference's ``residual_x = x - ori_x``.
+- The denoise loop is one `lax.scan`; the skip decision is **precomputed on
+  the host** (`compute_skip_schedule` — legal because it never depends on
+  activations) and enters the scan as a per-step boolean, so the skipped step
+  is a `lax.cond` branch containing a single residual add.
+- CFG runs **batched**: cond and uncond ride one leading axis of size
+  ``2*batch`` through a single trunk evaluation per scheduler step (the
+  reference's two sequential forwards exist only for GPU memory reasons; the
+  math is identical because no op couples batch elements). Each lane keeps its
+  own cache slice and its own skip bit; a step where only one lane skips
+  computes the trunk and per-lane selects — outputs still match the reference
+  lane-for-lane.
+- Calibration mode (``magcache_generate.py:160-193``) runs the same scan
+  full-compute and stacks per-step (norm_ratio, norm_std, cos_dis) statistics
+  per lane as scan outputs — one device->host transfer for the whole run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magcache_tpu.core.calibration import calibration_stats
+from magcache_tpu.core.magcache import MagCacheConfig, compute_skip_schedule
+from magcache_tpu.schedulers.unipc import UniPCSchedule
+
+__all__ = ["DiTCore", "sample_euler", "sample_unipc", "calibrate_euler"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTCore:
+    """A DiT denoiser split at the MagCache cache boundary.
+
+    prepare: (params, x, t, cond) -> (hidden, ctx)   # patch/time/text embed
+    trunk:   (params, hidden, ctx) -> hidden          # the blocks (cacheable)
+    head:    (params, hidden, ctx) -> out             # final layer + unpatchify
+    """
+
+    prepare: Callable[..., Tuple[jnp.ndarray, Any]]
+    trunk: Callable[..., jnp.ndarray]
+    head: Callable[..., jnp.ndarray]
+
+
+def _lane_masks(cache_cfg: Optional[MagCacheConfig], num_steps: int):
+    """Static per-scheduler-step skip bits, one per lane.
+
+    Forward index of scheduler step i, lane l is ``i*lanes + l`` — the
+    reference's ``cnt`` ordering ([cond, uncond] per step,
+    ``magcache_generate.py:899``: num_steps = sample_steps*2).
+    """
+    if cache_cfg is None:
+        lanes = 1
+        return np.zeros((num_steps, 1), bool), lanes
+    sched = compute_skip_schedule(cache_cfg)
+    lanes = cache_cfg.lanes
+    assert cache_cfg.num_steps == num_steps * lanes, (
+        f"cache num_steps {cache_cfg.num_steps} != sampler steps {num_steps} * lanes {lanes}"
+    )
+    return sched.reshape(num_steps, lanes), lanes
+
+
+def _cfg_combine(out: jnp.ndarray, guidance_scale: Optional[float], batch: int):
+    """uncond + g * (cond - uncond) over the stacked lane axis."""
+    if guidance_scale is None:
+        return out
+    cond, uncond = out[:batch], out[batch:]
+    return uncond + guidance_scale * (cond - uncond)
+
+
+def _cached_trunk(core: DiTCore, params, hidden, ctx, cache, skip_bits, lane_of_row):
+    """One trunk evaluation under the cache policy.
+
+    skip_bits: bool[lanes] (traced, from static schedule); cache has hidden's
+    shape. Returns (hidden_out, new_cache).
+    """
+    all_skip = jnp.all(skip_bits)
+
+    def do_skip(args):
+        hidden, cache = args
+        return hidden + cache, cache
+
+    def do_compute(args):
+        hidden, cache = args
+        h = core.trunk(params, hidden, ctx)
+        resid = h - hidden
+        row_skip = skip_bits[lane_of_row]  # bool[rows]
+        mask = row_skip.reshape((-1,) + (1,) * (hidden.ndim - 1))
+        resid_sel = jnp.where(mask, cache, resid)
+        return hidden + resid_sel, resid_sel
+
+    return jax.lax.cond(all_skip, do_skip, do_compute, (hidden, cache))
+
+
+def _init_cache(core: DiTCore, params, x_lanes, t0, cond):
+    hshape = jax.eval_shape(lambda p, x, t, c: core.prepare(p, x, t, c)[0],
+                            params, x_lanes, t0, cond)
+    return jnp.zeros(hshape.shape, hshape.dtype)
+
+
+def _stack_lanes(x: jnp.ndarray, lanes: int) -> jnp.ndarray:
+    return jnp.concatenate([x] * lanes, axis=0) if lanes > 1 else x
+
+
+def sample_euler(
+    core: DiTCore,
+    params,
+    x_init: jnp.ndarray,
+    cond,
+    *,
+    timesteps: np.ndarray,
+    dts: np.ndarray,
+    cache_cfg: Optional[MagCacheConfig] = None,
+    guidance_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Euler flow sampler: ``x <- x + dt * v`` per step, with MagCache.
+
+    ``cond`` must already be lane-stacked ([cond; uncond] on axis 0) when
+    ``guidance_scale`` is set. ``dts`` is the per-step multiplier of the model
+    output (sigma deltas for FlowMatch, t-deltas/T for RFLOW).
+    """
+    num_steps = len(timesteps)
+    skip_mask, lanes = _lane_masks(cache_cfg, num_steps)
+    if guidance_scale is not None:
+        assert lanes in (1, 2)
+    batch = x_init.shape[0]
+    rows = batch * (2 if guidance_scale is not None else 1)
+    lane_rows = (np.arange(rows) // batch) if guidance_scale is not None else np.zeros(rows, int)
+    if lanes == 1:
+        lane_rows = np.zeros(rows, int)
+    lane_of_row = jnp.asarray(lane_rows, jnp.int32)
+
+    x_l0 = _stack_lanes(x_init, 2 if guidance_scale is not None else 1)
+    cache0 = _init_cache(core, params, x_l0, jnp.asarray(timesteps[:1]), cond)
+
+    ts = jnp.asarray(np.asarray(timesteps, np.float32))
+    dts_a = jnp.asarray(np.asarray(dts, np.float32))
+    skips = jnp.asarray(skip_mask)
+
+    def body(carry, step_in):
+        x, cache = carry
+        t, dt, skip_bits = step_in
+        x2 = _stack_lanes(x, 2 if guidance_scale is not None else 1)
+        tvec = jnp.full((x2.shape[0],), t, jnp.float32)
+        hidden, ctx = core.prepare(params, x2, tvec, cond)
+        h_out, cache = _cached_trunk(core, params, hidden, ctx, cache,
+                                     skip_bits, lane_of_row)
+        out = core.head(params, h_out, ctx)
+        v = _cfg_combine(out, guidance_scale, batch)
+        x = x + dt.astype(x.dtype) * v.astype(x.dtype)
+        return (x, cache), None
+
+    (x_fin, _), _ = jax.lax.scan(body, (x_init, cache0), (ts, dts_a, skips))
+    return x_fin
+
+
+def calibrate_euler(
+    core: DiTCore,
+    params,
+    x_init: jnp.ndarray,
+    cond,
+    *,
+    timesteps: np.ndarray,
+    dts: np.ndarray,
+    lanes: int = 1,
+    guidance_scale: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-compute run recording calibration stats.
+
+    Returns (x_final, stats[num_steps-1, lanes, 3]) where stats follow the
+    reference's ``cnt >= lanes`` convention: step i compares against step i-1's
+    same-lane residual (``magcache_generate.py:165-175``); callers interleave
+    lanes to recover the reference's flat ``cnt`` ordering.
+    """
+    batch = x_init.shape[0]
+    x_l0 = _stack_lanes(x_init, 2 if guidance_scale is not None else 1)
+    cache0 = _init_cache(core, params, x_l0, jnp.asarray(timesteps[:1]), cond)
+    ts = jnp.asarray(np.asarray(timesteps, np.float32))
+    dts_a = jnp.asarray(np.asarray(dts, np.float32))
+    rows = x_l0.shape[0]
+    rows_per_lane = rows // lanes
+
+    def body(carry, step_in):
+        x, cache = carry
+        t, dt = step_in
+        x2 = _stack_lanes(x, 2 if guidance_scale is not None else 1)
+        tvec = jnp.full((x2.shape[0],), t, jnp.float32)
+        hidden, ctx = core.prepare(params, x2, tvec, cond)
+        h = core.trunk(params, hidden, ctx)
+        resid = h - hidden
+        per_lane = [
+            calibration_stats(
+                resid[l * rows_per_lane:(l + 1) * rows_per_lane],
+                cache[l * rows_per_lane:(l + 1) * rows_per_lane],
+            )
+            for l in range(lanes)
+        ]
+        stats = jnp.stack(per_lane)  # [lanes, 3]
+        out = core.head(params, h, ctx)
+        v = _cfg_combine(out, guidance_scale, batch)
+        x = x + dt.astype(x.dtype) * v.astype(x.dtype)
+        return (x, resid), stats
+
+    (x_fin, _), stats = jax.lax.scan(body, (x_init, cache0), (ts, dts_a))
+    return x_fin, stats[1:]  # step 0 has no previous residual
+
+
+def sample_unipc(
+    core: DiTCore,
+    params,
+    x_init: jnp.ndarray,
+    cond,
+    schedule: UniPCSchedule,
+    *,
+    cache_cfg: Optional[MagCacheConfig] = None,
+    guidance_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """UniPC predictor-corrector flow sampler with MagCache.
+
+    All UniPC coefficients are host-precomputed per step (the sigma grid is
+    static), so the scanned body is a branch-free linear combination of the
+    carried data-prediction history — see `UniPCSchedule`.
+    """
+    n = schedule.num_steps
+    order = schedule.order
+    # carry `order` previous data predictions: predictor at step i uses
+    # m_{i-1}..m_{i-order+1}; the corrector (correcting i-1 -> i) additionally
+    # reaches back to m_{i-order}.
+    hist = max(2, order)
+    skip_mask, lanes = _lane_masks(cache_cfg, n)
+    batch = x_init.shape[0]
+    rows = batch * (2 if guidance_scale is not None else 1)
+    lane_rows = (np.arange(rows) // batch) if guidance_scale is not None else np.zeros(rows, int)
+    if lanes == 1:
+        lane_rows = np.zeros(rows, int)
+    lane_of_row = jnp.asarray(lane_rows, jnp.int32)
+
+    # Host-precomputed per-step coefficient tables (padded to fixed width).
+    p_cx = np.zeros(n); p_cm0 = np.zeros(n); p_w = np.zeros((n, hist))      # pairs m_hist[l-1] = m_{i-l}
+    c_cx = np.zeros(n); c_cm0 = np.zeros(n); c_w = np.zeros((n, hist)); c_wt = np.zeros(n)  # c_w pairs m_hist[l] = m_{i-1-l}
+    use_corr = np.zeros(n, bool)
+    for i in range(n):
+        cx, cm0, w, offs = schedule.predictor_coeffs(i)
+        p_cx[i], p_cm0[i] = cx, cm0
+        for l, wl in zip(offs, w):
+            p_w[i, l - 1] = wl
+        if schedule.corrector_ok(i):
+            cx, cm0, w, offs, wt = schedule.corrector_coeffs(i)
+            c_cx[i], c_cm0[i], c_wt[i] = cx, cm0, wt
+            for l, wl in zip(offs, w):
+                c_w[i, l - 1] = wl
+            use_corr[i] = True
+
+    x_l0 = _stack_lanes(x_init, 2 if guidance_scale is not None else 1)
+    cache0 = _init_cache(core, params, x_l0, jnp.asarray(schedule.timesteps[:1]), cond)
+    m0 = jnp.zeros_like(x_init)
+    m_hist0 = jnp.stack([m0] * hist)
+
+    ts = jnp.asarray(schedule.timesteps)
+    sig = jnp.asarray(schedule.sigmas[:-1])
+    step_in = (
+        ts, sig, jnp.asarray(skip_mask),
+        jnp.asarray(p_cx, jnp.float32), jnp.asarray(p_cm0, jnp.float32),
+        jnp.asarray(p_w, jnp.float32),
+        jnp.asarray(c_cx, jnp.float32), jnp.asarray(c_cm0, jnp.float32),
+        jnp.asarray(c_w, jnp.float32), jnp.asarray(c_wt, jnp.float32),
+        jnp.asarray(use_corr),
+    )
+
+    def body(carry, inp):
+        x_pred, x_prev, m_hist, cache = carry
+        (t, sigma, skip_bits, pcx, pcm0, pw, ccx, ccm0, cw, cwt, uc) = inp
+        x2 = _stack_lanes(x_pred, 2 if guidance_scale is not None else 1)
+        tvec = jnp.full((x2.shape[0],), t, jnp.float32)
+        hidden, ctx = core.prepare(params, x2, tvec, cond)
+        h_out, cache = _cached_trunk(core, params, hidden, ctx, cache,
+                                     skip_bits, lane_of_row)
+        out = core.head(params, h_out, ctx)
+        v = _cfg_combine(out, guidance_scale, batch)
+        m = x_pred - sigma.astype(x_pred.dtype) * v.astype(x_pred.dtype)
+
+        # corrector of the previous step, using this step's model output:
+        # m0 = m_{i-1} = m_hist[0]; history m_{i-1-l} = m_hist[l]; D_t uses m_i
+        x_corr = (ccx * x_prev + ccm0 * m_hist[0] + cwt * m
+                  + jnp.tensordot(cw[:-1], m_hist[1:], axes=1))
+        x_cur = jnp.where(uc, x_corr, x_pred)
+
+        # predictor for the next sample: m0 = m_i; history m_{i-l} = m_hist[l-1]
+        x_next = (pcx * x_cur + pcm0 * m + jnp.tensordot(pw, m_hist, axes=1))
+
+        m_hist = jnp.concatenate([m[None], m_hist[:-1]], axis=0)
+        return (x_next, x_cur, m_hist, cache), None
+
+    (x_fin, x_last, _, _), _ = jax.lax.scan(
+        body, (x_init, x_init, m_hist0, cache0), step_in)
+    # after the final step the "predictor" output for sigma=0 is x_fin; the
+    # corrected final sample is x_fin itself (terminal sigma 0 => x = m).
+    return x_fin
