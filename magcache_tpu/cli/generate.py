@@ -1,0 +1,152 @@
+"""CLI mirroring the reference adapters' argument surface.
+
+Flag names follow ``MagCache4Wan2.1/magcache_generate.py:745-788`` (task /
+size / frame_num / sample_steps / sample_shift / sample_solver /
+sample_guide_scale / base_seed / use_magcache / magcache_thresh / magcache_K /
+retention_ratio / magcache_calibration) so reference users' invocations map
+1:1. Output file naming encodes the E/K/R triple like the reference
+(``magcache_generate.py:1190-1194``).
+
+Examples:
+  python -m magcache_tpu.cli.generate --task t2v-1.3B --size 832*480 \
+      --sample_steps 50 --use_magcache --magcache_thresh 0.12 --magcache_K 2
+  python -m magcache_tpu.cli.generate --task flux-dev --size 1024*1024 \
+      --sample_steps 28 --use_magcache
+Add ``--tiny`` for a checkpoint-free smoke run at toy sizes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("magcache_tpu generate")
+    p.add_argument("--task", default="t2v-1.3B",
+                   help="t2v-1.3B | t2v-14B | i2v-14B | ti2v-5B | flux-dev | "
+                        "flux-kontext-dev | qwen-image | hunyuan-720p | ...")
+    p.add_argument("--size", default="832*480", help="W*H pixels")
+    p.add_argument("--frame_num", type=int, default=81)
+    p.add_argument("--sample_steps", type=int, default=None)
+    p.add_argument("--sample_shift", type=float, default=None)
+    p.add_argument("--sample_solver", default="unipc", choices=["unipc", "euler"])
+    p.add_argument("--sample_guide_scale", type=float, default=6.0)
+    p.add_argument("--base_seed", type=int, default=0)
+    p.add_argument("--prompt", default="Two anthropomorphic cats in comfy "
+                   "boxing gear and bright gloves fight intensely on a "
+                   "spotlighted stage.")
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--save_file", default=None)
+    # MagCache triple (reference flags)
+    p.add_argument("--use_magcache", action="store_true")
+    p.add_argument("--magcache_thresh", type=float, default=None)
+    p.add_argument("--magcache_K", type=int, default=None)
+    p.add_argument("--retention_ratio", type=float, default=None)
+    p.add_argument("--magcache_calibration", action="store_true")
+    # parallel plan
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--tiny", action="store_true",
+                   help="toy-size model for checkpoint-free smoke runs")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon sitecustomize "
+                        "force-registers the TPU; env vars don't override it)")
+    return p
+
+
+def _wan_pipeline(args):
+    from magcache_tpu.pipelines.wan import WanPipeline, WanPipelineConfig
+
+    w, h = (int(v) for v in args.size.split("*"))
+    preset = {
+        "t2v-1.3B": "wan2.1-t2v-1.3B", "t2v-14B": "wan2.1-t2v-14B",
+        "i2v-14B": "wan2.1-i2v-480p" if h <= 480 else "wan2.1-i2v-720p",
+        "ti2v-5B": "wan2.2-ti2v-5B-t2v",
+        "t2v-A14B": "wan2.2-t2v-A14B", "i2v-A14B": "wan2.2-i2v-A14B",
+    }[args.task]
+    if args.tiny:
+        w, h, args.frame_num = 64, 32, 9
+    cfg = WanPipelineConfig(
+        model=preset,
+        task="i2v" if args.task.startswith("i2v") else "t2v",
+        size=(w, h), frame_num=args.frame_num,
+        sample_steps=args.sample_steps or 50,
+        sample_shift=args.sample_shift or (8.0 if h <= 480 else 5.0),
+        sample_solver=args.sample_solver,
+        guide_scale=args.sample_guide_scale,
+        use_magcache=args.use_magcache,
+        magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
+        retention_ratio=args.retention_ratio,
+        magcache_calibration=args.magcache_calibration,
+        dtype=args.dtype, dp=args.dp, sp=args.sp, tp=args.tp,
+        ckpt_dir=args.ckpt_dir, tiny=args.tiny,
+    )
+    return WanPipeline(cfg), cfg
+
+
+def _flux_pipeline(args):
+    from magcache_tpu.pipelines.flux import FluxPipeline, FluxPipelineConfig
+
+    w, h = (int(v) for v in args.size.split("*"))
+    if args.tiny:
+        w = h = 64
+    cfg = FluxPipelineConfig(
+        model=args.task, height=h, width=w,
+        num_inference_steps=args.sample_steps or 28,
+        txt_len=8 if args.tiny else 512,
+        use_magcache=args.use_magcache,
+        magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
+        retention_ratio=args.retention_ratio,
+        magcache_calibration=args.magcache_calibration,
+        dtype=args.dtype, dp=args.dp, sp=args.sp, tp=args.tp,
+        ckpt_dir=args.ckpt_dir, tiny=args.tiny,
+    )
+    return FluxPipeline(cfg), cfg
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    t0 = time.time()
+    if args.task.startswith("flux") or args.task.startswith("qwen"):
+        pipe, cfg = _flux_pipeline(args)
+        steps = cfg.num_inference_steps
+    else:
+        pipe, cfg = _wan_pipeline(args)
+        steps = cfg.sample_steps
+    out = pipe.generate(args.prompt, seed=args.base_seed)
+    dt = time.time() - t0
+
+    E = args.magcache_thresh if args.magcache_thresh is not None else "def"
+    K = args.magcache_K if args.magcache_K is not None else "def"
+    R = args.retention_ratio if args.retention_ratio is not None else "def"
+    tag = f"magcache_E{E}_K{K}_R{R}" if args.use_magcache else "full"
+    save_file = args.save_file or f"{args.task.replace('/', '_')}_{tag}_seed{args.base_seed}"
+
+    if out.calibration is not None:
+        for name in ("norm_ratio", "norm_std", "cos_dis"):
+            print(name)
+            print(out.calibration[name])
+        with open(save_file + "_mag_ratio.json", "w") as f:
+            json.dump(out.calibration["norm_ratio"], f)
+        print(f"saved calibration to {save_file}_mag_ratio.json")
+    else:
+        lat = np.asarray(out.latents)
+        np.save(save_file + "_latents.npy", lat)
+        print(f"latents {lat.shape} -> {save_file}_latents.npy")
+    print(f"done: {steps} steps in {dt:.1f}s "
+          f"(sampling {out.timings['total_s']:.1f}s) magcache={args.use_magcache}")
+
+
+if __name__ == "__main__":
+    main()

@@ -172,7 +172,18 @@ def attention(
     "pallas_interpret" (debug), or "auto" (pallas on TPU, xla elsewhere).
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+        # Pallas kernel on single-device TPU; under an active mesh plan the
+        # XLA path is used so GSPMD can partition the attention (a shard_map'd
+        # kernel variant is the planned upgrade path). MAGCACHE_ATTN_IMPL
+        # overrides for experiments.
+        import os
+        env = os.environ.get("MAGCACHE_ATTN_IMPL")
+        if env:
+            impl = env
+        else:
+            from magcache_tpu.parallel.mesh import _ACTIVE
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            impl = "pallas" if (on_tpu and _ACTIVE.get() is None) else "xla"
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)

@@ -1,0 +1,170 @@
+"""FLUX t2i / Kontext pipeline, MagCache-enabled.
+
+Functional replacement of ``MagCache4FLUX/magcache_flux.py:446-484``: encode
+prompt (T5 states + CLIP pooled) -> seeded packed latents -> jitted cached
+denoise (28 steps, dynamic mu shift) -> optional VAE decode. Guidance is
+embedded (distilled model, single cache lane).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magcache_tpu.core.presets import make_config
+from magcache_tpu.core.sampler import calibrate_euler, sample_euler
+from magcache_tpu.models.flux import (
+    FluxConfig,
+    init_flux_params,
+    make_flux_core,
+    unpack_latents,
+)
+from magcache_tpu.models.text import MockPooledEncoder, MockTextEncoder, TextEncoder
+from magcache_tpu.parallel.mesh import (
+    MeshPlan,
+    activation_sharding,
+    build_mesh,
+    shard_params,
+    use_mesh,
+)
+from magcache_tpu.pipelines.base import BasePipeline, PipelineOutput
+from magcache_tpu.schedulers.flow_match import FlowMatchSchedule
+from magcache_tpu.utils.misc import set_seed
+
+
+@dataclasses.dataclass
+class FluxPipelineConfig:
+    model: str = "flux-dev"              # preset key: flux-dev | flux-kontext-dev
+    height: int = 1024
+    width: int = 1024
+    num_inference_steps: int = 28
+    guidance: float = 3.5
+    txt_len: int = 512
+    use_magcache: bool = False
+    magcache_thresh: Optional[float] = None
+    magcache_K: Optional[int] = None
+    retention_ratio: Optional[float] = None
+    magcache_calibration: bool = False
+    dtype: str = "bfloat16"
+    dp: int = 1
+    sp: int = 1
+    tp: int = 1
+    ckpt_dir: Optional[str] = None
+    tiny: bool = False
+
+    def model_config(self) -> FluxConfig:
+        if self.tiny:
+            return FluxConfig.tiny(dtype=self.dtype)
+        return FluxConfig(dtype=self.dtype)
+
+    def packed_grid(self) -> Tuple[int, int]:
+        # pixels -> vae/8 latents -> 2x2 packed tokens
+        return (self.height // 16, self.width // 16)
+
+
+class FluxPipeline(BasePipeline):
+    def __init__(self, config: FluxPipelineConfig,
+                 text_encoder: Optional[TextEncoder] = None,
+                 pooled_encoder=None, params=None, vae=None,
+                 key: Optional[jax.Array] = None):
+        self.config = config
+        self.model_cfg = config.model_config()
+        self.grid = config.packed_grid()
+        self.vae = vae
+        self.core = make_flux_core(self.model_cfg, config.txt_len, *self.grid)
+        self.text_encoder = text_encoder or MockTextEncoder(
+            config.txt_len, self.model_cfg.text_dim, scale=0.5)
+        self.pooled_encoder = pooled_encoder or MockPooledEncoder(self.model_cfg.vec_dim)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        if params is not None:
+            self.params = params
+        elif config.ckpt_dir:
+            from magcache_tpu.models.convert import load_flux_checkpoint
+            self.params = load_flux_checkpoint(config.ckpt_dir, self.model_cfg)
+        else:
+            self.params = init_flux_params(key, self.model_cfg)
+        self.plan = None
+        if config.dp * config.sp * config.tp > 1:
+            mesh = build_mesh(config.dp, config.sp, config.tp)
+            self.plan = MeshPlan(mesh)
+            self.params = shard_params(self.params, mesh)
+        self._jit_cache = {}
+
+    def _schedule(self):
+        c = self.config
+        gh, gw = self.grid
+        mu = FlowMatchSchedule.flux_mu(gh * gw)
+        return FlowMatchSchedule.create(c.num_inference_steps, mu=mu,
+                                        linspace_endpoint=True)
+
+    def _sample_fn(self, calibrate: bool):
+        k = ("cal" if calibrate else "gen", self.config.use_magcache)
+        if k in self._jit_cache:
+            return self._jit_cache[k]
+        c = self.config
+        sch = self._schedule()
+        dts = np.diff(sch.sigmas)
+        cache_cfg = None
+        if c.use_magcache and not calibrate:
+            cache_cfg = make_config(c.model, c.num_inference_steps,
+                                    thresh=c.magcache_thresh, K=c.magcache_K,
+                                    retention_ratio=c.retention_ratio)
+        core = self.core
+        if calibrate:
+            def fn(params, x, cond):
+                return calibrate_euler(core, params, x, cond,
+                                       timesteps=sch.timesteps, dts=dts, lanes=1)
+        else:
+            def fn(params, x, cond):
+                return sample_euler(core, params, x, cond,
+                                    timesteps=sch.timesteps, dts=dts,
+                                    cache_cfg=cache_cfg)
+        jitted = jax.jit(fn)
+        self._jit_cache[k] = jitted
+        return jitted
+
+    def generate(self, prompt: str, seed: int = 42,
+                 cond_latents: Optional[jnp.ndarray] = None) -> PipelineOutput:
+        t0 = time.time()
+        c = self.config
+        gh, gw = self.grid
+        cond = {
+            "txt": self.text_encoder([prompt]),
+            "vec": self.pooled_encoder([prompt]),
+            "guidance": jnp.full((1,), c.guidance, jnp.float32),
+        }
+        x0 = jax.random.normal(set_seed(seed),
+                               (1, gh * gw, self.model_cfg.in_channels), jnp.float32)
+        if self.plan is not None:
+            mesh = self.plan.mesh
+            x0 = jax.device_put(x0, activation_sharding(mesh, "tokens", 3))
+            cond = {k: jax.device_put(v, activation_sharding(
+                mesh, "context" if v.ndim == 3 else "latents", v.ndim))
+                for k, v in cond.items()}
+        fn = self._sample_fn(c.magcache_calibration)
+        with use_mesh(self.plan):
+            out = fn(self.params, x0, cond)
+        calibration = None
+        if c.magcache_calibration:
+            latents, stats = out
+            s = np.asarray(jax.device_get(stats)).reshape(-1, 3)
+            calibration = {
+                "norm_ratio": [round(float(v), 5) for v in s[:, 0]],
+                "norm_std": [round(float(v), 5) for v in s[:, 1]],
+                "cos_dis": [round(float(v), 5) for v in s[:, 2]],
+            }
+        else:
+            latents = out
+        latents.block_until_ready()
+        image = None
+        if self.vae is not None:
+            lat_img = unpack_latents(latents, gh, gw)
+            image = np.asarray(self.vae.decode(lat_img))
+        return PipelineOutput(latents=latents, image=image,
+                              calibration=calibration,
+                              timings={"total_s": time.time() - t0})

@@ -1,0 +1,233 @@
+"""Wan 2.1/2.2 generation pipeline (t2v / i2v / ti2v), MagCache-enabled.
+
+The functional replacement for the reference CLI flow
+(``MagCache4Wan2.1/magcache_generate.py:790-942``): text encode -> seeded
+noise latents -> jitted cached denoise loop -> (optional) VAE decode. The
+monkey-patch installation step becomes a `MagCacheConfig` built from presets;
+the torchrun/NCCL setup becomes an optional mesh plan.
+
+Wan latent geometry: VAE stride (4, 8, 8), 16 channels; DiT patch (1, 2, 2).
+Defaults follow the reference CLI (50 steps, unipc, cfg 6.0, shift 8.0 for
+480p / 5.0 for 720p; ``magcache_generate.py:745-788`` argparse defaults).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import cached_property
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magcache_tpu.core.magcache import MagCacheConfig
+from magcache_tpu.core.presets import make_config
+from magcache_tpu.core.sampler import calibrate_euler, sample_euler, sample_unipc
+from magcache_tpu.models.text import MockTextEncoder, TextEncoder
+from magcache_tpu.models.wan import (
+    WAN_14B,
+    WAN_1_3B,
+    WanConfig,
+    init_wan_params,
+    make_wan_core,
+)
+from magcache_tpu.parallel.mesh import (
+    MeshPlan,
+    activation_sharding,
+    build_mesh,
+    shard_params,
+    use_mesh,
+)
+from magcache_tpu.pipelines.base import BasePipeline, PipelineOutput
+from magcache_tpu.schedulers.flow_match import FlowMatchSchedule
+from magcache_tpu.schedulers.unipc import UniPCSchedule
+from magcache_tpu.utils.misc import set_seed
+
+# Default negative prompt of the Wan CLI (behavioral default; the reference
+# ships a Chinese quality-control negative prompt — any string works here).
+DEFAULT_NEGATIVE = "low quality, blurry, distorted, disfigured, text, watermark"
+
+VAE_STRIDE = (4, 8, 8)
+LATENT_CHANNELS = 16
+
+
+@dataclasses.dataclass
+class WanPipelineConfig:
+    model: str = "wan2.1-t2v-1.3B"       # preset key; also selects size table
+    task: str = "t2v"                    # t2v | i2v | ti2v
+    size: Tuple[int, int] = (832, 480)   # (W, H) pixels
+    frame_num: int = 81
+    sample_steps: int = 50
+    sample_shift: float = 8.0
+    sample_solver: str = "unipc"         # unipc | euler
+    guide_scale: float = 6.0
+    use_magcache: bool = False
+    magcache_thresh: Optional[float] = None
+    magcache_K: Optional[int] = None
+    retention_ratio: Optional[float] = None
+    magcache_calibration: bool = False
+    dtype: str = "bfloat16"
+    # parallel plan (tested on virtual CPU meshes; maps to ICI on real pods)
+    dp: int = 1
+    sp: int = 1
+    tp: int = 1
+    ckpt_dir: Optional[str] = None       # safetensors dir; random init if None
+    # Wan2.2 MoE: boundary in [0,1]; if set, two experts switched by timestep
+    moe_boundary: Optional[float] = None
+    tiny: bool = False                   # toy-size model for smoke runs
+
+    def model_config(self) -> WanConfig:
+        if self.tiny:
+            return WanConfig.tiny(dtype=self.dtype)
+        base = WAN_14B if "14B" in self.model else WAN_1_3B
+        return dataclasses.replace(
+            base,
+            model_type="i2v" if self.task == "i2v" else "t2v",
+            in_channels=36 if self.task == "i2v" else 16,
+            dtype=self.dtype,
+        )
+
+    def latent_grid(self) -> Tuple[int, int, int]:
+        w, h = self.size
+        f = (self.frame_num - 1) // VAE_STRIDE[0] + 1
+        return (f, h // VAE_STRIDE[1], w // VAE_STRIDE[2])
+
+
+class WanPipeline(BasePipeline):
+    def __init__(self, config: WanPipelineConfig,
+                 text_encoder: Optional[TextEncoder] = None,
+                 params=None, vae=None, key: Optional[jax.Array] = None):
+        self.config = config
+        self.model_cfg = config.model_config()
+        self.vae = vae
+        lf, lh, lw = config.latent_grid()
+        pt, ph, pw = self.model_cfg.patch
+        self.grid = (lf // pt, lh // ph, lw // pw)
+        self.latent_shape = (lf, lh, lw, LATENT_CHANNELS)
+        self.core = make_wan_core(self.model_cfg, self.grid)
+        self.text_encoder = text_encoder or MockTextEncoder(
+            self.model_cfg.text_len, self.model_cfg.text_dim, scale=0.5)
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        if params is not None:
+            self.params = params
+        elif config.ckpt_dir:
+            from magcache_tpu.models.convert import load_wan_checkpoint
+            self.params = load_wan_checkpoint(config.ckpt_dir, self.model_cfg)
+        else:
+            self.params = init_wan_params(key, self.model_cfg)
+
+        self.plan = None
+        if config.dp * config.sp * config.tp > 1:
+            mesh = build_mesh(config.dp, config.sp, config.tp)
+            self.plan = MeshPlan(mesh)
+            self.params = shard_params(self.params, mesh)
+        self._jit_cache = {}
+
+    # ---- schedule/cache construction ------------------------------------
+    def _schedule(self):
+        c = self.config
+        if c.sample_solver == "unipc":
+            return UniPCSchedule.create(c.sample_steps, shift=c.sample_shift)
+        return FlowMatchSchedule.create(c.sample_steps, shift=c.sample_shift)
+
+    def _cache_cfg(self, schedule) -> Optional[MagCacheConfig]:
+        c = self.config
+        if not c.use_magcache:
+            return None
+        split_step = None
+        mode = "t2v"
+        if c.moe_boundary is not None:
+            if c.sample_solver == "unipc":
+                base = FlowMatchSchedule(schedule.sigmas, schedule.timesteps)
+            else:
+                base = schedule
+            split_step = base.boundary_step(c.moe_boundary) * 2
+            mode = c.task
+        return make_config(
+            c.model, c.sample_steps,
+            thresh=c.magcache_thresh, K=c.magcache_K,
+            retention_ratio=c.retention_ratio,
+            split_step=split_step, mode=mode)
+
+    def _sample_fn(self, calibrate: bool):
+        key = ("cal" if calibrate else "gen", self.config.use_magcache)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        sch = self._schedule()
+        cache_cfg = None if calibrate else self._cache_cfg(sch)
+        g = self.config.guide_scale
+        core = self.core
+
+        if calibrate:
+            def fn(params, x, cond):
+                if self.config.sample_solver == "unipc":
+                    base_dts = np.diff(sch.sigmas)
+                else:
+                    base_dts = np.diff(sch.sigmas)
+                return calibrate_euler(core, params, x, cond,
+                                       timesteps=sch.timesteps, dts=base_dts,
+                                       lanes=2, guidance_scale=g)
+        elif self.config.sample_solver == "unipc":
+            def fn(params, x, cond):
+                return sample_unipc(core, params, x, cond, sch,
+                                    cache_cfg=cache_cfg, guidance_scale=g)
+        else:
+            def fn(params, x, cond):
+                return sample_euler(core, params, x, cond,
+                                    timesteps=sch.timesteps,
+                                    dts=np.diff(sch.sigmas),
+                                    cache_cfg=cache_cfg, guidance_scale=g)
+
+        jitted = jax.jit(fn)
+        self._jit_cache[key] = jitted
+        return jitted
+
+    # ---- generation -----------------------------------------------------
+    def generate(self, prompt: str, negative_prompt: str = DEFAULT_NEGATIVE,
+                 seed: int = 0, image_latents: Optional[jnp.ndarray] = None,
+                 clip_features: Optional[jnp.ndarray] = None) -> PipelineOutput:
+        t0 = time.time()
+        ctx = self.text_encoder([prompt, negative_prompt])  # [2, L, 4096]
+        cond = {"context": ctx}
+        if self.config.task == "i2v":
+            assert image_latents is not None and clip_features is not None
+            cond["y"] = jnp.concatenate([image_latents] * 2, axis=0)
+            cond["clip_fea"] = jnp.concatenate([clip_features] * 2, axis=0)
+
+        noise_key = set_seed(seed)
+        x0 = jax.random.normal(noise_key, (1,) + self.latent_shape, jnp.float32)
+
+        if self.plan is not None:
+            mesh = self.plan.mesh
+            x0 = jax.device_put(x0, activation_sharding(mesh, "latents", x0.ndim))
+            cond = {k: jax.device_put(v, activation_sharding(mesh, "context", v.ndim))
+                    for k, v in cond.items()}
+
+        calibrate = self.config.magcache_calibration
+        fn = self._sample_fn(calibrate)
+        with use_mesh(self.plan):
+            out = fn(self.params, x0, cond)
+        calibration = None
+        if calibrate:
+            latents, stats = out
+            stats = np.asarray(jax.device_get(stats))
+            # flatten to the reference's cnt ordering [cond, uncond, ...]
+            flat = stats.reshape(-1, 3)
+            calibration = {
+                "norm_ratio": [round(float(v), 5) for v in flat[:, 0]],
+                "norm_std": [round(float(v), 5) for v in flat[:, 1]],
+                "cos_dis": [round(float(v), 5) for v in flat[:, 2]],
+            }
+        else:
+            latents = out
+        latents.block_until_ready()
+        timings = {"total_s": time.time() - t0}
+
+        video = None
+        if self.vae is not None:
+            video = np.asarray(self.vae.decode(latents))
+        return PipelineOutput(latents=latents, video=video,
+                              calibration=calibration, timings=timings)

@@ -1,0 +1,71 @@
+"""Pipeline + Engine API tests at tiny sizes (checkpoint-free)."""
+
+import numpy as np
+import pytest
+
+from magcache_tpu.core.engine import Engine
+from magcache_tpu.pipelines.flux import FluxPipeline, FluxPipelineConfig
+from magcache_tpu.pipelines.wan import WanPipeline, WanPipelineConfig
+
+
+def _wan_cfg(**kw):
+    base = dict(tiny=True, size=(64, 32), frame_num=9, sample_steps=4,
+                sample_solver="euler", dtype="float32")
+    base.update(kw)
+    return WanPipelineConfig(**base)
+
+
+def test_wan_pipeline_generate():
+    pipe = WanPipeline(_wan_cfg())
+    out = pipe.generate("a cat", seed=0)
+    assert out.latents.shape == (1, 3, 4, 8, 16)
+    assert np.isfinite(np.asarray(out.latents)).all()
+    assert out.timings["total_s"] > 0
+
+
+def test_wan_pipeline_magcache_and_determinism():
+    pipe = WanPipeline(_wan_cfg(use_magcache=True))
+    a = pipe.generate("a cat", seed=3)
+    b = pipe.generate("a cat", seed=3)
+    np.testing.assert_array_equal(np.asarray(a.latents), np.asarray(b.latents))
+    c = pipe.generate("a cat", seed=4)
+    assert np.abs(np.asarray(a.latents) - np.asarray(c.latents)).max() > 1e-3
+
+
+def test_wan_pipeline_unipc_solver():
+    pipe = WanPipeline(_wan_cfg(sample_solver="unipc", use_magcache=True))
+    out = pipe.generate("a dog", seed=0)
+    assert np.isfinite(np.asarray(out.latents)).all()
+
+
+def test_wan_calibration_pipeline():
+    pipe = WanPipeline(_wan_cfg(magcache_calibration=True))
+    out = pipe.generate("a cat", seed=0)
+    assert out.calibration is not None
+    # (steps-1) * 2 lanes entries in reference cnt ordering
+    assert len(out.calibration["norm_ratio"]) == (4 - 1) * 2
+    assert all(v > 0 for v in out.calibration["norm_ratio"])
+
+
+def test_flux_pipeline_generate():
+    cfg = FluxPipelineConfig(tiny=True, height=64, width=64, txt_len=8,
+                             num_inference_steps=4, dtype="float32",
+                             use_magcache=True)
+    pipe = FluxPipeline(cfg)
+    out = pipe.generate("a fox", seed=42)
+    assert out.latents.shape == (1, 16, 16)
+    assert np.isfinite(np.asarray(out.latents)).all()
+
+
+def test_engine_api():
+    eng = Engine(_wan_cfg())
+    out = eng.generate("hello world")
+    assert out.latents is not None
+    eng.shutdown()
+
+
+def test_engine_infers_pipeline_cls():
+    cfg = FluxPipelineConfig(tiny=True, height=64, width=64, txt_len=8,
+                             num_inference_steps=2, dtype="float32")
+    eng = Engine(cfg)
+    assert isinstance(eng.driver_pipeline, FluxPipeline)

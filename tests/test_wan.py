@@ -1,0 +1,131 @@
+"""Wan DiT tests (tiny config): shapes, dual-lane CFG MagCache, i2v branch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magcache_tpu.core.magcache import compute_skip_schedule
+from magcache_tpu.core.presets import make_config
+from magcache_tpu.core.sampler import calibrate_euler, sample_euler, sample_unipc
+from magcache_tpu.models.wan import (
+    WanConfig,
+    init_wan_params,
+    make_wan_core,
+    patchify,
+    unpatchify,
+    wan_rope_tables,
+)
+from magcache_tpu.schedulers.flow_match import FlowMatchSchedule
+from magcache_tpu.schedulers.unipc import UniPCSchedule
+
+CFG = WanConfig.tiny()
+GRID = (3, 4, 4)  # patch grid (F, H, W)
+LAT = (3, 8, 8)   # latent shape (pt,ph,pw = 1,2,2)
+
+
+@pytest.fixture(scope="module")
+def model():
+    params = init_wan_params(jax.random.PRNGKey(0), CFG)
+    return make_wan_core(CFG, GRID), params
+
+
+def _cond(batch=1, lanes=1, seed=0):
+    rng = np.random.default_rng(seed)
+    ctx = rng.normal(size=(batch * lanes, CFG.text_len, CFG.text_dim))
+    return {"context": jnp.asarray(ctx, jnp.float32)}
+
+
+def _x(batch=1, seed=1):
+    rng = np.random.default_rng(seed)
+    f, h, w = LAT
+    return jnp.asarray(rng.normal(size=(batch, f, h, w, CFG.in_channels)), jnp.float32)
+
+
+def test_patchify_roundtrip():
+    lat = _x(2)
+    p = patchify(CFG, lat)
+    assert p.shape == (2, 3 * 4 * 4, CFG.in_channels * 4)
+    cfg_out = WanConfig.tiny(out_channels=CFG.in_channels)
+    np.testing.assert_array_equal(np.asarray(unpatchify(cfg_out, p, GRID)),
+                                  np.asarray(lat))
+
+
+def test_forward_shapes(model):
+    core, params = model
+    x = _x(2)
+    t = jnp.full((2,), 500.0, jnp.float32)
+    hidden, ctx = core.prepare(params, x, t, _cond(2))
+    assert hidden.shape == (2, 48, CFG.dim)
+    out = core.head(params, core.trunk(params, hidden, ctx), ctx)
+    assert out.shape == (2, 3, 8, 8, CFG.out_channels)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dual_lane_magcache_unipc(model):
+    """The flagship path: Wan preset, dual-lane CFG, UniPC solver."""
+    core, params = model
+    steps = 10
+    sch = UniPCSchedule.create(steps, shift=3.0)
+    cache_cfg = make_config("wan2.1-t2v-1.3B", steps)
+    assert compute_skip_schedule(cache_cfg).sum() > 0
+    x = _x()
+    cond = _cond(1, lanes=2)
+    full = sample_unipc(core, params, x, cond, sch, guidance_scale=5.0)
+    cached = sample_unipc(core, params, x, cond, sch, cache_cfg=cache_cfg,
+                          guidance_scale=5.0)
+    assert cached.shape == full.shape
+    assert np.isfinite(np.asarray(cached)).all()
+
+
+def test_wan22_expert_switch_schedule(model):
+    """Wan2.2 A14B: high-noise expert for t >= boundary, low-noise after;
+    MagCache applied only to the high-noise phase with split-step gating."""
+    steps = 8
+    sch = FlowMatchSchedule.create(steps, shift=5.0)
+    boundary = sch.boundary_step(0.9)
+    assert 0 < boundary < steps
+    cfg22 = make_config("wan2.2-t2v-A14B", steps, split_step=boundary * 2,
+                        mode="t2v")
+    sched = compute_skip_schedule(cfg22)
+    assert len(sched) == steps * 2
+
+
+def test_i2v_variant():
+    cfg = WanConfig.tiny(model_type="i2v", in_channels=36, clip_dim=20,
+                         clip_tokens=5)
+    params = init_wan_params(jax.random.PRNGKey(1), cfg)
+    core = make_wan_core(cfg, GRID)
+    rng = np.random.default_rng(0)
+    f, h, w = LAT
+    x = jnp.asarray(rng.normal(size=(1, f, h, w, 16)), jnp.float32)
+    cond = {
+        "context": jnp.asarray(rng.normal(size=(1, cfg.text_len, cfg.text_dim)), jnp.float32),
+        "clip_fea": jnp.asarray(rng.normal(size=(1, 5, 20)), jnp.float32),
+        "y": jnp.asarray(rng.normal(size=(1, f, h, w, 20)), jnp.float32),
+    }
+    t = jnp.full((1,), 500.0, jnp.float32)
+    hidden, ctx = core.prepare(params, x, t, cond)
+    assert ctx["context"].shape == (1, 5 + cfg.text_len, cfg.dim)
+    out = core.head(params, core.trunk(params, hidden, ctx), ctx)
+    assert out.shape == (1, f, h, w, cfg.out_channels)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_calibration_on_wan(model):
+    core, params = model
+    steps = 5
+    sch = FlowMatchSchedule.create(steps, shift=3.0)
+    xf, stats = calibrate_euler(
+        core, params, _x(), _cond(1, lanes=2), timesteps=sch.timesteps,
+        dts=np.diff(sch.sigmas), lanes=2, guidance_scale=5.0)
+    assert stats.shape == (steps - 1, 2, 3)
+    s = np.asarray(stats)
+    assert np.isfinite(s).all()
+    assert (s[:, :, 0] > 0).all()  # norm ratios positive
+
+
+def test_rope_split_dims():
+    cos, sin = wan_rope_tables(CFG, GRID)
+    assert cos.shape == (48, CFG.head_dim // 2)
+    assert np.isfinite(cos).all()
