@@ -112,15 +112,67 @@ def _flux_pipeline(args):
     return FluxPipeline(cfg), cfg
 
 
+def _qwen_pipeline(args):
+    from magcache_tpu.pipelines.qwen_image import (
+        QwenImagePipeline,
+        QwenImagePipelineConfig,
+    )
+    w, h = (int(v) for v in args.size.split("*"))
+    if args.tiny:
+        w = h = 64
+    cfg = QwenImagePipelineConfig(
+        model=args.task, height=h, width=w,
+        sample_steps=args.sample_steps or 50,
+        true_cfg_scale=args.sample_guide_scale,
+        txt_len=8 if args.tiny else 256,
+        use_magcache=args.use_magcache,
+        magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
+        retention_ratio=args.retention_ratio,
+        magcache_calibration=args.magcache_calibration,
+        dtype=args.dtype, tiny=args.tiny)
+    return QwenImagePipeline(cfg), cfg
+
+
+def _hunyuan_pipeline(args):
+    # HunyuanVideo rides the FramePack pipeline machinery with 1 section
+    from magcache_tpu.pipelines.framepack import (
+        FramePackPipeline,
+        FramePackPipelineConfig,
+    )
+    w, h = (int(v) for v in args.size.split("*"))
+    if args.tiny:
+        w = h = 32
+    preset = "hunyuanvideo-720p" if h >= 700 else "hunyuanvideo-544p"
+    cfg = FramePackPipelineConfig(
+        model=preset if not args.task.startswith("framepack") else args.task,
+        height=h, width=w,
+        latent_window_size=2 if args.tiny else (args.frame_num - 1) // 4 + 1,
+        total_sections=1 if not args.task.startswith("framepack") else 5,
+        steps=args.sample_steps or 50,
+        guidance=args.sample_guide_scale,
+        txt_len=8 if args.tiny else 256,
+        use_magcache=args.use_magcache,
+        magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
+        retention_ratio=args.retention_ratio,
+        dtype=args.dtype, tiny=args.tiny)
+    return FramePackPipeline(cfg), cfg
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
     t0 = time.time()
-    if args.task.startswith("flux") or args.task.startswith("qwen"):
+    if args.task.startswith("flux"):
         pipe, cfg = _flux_pipeline(args)
         steps = cfg.num_inference_steps
+    elif args.task.startswith("qwen"):
+        pipe, cfg = _qwen_pipeline(args)
+        steps = cfg.sample_steps
+    elif args.task.startswith("hunyuan") or args.task.startswith("framepack"):
+        pipe, cfg = _hunyuan_pipeline(args)
+        steps = cfg.steps
     else:
         pipe, cfg = _wan_pipeline(args)
         steps = cfg.sample_steps

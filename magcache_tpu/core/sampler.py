@@ -72,8 +72,15 @@ def _lane_masks(cache_cfg: Optional[MagCacheConfig], num_steps: int):
     return sched.reshape(num_steps, lanes), lanes
 
 
-def _cfg_combine(out: jnp.ndarray, guidance_scale: Optional[float], batch: int):
-    """uncond + g * (cond - uncond) over the stacked lane axis."""
+def _cfg_combine(out: jnp.ndarray, guidance_scale: Optional[float], batch: int,
+                 combine_fn: Optional[Callable] = None, n_lanes: int = 1):
+    """Combine lane outputs. Default dual-lane: uncond + g*(cond - uncond).
+
+    ``combine_fn(lane_outputs: list) -> v`` supports N-branch guidance
+    (OmniGen2's cond/uncond/ref, ``magcache_utils.py:396-546``)."""
+    if combine_fn is not None:
+        chunks = [out[i * batch:(i + 1) * batch] for i in range(n_lanes)]
+        return combine_fn(chunks)
     if guidance_scale is None:
         return out
     cond, uncond = out[:batch], out[batch:]
@@ -114,6 +121,28 @@ def _stack_lanes(x: jnp.ndarray, lanes: int) -> jnp.ndarray:
     return jnp.concatenate([x] * lanes, axis=0) if lanes > 1 else x
 
 
+def _lane_setup(cache_cfg, num_steps, guidance_scale, lanes, combine_fn, batch):
+    """Resolve (skip_mask, n_lanes, lane_of_row). ``n_lanes`` is how many
+    copies of x the sampler stacks per step; the cache may have fewer lanes
+    (e.g. Open-Sora's joint CFG batch uses one lane over a batch of 2)."""
+    skip_mask, cache_lanes = _lane_masks(cache_cfg, num_steps)
+    if lanes is not None:
+        n_lanes = lanes
+    elif combine_fn is not None:
+        n_lanes = max(cache_lanes, 1)
+    elif guidance_scale is not None:
+        n_lanes = 2
+    else:
+        n_lanes = 1
+    rows = batch * n_lanes
+    if cache_lanes == 1:
+        lane_rows = np.zeros(rows, int)
+    else:
+        assert cache_lanes == n_lanes, (cache_lanes, n_lanes)
+        lane_rows = np.arange(rows) // batch
+    return skip_mask, n_lanes, jnp.asarray(lane_rows, jnp.int32)
+
+
 def sample_euler(
     core: DiTCore,
     params,
@@ -124,25 +153,22 @@ def sample_euler(
     dts: np.ndarray,
     cache_cfg: Optional[MagCacheConfig] = None,
     guidance_scale: Optional[float] = None,
+    lanes: Optional[int] = None,
+    combine_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Euler flow sampler: ``x <- x + dt * v`` per step, with MagCache.
 
-    ``cond`` must already be lane-stacked ([cond; uncond] on axis 0) when
-    ``guidance_scale`` is set. ``dts`` is the per-step multiplier of the model
-    output (sigma deltas for FlowMatch, t-deltas/T for RFLOW).
+    ``cond`` must already be lane-stacked ([cond; uncond; ...] on axis 0) when
+    CFG is active (``guidance_scale`` or ``combine_fn`` set). ``dts`` is the
+    per-step multiplier of the model output (sigma deltas for FlowMatch,
+    t-deltas/T for RFLOW).
     """
     num_steps = len(timesteps)
-    skip_mask, lanes = _lane_masks(cache_cfg, num_steps)
-    if guidance_scale is not None:
-        assert lanes in (1, 2)
     batch = x_init.shape[0]
-    rows = batch * (2 if guidance_scale is not None else 1)
-    lane_rows = (np.arange(rows) // batch) if guidance_scale is not None else np.zeros(rows, int)
-    if lanes == 1:
-        lane_rows = np.zeros(rows, int)
-    lane_of_row = jnp.asarray(lane_rows, jnp.int32)
+    skip_mask, n_lanes, lane_of_row = _lane_setup(
+        cache_cfg, num_steps, guidance_scale, lanes, combine_fn, batch)
 
-    x_l0 = _stack_lanes(x_init, 2 if guidance_scale is not None else 1)
+    x_l0 = _stack_lanes(x_init, n_lanes)
     cache0 = _init_cache(core, params, x_l0, jnp.asarray(timesteps[:1]), cond)
 
     ts = jnp.asarray(np.asarray(timesteps, np.float32))
@@ -152,13 +178,13 @@ def sample_euler(
     def body(carry, step_in):
         x, cache = carry
         t, dt, skip_bits = step_in
-        x2 = _stack_lanes(x, 2 if guidance_scale is not None else 1)
+        x2 = _stack_lanes(x, n_lanes)
         tvec = jnp.full((x2.shape[0],), t, jnp.float32)
         hidden, ctx = core.prepare(params, x2, tvec, cond)
         h_out, cache = _cached_trunk(core, params, hidden, ctx, cache,
                                      skip_bits, lane_of_row)
         out = core.head(params, h_out, ctx)
-        v = _cfg_combine(out, guidance_scale, batch)
+        v = _cfg_combine(out, guidance_scale, batch, combine_fn, n_lanes)
         x = x + dt.astype(x.dtype) * v.astype(x.dtype)
         return (x, cache), None
 
@@ -226,6 +252,8 @@ def sample_unipc(
     *,
     cache_cfg: Optional[MagCacheConfig] = None,
     guidance_scale: Optional[float] = None,
+    lanes: Optional[int] = None,
+    combine_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """UniPC predictor-corrector flow sampler with MagCache.
 
@@ -239,13 +267,9 @@ def sample_unipc(
     # m_{i-1}..m_{i-order+1}; the corrector (correcting i-1 -> i) additionally
     # reaches back to m_{i-order}.
     hist = max(2, order)
-    skip_mask, lanes = _lane_masks(cache_cfg, n)
     batch = x_init.shape[0]
-    rows = batch * (2 if guidance_scale is not None else 1)
-    lane_rows = (np.arange(rows) // batch) if guidance_scale is not None else np.zeros(rows, int)
-    if lanes == 1:
-        lane_rows = np.zeros(rows, int)
-    lane_of_row = jnp.asarray(lane_rows, jnp.int32)
+    skip_mask, n_lanes, lane_of_row = _lane_setup(
+        cache_cfg, n, guidance_scale, lanes, combine_fn, batch)
 
     # Host-precomputed per-step coefficient tables (padded to fixed width).
     p_cx = np.zeros(n); p_cm0 = np.zeros(n); p_w = np.zeros((n, hist))      # pairs m_hist[l-1] = m_{i-l}
@@ -263,7 +287,7 @@ def sample_unipc(
                 c_w[i, l - 1] = wl
             use_corr[i] = True
 
-    x_l0 = _stack_lanes(x_init, 2 if guidance_scale is not None else 1)
+    x_l0 = _stack_lanes(x_init, n_lanes)
     cache0 = _init_cache(core, params, x_l0, jnp.asarray(schedule.timesteps[:1]), cond)
     m0 = jnp.zeros_like(x_init)
     m_hist0 = jnp.stack([m0] * hist)
@@ -282,13 +306,13 @@ def sample_unipc(
     def body(carry, inp):
         x_pred, x_prev, m_hist, cache = carry
         (t, sigma, skip_bits, pcx, pcm0, pw, ccx, ccm0, cw, cwt, uc) = inp
-        x2 = _stack_lanes(x_pred, 2 if guidance_scale is not None else 1)
+        x2 = _stack_lanes(x_pred, n_lanes)
         tvec = jnp.full((x2.shape[0],), t, jnp.float32)
         hidden, ctx = core.prepare(params, x2, tvec, cond)
         h_out, cache = _cached_trunk(core, params, hidden, ctx, cache,
                                      skip_bits, lane_of_row)
         out = core.head(params, h_out, ctx)
-        v = _cfg_combine(out, guidance_scale, batch)
+        v = _cfg_combine(out, guidance_scale, batch, combine_fn, n_lanes)
         m = x_pred - sigma.astype(x_pred.dtype) * v.astype(x_pred.dtype)
 
         # corrector of the previous step, using this step's model output:

@@ -227,14 +227,19 @@ def _single_block(cfg: FluxConfig, rope, p, carry):
     return h + (gate * out.astype(jnp.float32)).astype(h.dtype), vec
 
 
-def make_flux_core(cfg: FluxConfig, txt_len: int, grid_h: int, grid_w: int) -> DiTCore:
+def make_flux_core(cfg: FluxConfig, txt_len: int, grid_h: int, grid_w: int,
+                   rope_tables=None) -> DiTCore:
     """Build the (prepare, trunk, head) triple for a static (text, grid) shape.
 
     cond = {"txt": f[B, txt_len, text_dim], "vec": f[B, vec_dim],
             "guidance": f[B] (optional)}
     x    = packed latent patches f[B, grid_h*grid_w, in_channels]
+
+    ``rope_tables`` overrides the (cos, sin) tables over the [txt; img]
+    sequence — video MMDiTs (HunyuanVideo) pass 3-D tables here.
     """
-    rope_np = flux_rope_tables(cfg, txt_len, grid_h, grid_w)
+    rope_np = rope_tables if rope_tables is not None else flux_rope_tables(
+        cfg, txt_len, grid_h, grid_w)
     rope = (jnp.asarray(rope_np[0]), jnp.asarray(rope_np[1]))
 
     def prepare(params, x, t, cond):
@@ -249,7 +254,9 @@ def make_flux_core(cfg: FluxConfig, txt_len: int, grid_h: int, grid_w: int) -> D
             vec = vec + apply_mlp_embedder(
                 params["guidance_in"],
                 timestep_embedding(cond["guidance"] * 1000.0, cfg.time_embed_dim))
-        vec = vec + apply_mlp_embedder(params["vector_in"], cond["vec"].astype(jnp.float32))
+        if "vec" in cond:  # Qwen-Image has no pooled-text vector
+            vec = vec + apply_mlp_embedder(params["vector_in"],
+                                           cond["vec"].astype(jnp.float32))
         img = maybe_shard(img, "tokens")
         txt = maybe_shard(txt, "context")
         return img, {"txt": txt, "vec": vec}

