@@ -52,6 +52,11 @@ class DiTCore:
     prepare: Callable[..., Tuple[jnp.ndarray, Any]]
     trunk: Callable[..., jnp.ndarray]
     head: Callable[..., jnp.ndarray]
+    # Optional persistent trunk state threaded across denoise steps (e.g. PAB
+    # attention-output caches). When set, trunk's signature becomes
+    #   trunk(params, hidden, ctx, state, step_idx) -> (hidden, state)
+    # and init_state(params, hidden, ctx) -> state builds the initial pytree.
+    init_state: Optional[Callable] = None
 
 
 def _lane_masks(cache_cfg: Optional[MagCacheConfig], num_steps: int):
@@ -87,26 +92,32 @@ def _cfg_combine(out: jnp.ndarray, guidance_scale: Optional[float], batch: int,
     return uncond + guidance_scale * (cond - uncond)
 
 
-def _cached_trunk(core: DiTCore, params, hidden, ctx, cache, skip_bits, lane_of_row):
+def _cached_trunk(core: DiTCore, params, hidden, ctx, cache, skip_bits,
+                  lane_of_row, state=None, step_idx=None):
     """One trunk evaluation under the cache policy.
 
     skip_bits: bool[lanes] (traced, from static schedule); cache has hidden's
-    shape. Returns (hidden_out, new_cache).
+    shape. Returns (hidden_out, new_cache, new_state).
     """
     all_skip = jnp.all(skip_bits)
 
+    def run_trunk(hidden):
+        if core.init_state is None:
+            return core.trunk(params, hidden, ctx), state
+        return core.trunk(params, hidden, ctx, state, step_idx)
+
     def do_skip(args):
         hidden, cache = args
-        return hidden + cache, cache
+        return hidden + cache, cache, state
 
     def do_compute(args):
         hidden, cache = args
-        h = core.trunk(params, hidden, ctx)
+        h, new_state = run_trunk(hidden)
         resid = h - hidden
         row_skip = skip_bits[lane_of_row]  # bool[rows]
         mask = row_skip.reshape((-1,) + (1,) * (hidden.ndim - 1))
         resid_sel = jnp.where(mask, cache, resid)
-        return hidden + resid_sel, resid_sel
+        return hidden + resid_sel, resid_sel, new_state
 
     return jax.lax.cond(all_skip, do_skip, do_compute, (hidden, cache))
 
@@ -119,6 +130,13 @@ def _init_cache(core: DiTCore, params, x_lanes, t0, cond):
 
 def _stack_lanes(x: jnp.ndarray, lanes: int) -> jnp.ndarray:
     return jnp.concatenate([x] * lanes, axis=0) if lanes > 1 else x
+
+
+def _init_trunk_state(core: DiTCore, params, x_lanes, t0, cond):
+    if core.init_state is None:
+        return None
+    hidden, ctx = jax.eval_shape(core.prepare, params, x_lanes, t0, cond)
+    return core.init_state(params, hidden, ctx)
 
 
 def _lane_setup(cache_cfg, num_steps, guidance_scale, lanes, combine_fn, batch):
@@ -155,8 +173,13 @@ def sample_euler(
     guidance_scale: Optional[float] = None,
     lanes: Optional[int] = None,
     combine_fn: Optional[Callable] = None,
+    skip_mask_override: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Euler flow sampler: ``x <- x + dt * v`` per step, with MagCache.
+
+    ``skip_mask_override`` (bool[num_steps, lanes], may be a traced argument)
+    replaces the host-precomputed schedule — lets one compiled program serve
+    both the full-compute and cached runs.
 
     ``cond`` must already be lane-stacked ([cond; uncond; ...] on axis 0) when
     CFG is active (``guidance_scale`` or ``combine_fn`` set). ``dts`` is the
@@ -173,22 +196,26 @@ def sample_euler(
 
     ts = jnp.asarray(np.asarray(timesteps, np.float32))
     dts_a = jnp.asarray(np.asarray(dts, np.float32))
-    skips = jnp.asarray(skip_mask)
+    skips = (jnp.asarray(skip_mask) if skip_mask_override is None
+             else skip_mask_override)
+    state0 = _init_trunk_state(core, params, x_l0, jnp.asarray(timesteps[:1]), cond)
 
     def body(carry, step_in):
-        x, cache = carry
-        t, dt, skip_bits = step_in
+        x, cache, state = carry
+        t, dt, skip_bits, idx = step_in
         x2 = _stack_lanes(x, n_lanes)
         tvec = jnp.full((x2.shape[0],), t, jnp.float32)
         hidden, ctx = core.prepare(params, x2, tvec, cond)
-        h_out, cache = _cached_trunk(core, params, hidden, ctx, cache,
-                                     skip_bits, lane_of_row)
+        h_out, cache, state = _cached_trunk(core, params, hidden, ctx, cache,
+                                            skip_bits, lane_of_row, state, idx)
         out = core.head(params, h_out, ctx)
         v = _cfg_combine(out, guidance_scale, batch, combine_fn, n_lanes)
         x = x + dt.astype(x.dtype) * v.astype(x.dtype)
-        return (x, cache), None
+        return (x, cache, state), None
 
-    (x_fin, _), _ = jax.lax.scan(body, (x_init, cache0), (ts, dts_a, skips))
+    (x_fin, _, _), _ = jax.lax.scan(
+        body, (x_init, cache0, state0),
+        (ts, dts_a, skips, jnp.arange(num_steps)))
     return x_fin
 
 
@@ -243,23 +270,24 @@ def calibrate_euler(
     return x_fin, stats[1:]  # step 0 has no previous residual
 
 
-def sample_unipc(
+def unipc_executor(
     core: DiTCore,
-    params,
-    x_init: jnp.ndarray,
-    cond,
     schedule: UniPCSchedule,
     *,
     cache_cfg: Optional[MagCacheConfig] = None,
     guidance_scale: Optional[float] = None,
     lanes: Optional[int] = None,
     combine_fn: Optional[Callable] = None,
-) -> jnp.ndarray:
-    """UniPC predictor-corrector flow sampler with MagCache.
+    skip_mask_override: Optional[jnp.ndarray] = None,
+    batch: int = 1,
+):
+    """Build the UniPC step machinery without committing to a dispatch shape.
 
-    All UniPC coefficients are host-precomputed per step (the sigma grid is
-    static), so the scanned body is a branch-free linear combination of the
-    carried data-prediction history — see `UniPCSchedule`.
+    Returns ``(init_carry, step_inputs, body)`` where ``body(params, cond)``
+    yields a scan-compatible ``f(carry, step_in) -> (carry, None)``. Callers
+    either `lax.scan` the whole run in one dispatch (`sample_unipc`) or slice
+    ``step_inputs`` into host-dispatched segments — bounding single-dispatch
+    duration (streaming previews, RPC deadline limits) with one compile.
     """
     n = schedule.num_steps
     order = schedule.order
@@ -267,7 +295,6 @@ def sample_unipc(
     # m_{i-1}..m_{i-order+1}; the corrector (correcting i-1 -> i) additionally
     # reaches back to m_{i-order}.
     hist = max(2, order)
-    batch = x_init.shape[0]
     skip_mask, n_lanes, lane_of_row = _lane_setup(
         cache_cfg, n, guidance_scale, lanes, combine_fn, batch)
 
@@ -287,15 +314,20 @@ def sample_unipc(
                 c_w[i, l - 1] = wl
             use_corr[i] = True
 
-    x_l0 = _stack_lanes(x_init, n_lanes)
-    cache0 = _init_cache(core, params, x_l0, jnp.asarray(schedule.timesteps[:1]), cond)
-    m0 = jnp.zeros_like(x_init)
-    m_hist0 = jnp.stack([m0] * hist)
+    def init_carry(params, x_init, cond):
+        x_l0 = _stack_lanes(x_init, n_lanes)
+        cache0 = _init_cache(core, params, x_l0,
+                             jnp.asarray(schedule.timesteps[:1]), cond)
+        m0 = jnp.zeros_like(x_init)
+        m_hist0 = jnp.stack([m0] * hist)
+        return (x_init, x_init, m_hist0, cache0)
 
     ts = jnp.asarray(schedule.timesteps)
     sig = jnp.asarray(schedule.sigmas[:-1])
+    skips = (jnp.asarray(skip_mask) if skip_mask_override is None
+             else skip_mask_override)
     step_in = (
-        ts, sig, jnp.asarray(skip_mask),
+        ts, sig, skips,
         jnp.asarray(p_cx, jnp.float32), jnp.asarray(p_cm0, jnp.float32),
         jnp.asarray(p_w, jnp.float32),
         jnp.asarray(c_cx, jnp.float32), jnp.asarray(c_cm0, jnp.float32),
@@ -303,32 +335,56 @@ def sample_unipc(
         jnp.asarray(use_corr),
     )
 
-    def body(carry, inp):
-        x_pred, x_prev, m_hist, cache = carry
-        (t, sigma, skip_bits, pcx, pcm0, pw, ccx, ccm0, cw, cwt, uc) = inp
-        x2 = _stack_lanes(x_pred, n_lanes)
-        tvec = jnp.full((x2.shape[0],), t, jnp.float32)
-        hidden, ctx = core.prepare(params, x2, tvec, cond)
-        h_out, cache = _cached_trunk(core, params, hidden, ctx, cache,
-                                     skip_bits, lane_of_row)
-        out = core.head(params, h_out, ctx)
-        v = _cfg_combine(out, guidance_scale, batch, combine_fn, n_lanes)
-        m = x_pred - sigma.astype(x_pred.dtype) * v.astype(x_pred.dtype)
+    def body(params, cond):
+        def f(carry, inp):
+            x_pred, x_prev, m_hist, cache = carry
+            (t, sigma, skip_bits, pcx, pcm0, pw, ccx, ccm0, cw, cwt, uc) = inp
+            x2 = _stack_lanes(x_pred, n_lanes)
+            tvec = jnp.full((x2.shape[0],), t, jnp.float32)
+            hidden, ctx = core.prepare(params, x2, tvec, cond)
+            h_out, cache, _ = _cached_trunk(core, params, hidden, ctx, cache,
+                                            skip_bits, lane_of_row)
+            out = core.head(params, h_out, ctx)
+            v = _cfg_combine(out, guidance_scale, batch, combine_fn, n_lanes)
+            m = x_pred - sigma.astype(x_pred.dtype) * v.astype(x_pred.dtype)
 
-        # corrector of the previous step, using this step's model output:
-        # m0 = m_{i-1} = m_hist[0]; history m_{i-1-l} = m_hist[l]; D_t uses m_i
-        x_corr = (ccx * x_prev + ccm0 * m_hist[0] + cwt * m
-                  + jnp.tensordot(cw[:-1], m_hist[1:], axes=1))
-        x_cur = jnp.where(uc, x_corr, x_pred)
+            # corrector of the previous step, using this step's model output:
+            # m0 = m_{i-1} = m_hist[0]; history m_{i-1-l} = m_hist[l]
+            x_corr = (ccx * x_prev + ccm0 * m_hist[0] + cwt * m
+                      + jnp.tensordot(cw[:-1], m_hist[1:], axes=1))
+            x_cur = jnp.where(uc, x_corr, x_pred)
 
-        # predictor for the next sample: m0 = m_i; history m_{i-l} = m_hist[l-1]
-        x_next = (pcx * x_cur + pcm0 * m + jnp.tensordot(pw, m_hist, axes=1))
+            # predictor for the next sample: m0 = m_i; history m_{i-l} = m_hist[l-1]
+            x_next = (pcx * x_cur + pcm0 * m + jnp.tensordot(pw, m_hist, axes=1))
 
-        m_hist = jnp.concatenate([m[None], m_hist[:-1]], axis=0)
-        return (x_next, x_cur, m_hist, cache), None
+            m_hist = jnp.concatenate([m[None], m_hist[:-1]], axis=0)
+            return (x_next, x_cur, m_hist, cache), None
+        return f
 
-    (x_fin, x_last, _, _), _ = jax.lax.scan(
-        body, (x_init, x_init, m_hist0, cache0), step_in)
+    return init_carry, step_in, body
+
+
+def sample_unipc(
+    core: DiTCore,
+    params,
+    x_init: jnp.ndarray,
+    cond,
+    schedule: UniPCSchedule,
+    *,
+    cache_cfg: Optional[MagCacheConfig] = None,
+    guidance_scale: Optional[float] = None,
+    lanes: Optional[int] = None,
+    combine_fn: Optional[Callable] = None,
+    skip_mask_override: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """UniPC predictor-corrector flow sampler with MagCache (single-dispatch
+    `lax.scan` over `unipc_executor`'s step machinery)."""
+    init_carry, step_in, body = unipc_executor(
+        core, schedule, cache_cfg=cache_cfg, guidance_scale=guidance_scale,
+        lanes=lanes, combine_fn=combine_fn,
+        skip_mask_override=skip_mask_override, batch=x_init.shape[0])
+    carry0 = init_carry(params, x_init, cond)
+    (x_fin, _, _, _), _ = jax.lax.scan(body(params, cond), carry0, step_in)
     # after the final step the "predictor" output for sigma=0 is x_fin; the
     # corrected final sample is x_fin itself (terminal sigma 0 => x = m).
     return x_fin

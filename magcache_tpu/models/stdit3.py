@@ -1,0 +1,316 @@
+"""STDiT3 — the Open-Sora 1.2 spatial-temporal DiT, with PAB hooks.
+
+Behavioral spec from ``videosys/models/transformers/open_sora_transformer_3d.py``:
+28 paired (spatial, temporal) blocks at hidden 1152 / 16 heads (``:574-601``);
+each block = AdaLN-modulated self-attention (spatial attends over the S pixel
+patches of each frame, temporal over the T frames at each location, temporal
+with RoPE), cross-attention to T5 captions, and an MLP, gated 6-way by
+``scale_shift_table + t6`` (``:169-171``); final T2IFinalLayer with 2-way
+modulation; 2-D sincos position embedding on the spatial grid.
+
+PAB (``:177-268``): when the step's broadcast mask is set, a block reuses its
+previous attention/MLP output instead of recomputing. Here the per-block
+cached outputs are a scan-state pytree threaded by the sampler
+(`DiTCore.init_state`), and the per-step decisions are static masks
+(`core.pab.broadcast_masks`).
+
+MagCache composes on top: Open-Sora runs CFG as one joint batch-of-2, so the
+trunk residual cache is single-lane (``eval/magcache/experiments/opensora.py:229-373``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magcache_tpu.core.pab import PABConfig, broadcast_masks
+from magcache_tpu.core.sampler import DiTCore
+from magcache_tpu.models.common import linear, linear_params, timestep_embedding
+from magcache_tpu.ops.attention import attention
+from magcache_tpu.ops.norms import layer_norm
+from magcache_tpu.ops.rope import apply_rope, rope_freqs_1d
+
+__all__ = ["STDiT3Config", "init_stdit3_params", "make_stdit3_core"]
+
+
+@dataclasses.dataclass(frozen=True)
+class STDiT3Config:
+    hidden: int = 1152
+    heads: int = 16
+    depth: int = 28                     # paired spatial+temporal blocks
+    mlp_ratio: int = 4
+    in_channels: int = 4
+    caption_dim: int = 4096
+    patch: Tuple[int, int, int] = (1, 2, 2)
+    freq_dim: int = 256
+    eps: float = 1e-6
+    dtype: str = "float32"
+
+    @property
+    def head_dim(self):
+        return self.hidden // self.heads
+
+    @property
+    def out_channels(self):
+        return self.in_channels * 2     # mean + var channels (RFLOW takes chunk 0)
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    def tiny(**kw):
+        d = dict(hidden=64, heads=4, depth=2, caption_dim=24, freq_dim=32)
+        d.update(kw)
+        return STDiT3Config(**d)
+
+    tiny = staticmethod(tiny)
+
+
+def init_stdit3_params(key: jax.Array, cfg: STDiT3Config):
+    d, L = cfg.hidden, cfg.depth
+    pt, ph, pw = cfg.patch
+    ks = iter(jax.random.split(key, 32))
+    nxt = lambda: next(ks)
+
+    def st(d_in, d_out):
+        return linear_params(nxt(), d_in, d_out, depth=L, dtype=cfg.jdtype)
+
+    def block_group():
+        return {
+            "scale_shift": jax.random.normal(nxt(), (L, 6, d), jnp.float32) / np.sqrt(d),
+            "qkv": st(d, 3 * d),
+            "proj": st(d, d),
+            "cross_q": st(d, d), "cross_kv": st(d, 2 * d), "cross_o": st(d, d),
+            "mlp1": st(d, cfg.mlp_ratio * d), "mlp2": st(cfg.mlp_ratio * d, d),
+        }
+
+    return {
+        "patch_embed": linear_params(nxt(), cfg.in_channels * pt * ph * pw, d),
+        "t_embed": {"in": linear_params(nxt(), cfg.freq_dim, d),
+                    "out": linear_params(nxt(), d, d)},
+        "fps_embed": {"in": linear_params(nxt(), cfg.freq_dim, d),
+                      "out": linear_params(nxt(), d, d)},
+        "t_block": linear_params(nxt(), d, 6 * d),
+        "y_embed": {"in": linear_params(nxt(), cfg.caption_dim, d),
+                    "out": linear_params(nxt(), d, d)},
+        "spatial": block_group(),
+        "temporal": block_group(),
+        "final": {"scale_shift": jax.random.normal(nxt(), (2, d), jnp.float32) / np.sqrt(d),
+                  "out": linear_params(nxt(), d, cfg.in_channels * 2 * pt * ph * pw)},
+    }
+
+
+def _pos_embed_2d(dim: int, gh: int, gw: int, scale: float = 1.0) -> np.ndarray:
+    """2-D sincos position embedding over the spatial patch grid."""
+    def emb_1d(pos, d):
+        omega = 1.0 / 10000.0 ** (np.arange(d // 2) / (d / 2))
+        out = pos[:, None] * omega[None]
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    ys, xs = np.meshgrid(np.arange(gh) / scale, np.arange(gw) / scale,
+                         indexing="ij")
+    e = np.concatenate([emb_1d(ys.reshape(-1), dim // 2),
+                        emb_1d(xs.reshape(-1), dim // 2)], axis=1)
+    return e.astype(np.float32)  # [gh*gw, dim]
+
+
+def _attn(p, x, heads, rope=None, eps=1e-6):
+    """Self-attention over the middle axis of x [rows, s, d]."""
+    q, k, v = jnp.split(linear(p_slice(p, "qkv"), x), 3, axis=-1)
+    rs = lambda t: t.reshape(t.shape[0], t.shape[1], heads, -1)
+    q, k, v = rs(q), rs(k), rs(v)
+    if rope is not None:
+        q = apply_rope(q, *rope)
+        k = apply_rope(k, *rope)
+    o = attention(q, k, v).reshape(x.shape)
+    return linear(p_slice(p, "proj"), o)
+
+
+def p_slice(p, name):
+    return p[name]
+
+
+def make_stdit3_core(
+    cfg: STDiT3Config,
+    grid: Tuple[int, int, int],          # latent patch grid (T, H, W)
+    caption_len: int,
+    *,
+    pab: Optional[PABConfig] = None,
+    timesteps: Optional[np.ndarray] = None,  # required when pab is set
+) -> DiTCore:
+    """cond = {"y": f[rows, caption_len, caption_dim], "fps": f[rows]}.
+
+    x = latent video f[rows, T*pt, H*ph, W*pw, C] (rows includes the joint CFG
+    batch); output channels = 2*C (RFLOW slices the first C).
+    """
+    T, H, W = grid
+    S = H * W
+    d = cfg.hidden
+    pos2d = jnp.asarray(_pos_embed_2d(d, H, W))
+    t_cos, t_sin = rope_freqs_1d(np.arange(T), cfg.head_dim)
+    t_rope = (jnp.asarray(t_cos), jnp.asarray(t_sin))
+
+    masks = None
+    if pab is not None:
+        assert timesteps is not None, "PAB needs the sampling timesteps"
+        m = broadcast_masks(pab, timesteps)
+        masks = {k: jnp.asarray(v) for k, v in m.items()}
+
+    def prepare(params, x, t, cond):
+        from magcache_tpu.models.wan import patchify
+        shim = _PatchShim(cfg.patch, cfg.in_channels)
+        tokens = patchify(shim, x.astype(cfg.jdtype))  # [rows, T*S, pin]
+        h = linear(params["patch_embed"], tokens)
+        # add spatial pos emb (per frame)
+        h = h.reshape(h.shape[0], T, S, d) + pos2d[None, None]
+        h = h.reshape(h.shape[0], T * S, d)
+
+        te = linear(params["t_embed"]["out"], jax.nn.silu(
+            linear(params["t_embed"]["in"], timestep_embedding(t, cfg.freq_dim))))
+        fps = cond.get("fps", jnp.full((x.shape[0],), 24.0, jnp.float32))
+        te = te + linear(params["fps_embed"]["out"], jax.nn.silu(
+            linear(params["fps_embed"]["in"], timestep_embedding(fps, cfg.freq_dim))))
+        t6 = linear(params["t_block"], jax.nn.silu(te)).reshape(-1, 6, d)
+
+        y = jax.nn.gelu(linear(params["y_embed"]["in"],
+                               cond["y"].astype(jnp.float32)), approximate=True)
+        y = linear(params["y_embed"]["out"], y).astype(cfg.jdtype)
+        return h, {"t6": t6, "te": te, "y": y}
+
+    def _block(p, h, ctx, temporal: bool, cached=None, reuse_flags=None):
+        """One STDiT3 block. cached/reuse_flags: PAB state slices or None.
+        Returns (h, new_cached)."""
+        rows, N, _ = h.shape
+        t6 = ctx["t6"]
+        mod = (p["scale_shift"][None] if False else p["scale_shift"])  # [6, d] slice
+        e = (mod[None] + t6).astype(jnp.float32)  # [rows, 6, d]
+        sh_a, sc_a, g_a, sh_m, sc_m, g_m = [e[:, i][:, None] for i in range(6)]
+
+        def compute_attn(h):
+            xn = (layer_norm(h, eps=cfg.eps) * (1 + sc_a) + sh_a).astype(h.dtype)
+            if temporal:
+                xr = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3).reshape(rows * S, T, d)
+                a = _attn(p, xr, cfg.heads, rope=t_rope, eps=cfg.eps)
+                a = a.reshape(rows, S, T, d).transpose(0, 2, 1, 3).reshape(rows, N, d)
+            else:
+                xr = xn.reshape(rows * T, S, d)
+                a = _attn(p, xr, cfg.heads, eps=cfg.eps)
+                a = a.reshape(rows, N, d)
+            return a
+
+        def compute_cross(h):
+            y = ctx["y"]
+            q = linear(p["cross_q"], h)
+            kv = linear(p["cross_kv"], y)
+            k, v = jnp.split(kv, 2, axis=-1)
+            rs = lambda t_: t_.reshape(t_.shape[0], t_.shape[1], cfg.heads, -1)
+            o = attention(rs(q), rs(k), rs(v)).reshape(h.shape)
+            return linear(p["cross_o"], o)
+
+        def compute_mlp(h):
+            xm = (layer_norm(h, eps=cfg.eps) * (1 + sc_m) + sh_m).astype(h.dtype)
+            return linear(p["mlp2"], jax.nn.gelu(linear(p["mlp1"], xm),
+                                                 approximate=True))
+
+        new_cached = {}
+        kind = "temporal" if temporal else "spatial"
+        if cached is not None:
+            a = jax.lax.cond(reuse_flags[kind], lambda _: cached["attn"],
+                             lambda h_: compute_attn(h_), h)
+            new_cached["attn"] = a
+        else:
+            a = compute_attn(h)
+        h = h + (g_a * a.astype(jnp.float32)).astype(h.dtype)
+
+        if cached is not None:
+            c = jax.lax.cond(reuse_flags["cross"], lambda _: cached["cross"],
+                             lambda h_: compute_cross(h_), h)
+            new_cached["cross"] = c
+        else:
+            c = compute_cross(h)
+        h = h + c
+
+        if cached is not None:
+            mo = jax.lax.cond(reuse_flags["mlp"], lambda _: cached["mlp"],
+                              lambda h_: compute_mlp(h_), h)
+            new_cached["mlp"] = mo
+        else:
+            mo = compute_mlp(h)
+        h = h + (g_m * mo.astype(jnp.float32)).astype(h.dtype)
+        return h, new_cached
+
+    def trunk_plain(params, h, ctx):
+        def body(carry, ps):
+            sp, tp_ = ps
+            h = carry
+            h, _ = _block(sp, h, ctx, temporal=False)
+            h, _ = _block(tp_, h, ctx, temporal=True)
+            return h, None
+
+        h, _ = jax.lax.scan(body, h, (params["spatial"], params["temporal"]))
+        return h
+
+    def init_state(params, hidden_shape, ctx_shape):
+        rows, N, _ = hidden_shape.shape
+        dt_ = hidden_shape.dtype
+        z = lambda: jnp.zeros((cfg.depth, rows, N, d), dt_)
+        return {
+            "sp_attn": z(), "sp_cross": z(), "sp_mlp": z(),
+            "tp_attn": z(), "tp_cross": z(), "tp_mlp": z(),
+        }
+
+    def trunk_pab(params, h, ctx, state, step_idx):
+        flags = {k: masks[k][step_idx] for k in masks}
+        rf_sp = {"spatial": flags["spatial"], "temporal": flags["temporal"],
+                 "cross": flags["cross"], "mlp": flags["mlp"]}
+
+        def body(carry, ps):
+            h = carry
+            sp, tp_, c_sa, c_sc, c_sm, c_ta, c_tc, c_tm = ps
+            h, nc_s = _block(sp, h, ctx, temporal=False,
+                             cached={"attn": c_sa, "cross": c_sc, "mlp": c_sm},
+                             reuse_flags=rf_sp)
+            h, nc_t = _block(tp_, h, ctx, temporal=True,
+                             cached={"attn": c_ta, "cross": c_tc, "mlp": c_tm},
+                             reuse_flags=rf_sp)
+            return h, (nc_s["attn"], nc_s["cross"], nc_s["mlp"],
+                       nc_t["attn"], nc_t["cross"], nc_t["mlp"])
+
+        h, ys = jax.lax.scan(
+            body, h,
+            (params["spatial"], params["temporal"], state["sp_attn"],
+             state["sp_cross"], state["sp_mlp"], state["tp_attn"],
+             state["tp_cross"], state["tp_mlp"]))
+        new_state = {"sp_attn": ys[0], "sp_cross": ys[1], "sp_mlp": ys[2],
+                     "tp_attn": ys[3], "tp_cross": ys[4], "tp_mlp": ys[5]}
+        return h, new_state
+
+    def head(params, h, ctx):
+        te = ctx["te"]
+        mod = params["final"]["scale_shift"][None] + te[:, None]
+        shift, scale = mod[:, 0][:, None], mod[:, 1][:, None]
+        out = layer_norm(h, eps=cfg.eps) * (1 + scale) + shift
+        out = linear(params["final"]["out"], out.astype(h.dtype))
+        from magcache_tpu.models.wan import unpatchify
+        shim = _PatchShim(cfg.patch, cfg.in_channels * 2)
+        return unpatchify(shim, out.astype(jnp.float32), grid)
+
+    if pab is not None:
+        return DiTCore(prepare, trunk_pab, head, init_state=init_state)
+    return DiTCore(prepare, trunk_plain, head)
+
+
+@dataclasses.dataclass(frozen=True)
+class _PatchShim:
+    patch: Tuple[int, int, int]
+    out_channels: int
+
+    @property
+    def patch_in(self):
+        pt, ph, pw = self.patch
+        return self.out_channels * pt * ph * pw

@@ -33,6 +33,7 @@ def timestep_transform_ratio(
     """The resolution/duration ratio of the Open-Sora timestep transform."""
     ratio_space = np.sqrt(height * width / base_resolution)
     frames = 1 if num_frames == 1 else (num_frames // 17) * 5
+    frames = max(frames, 1)  # clips shorter than one 17-frame micro-frame
     ratio_time = np.sqrt(frames / base_num_frames)
     return float(ratio_space * ratio_time * scale)
 
