@@ -172,18 +172,23 @@ def attention(
     "pallas_interpret" (debug), or "auto" (pallas on TPU, xla elsewhere).
     """
     if impl == "auto":
-        # Pallas kernel on single-device TPU; under an active mesh plan the
-        # XLA path is used so GSPMD can partition the attention (a shard_map'd
-        # kernel variant is the planned upgrade path). MAGCACHE_ATTN_IMPL
-        # overrides for experiments.
+        # Pallas kernel on single-device TPU; under an active mesh plan,
+        # shard_map Ulysses sequence-parallel attention (flash kernel per
+        # shard). MAGCACHE_ATTN_IMPL overrides for experiments.
         import os
         env = os.environ.get("MAGCACHE_ATTN_IMPL")
         if env:
             impl = env
         else:
             from magcache_tpu.parallel.mesh import _ACTIVE
+            plan = _ACTIVE.get()
+            if plan is not None:
+                from magcache_tpu.parallel.collectives import ulysses_attention
+                kv_rep = k.shape[1] != q.shape[1]
+                return ulysses_attention(q, k, v, plan.mesh, scale=scale,
+                                         kv_len=kv_len, kv_replicated=kv_rep)
             on_tpu = jax.default_backend() in ("tpu", "axon")
-            impl = "pallas" if (on_tpu and _ACTIVE.get() is None) else "xla"
+            impl = "pallas" if on_tpu else "xla"
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)

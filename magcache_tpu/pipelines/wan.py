@@ -96,9 +96,20 @@ class WanPipelineConfig:
 
 
 class WanPipeline(BasePipeline):
+    """Wan 2.1/2.2 pipeline.
+
+    Wan2.2 A14B MoE: pass ``params_low`` (the low-noise expert) and set
+    ``config.moe_boundary``; steps with ``t >= boundary*T`` run the high-noise
+    expert (``params``), the rest the low-noise one — the reference's
+    two-expert switch (``MagCache4Wan2.2/magcache_generate.py:294-303,697``).
+    Because experts share one architecture, both phases reuse a single
+    compiled program with different parameter arguments.
+    """
+
     def __init__(self, config: WanPipelineConfig,
                  text_encoder: Optional[TextEncoder] = None,
-                 params=None, vae=None, key: Optional[jax.Array] = None):
+                 params=None, params_low=None, vae=None,
+                 key: Optional[jax.Array] = None):
         self.config = config
         self.model_cfg = config.model_config()
         self.vae = vae
@@ -119,11 +130,20 @@ class WanPipeline(BasePipeline):
         else:
             self.params = init_wan_params(key, self.model_cfg)
 
+        self.params_low = params_low
+        if config.moe_boundary is not None and params_low is None:
+            # two-expert MoE requested but only one checkpoint given: derive a
+            # second (random) expert for structural runs
+            self.params_low = init_wan_params(
+                jax.random.fold_in(key, 1), self.model_cfg)
+
         self.plan = None
         if config.dp * config.sp * config.tp > 1:
             mesh = build_mesh(config.dp, config.sp, config.tp)
             self.plan = MeshPlan(mesh)
             self.params = shard_params(self.params, mesh)
+            if self.params_low is not None:
+                self.params_low = shard_params(self.params_low, mesh)
         self._jit_cache = {}
 
     # ---- schedule/cache construction ------------------------------------
@@ -151,6 +171,39 @@ class WanPipeline(BasePipeline):
             thresh=c.magcache_thresh, K=c.magcache_K,
             retention_ratio=c.retention_ratio,
             split_step=split_step, mode=mode)
+
+    def _sample_fn_moe(self):
+        """Wan2.2 two-expert path: one compiled scan body, params swapped at
+        the boundary step (high-noise expert first)."""
+        key = ("moe", self.config.use_magcache)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        from magcache_tpu.core.sampler import unipc_executor
+
+        c = self.config
+        sch = self._schedule()
+        base = FlowMatchSchedule(sch.sigmas, sch.timesteps)
+        boundary = base.boundary_step(c.moe_boundary)
+        cache_cfg = self._cache_cfg(sch)
+        init_carry, step_in, body = unipc_executor(
+            self.core, sch, cache_cfg=cache_cfg,
+            guidance_scale=c.guide_scale, batch=1)
+
+        phase = jax.jit(lambda params, cond, carry, seg: jax.lax.scan(
+            body(params, cond), carry, seg)[0])
+
+        def fn(params_high, params_low, x, cond):
+            carry = init_carry(params_high, x, cond)
+            hi = tuple(a[:boundary] for a in step_in)
+            lo = tuple(a[boundary:] for a in step_in)
+            if boundary > 0:
+                carry = phase(params_high, cond, carry, hi)
+            if boundary < sch.num_steps:
+                carry = phase(params_low, cond, carry, lo)
+            return carry[0]
+
+        self._jit_cache[key] = fn
+        return fn
 
     def _sample_fn(self, calibrate: bool):
         key = ("cal" if calibrate else "gen", self.config.use_magcache)
@@ -207,9 +260,15 @@ class WanPipeline(BasePipeline):
                     for k, v in cond.items()}
 
         calibrate = self.config.magcache_calibration
-        fn = self._sample_fn(calibrate)
-        with use_mesh(self.plan):
-            out = fn(self.params, x0, cond)
+        if self.config.moe_boundary is not None and not calibrate:
+            assert self.config.sample_solver == "unipc", "MoE path uses UniPC"
+            fn = self._sample_fn_moe()
+            with use_mesh(self.plan):
+                out = fn(self.params, self.params_low, x0, cond)
+        else:
+            fn = self._sample_fn(calibrate)
+            with use_mesh(self.plan):
+                out = fn(self.params, x0, cond)
         calibration = None
         if calibrate:
             latents, stats = out
