@@ -49,7 +49,8 @@ def main():
     quick = os.environ.get("BENCH_QUICK") == "1"
     frames = int(os.environ.get("MAGCACHE_BENCH_FRAMES", 21 if quick else 81))
     steps = int(os.environ.get("MAGCACHE_BENCH_STEPS", 8 if quick else 50))
-    seg = int(os.environ.get("MAGCACHE_BENCH_SEG", 4 if quick else 10))
+    # dispatches >~60s crash the tunnel worker; 5 steps ~= 33s stays safe
+    seg = int(os.environ.get("MAGCACHE_BENCH_SEG", 4 if quick else 5))
     h_pix, w_pix = (192, 320) if quick else (480, 832)
 
     cfg = dataclasses.replace(WAN_1_3B, dtype="bfloat16")

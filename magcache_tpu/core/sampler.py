@@ -174,8 +174,11 @@ def sample_euler(
     lanes: Optional[int] = None,
     combine_fn: Optional[Callable] = None,
     skip_mask_override: Optional[jnp.ndarray] = None,
+    x_coeffs: Optional[np.ndarray] = None,
 ) -> jnp.ndarray:
-    """Euler flow sampler: ``x <- x + dt * v`` per step, with MagCache.
+    """Linear-update sampler: ``x <- cx_i * x + dt_i * v`` per step, with
+    MagCache. ``x_coeffs`` defaults to ones (plain Euler); CogVideoX's DDIM
+    passes its host-precomputed (c_x, c_v=dts) pair.
 
     ``skip_mask_override`` (bool[num_steps, lanes], may be a traced argument)
     replaces the host-precomputed schedule — lets one compiled program serve
@@ -196,13 +199,15 @@ def sample_euler(
 
     ts = jnp.asarray(np.asarray(timesteps, np.float32))
     dts_a = jnp.asarray(np.asarray(dts, np.float32))
+    cxs = jnp.asarray(np.ones(num_steps, np.float32) if x_coeffs is None
+                      else np.asarray(x_coeffs, np.float32))
     skips = (jnp.asarray(skip_mask) if skip_mask_override is None
              else skip_mask_override)
     state0 = _init_trunk_state(core, params, x_l0, jnp.asarray(timesteps[:1]), cond)
 
     def body(carry, step_in):
         x, cache, state = carry
-        t, dt, skip_bits, idx = step_in
+        t, dt, cx, skip_bits, idx = step_in
         x2 = _stack_lanes(x, n_lanes)
         tvec = jnp.full((x2.shape[0],), t, jnp.float32)
         hidden, ctx = core.prepare(params, x2, tvec, cond)
@@ -210,12 +215,12 @@ def sample_euler(
                                             skip_bits, lane_of_row, state, idx)
         out = core.head(params, h_out, ctx)
         v = _cfg_combine(out, guidance_scale, batch, combine_fn, n_lanes)
-        x = x + dt.astype(x.dtype) * v.astype(x.dtype)
+        x = cx.astype(x.dtype) * x + dt.astype(x.dtype) * v.astype(x.dtype)
         return (x, cache, state), None
 
     (x_fin, _, _), _ = jax.lax.scan(
         body, (x_init, cache0, state0),
-        (ts, dts_a, skips, jnp.arange(num_steps)))
+        (ts, dts_a, cxs, skips, jnp.arange(num_steps)))
     return x_fin
 
 

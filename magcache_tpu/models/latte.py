@@ -1,0 +1,184 @@
+"""Latte T2V DiT, TPU-native.
+
+Behavioral spec from ``videosys/models/transformers/latte_transformer_3d.py``
+(LatteT2V :895): alternating **spatial** transformer blocks (self-attention
+over each frame's patches + cross-attention to the caption) and **temporal**
+blocks (self-attention over frames at each location, temporal position
+embedding, no cross-attention), PixArt-style AdaLN-single — one global 6-way
+modulation from the timestep shared by all blocks, combined with a per-block
+learned ``scale_shift_table`` — plus absolute 2-D sincos spatial position
+embeddings. PAB hooks gate the spatial/temporal/cross attentions
+(``:150, :521``); the trunk residual boundary serves MagCache as usual.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magcache_tpu.core.sampler import DiTCore
+from magcache_tpu.models.common import linear, linear_params, timestep_embedding
+from magcache_tpu.models.stdit3 import _pos_embed_2d
+from magcache_tpu.ops.attention import attention
+from magcache_tpu.ops.norms import layer_norm
+from magcache_tpu.ops.rope import rope_freqs_1d
+
+__all__ = ["LatteConfig", "init_latte_params", "make_latte_core"]
+
+
+@dataclasses.dataclass(frozen=True)
+class LatteConfig:
+    hidden: int = 1152
+    heads: int = 16
+    depth: int = 28                 # pairs (spatial, temporal)
+    mlp_ratio: int = 4
+    in_channels: int = 4
+    caption_dim: int = 4096
+    patch: int = 2                  # spatial patch
+    time_embed_dim: int = 256
+    eps: float = 1e-6
+    dtype: str = "float32"
+
+    @property
+    def head_dim(self):
+        return self.hidden // self.heads
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    def tiny(**kw):
+        d = dict(hidden=64, heads=4, depth=2, caption_dim=24, time_embed_dim=32)
+        d.update(kw)
+        return LatteConfig(**d)
+
+    tiny = staticmethod(tiny)
+
+
+def init_latte_params(key: jax.Array, cfg: LatteConfig):
+    d, L = cfg.hidden, cfg.depth
+    p2 = cfg.patch * cfg.patch
+    ks = iter(jax.random.split(key, 32))
+    nxt = lambda: next(ks)
+
+    def st(i, o):
+        return linear_params(nxt(), i, o, depth=L, dtype=cfg.jdtype)
+
+    def group(cross: bool):
+        g = {
+            "scale_shift": jax.random.normal(nxt(), (L, 6, d), jnp.float32) / np.sqrt(d),
+            "qkv": st(d, 3 * d), "proj": st(d, d),
+            "ff1": st(d, cfg.mlp_ratio * d), "ff2": st(cfg.mlp_ratio * d, d),
+        }
+        if cross:
+            g.update({"cross_q": st(d, d), "cross_kv": st(d, 2 * d),
+                      "cross_o": st(d, d)})
+        return g
+
+    return {
+        "patch_embed": linear_params(nxt(), cfg.in_channels * p2, d, dtype=cfg.jdtype),
+        "caption": {"in": linear_params(nxt(), cfg.caption_dim, d),
+                    "out": linear_params(nxt(), d, d)},
+        "time": {"in": linear_params(nxt(), cfg.time_embed_dim, d),
+                 "out": linear_params(nxt(), d, d)},
+        "adaln_single": linear_params(nxt(), d, 6 * d),
+        "temp_pos": None,   # built per grid (sincos), not learned here
+        "spatial": group(cross=True),
+        "temporal": group(cross=False),
+        "final_mod": jax.random.normal(nxt(), (2, d), jnp.float32) / np.sqrt(d),
+        "final_out": linear_params(nxt(), d, cfg.in_channels * p2),
+    }
+
+
+def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
+                    caption_len: int) -> DiTCore:
+    """cond = {"y": f[B, caption_len, caption_dim]}; x = latent video
+    f[B, T, H*p, W*p, C]."""
+    T, H, W = grid
+    S = H * W
+    d = cfg.hidden
+    pos2d = jnp.asarray(_pos_embed_2d(d, H, W))
+    tcos, tsin = rope_freqs_1d(np.arange(T), d, 10000.0)
+    # Latte uses absolute temporal sincos embedding added before temporal blocks
+    temp_pos = jnp.asarray(
+        np.concatenate([tcos, tsin], axis=-1)[:, :d].astype(np.float32))
+
+    def _patchify(x):
+        b, t, hh, ww, c = x.shape
+        p = cfg.patch
+        x = x.reshape(b, t, hh // p, p, ww // p, p, c)
+        x = x.transpose(0, 1, 2, 4, 6, 3, 5)
+        return x.reshape(b, t * (hh // p) * (ww // p), c * p * p)
+
+    def prepare(params, x, t, cond):
+        h = linear(params["patch_embed"], _patchify(x.astype(cfg.jdtype)))
+        h = (h.reshape(h.shape[0], T, S, d) + pos2d[None, None]).reshape(
+            h.shape[0], T * S, d)
+        te = linear(params["time"]["out"], jax.nn.silu(
+            linear(params["time"]["in"], timestep_embedding(t, cfg.time_embed_dim))))
+        t6 = linear(params["adaln_single"], jax.nn.silu(te)).reshape(-1, 6, d)
+        y = jax.nn.gelu(linear(params["caption"]["in"],
+                               cond["y"].astype(jnp.float32)), approximate=True)
+        y = linear(params["caption"]["out"], y).astype(cfg.jdtype)
+        return h, {"t6": t6, "te": te, "y": y}
+
+    def _self_attn(p, xr):
+        q, k, v = jnp.split(linear(p["qkv"], xr), 3, axis=-1)
+        rs = lambda t_: t_.reshape(t_.shape[0], t_.shape[1], cfg.heads, -1)
+        o = attention(rs(q), rs(k), rs(v)).reshape(xr.shape)
+        return linear(p["proj"], o)
+
+    def _block(p, h, ctx, temporal: bool):
+        rows, N, _ = h.shape
+        e = (p["scale_shift"][None] + ctx["t6"]).astype(jnp.float32)
+        sh_a, sc_a, g_a, sh_m, sc_m, g_m = [e[:, i][:, None] for i in range(6)]
+
+        xn = (layer_norm(h, eps=cfg.eps) * (1 + sc_a) + sh_a).astype(h.dtype)
+        if temporal:
+            xr = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3).reshape(rows * S, T, d)
+            xr = xr + temp_pos[None]
+            a = _self_attn(p, xr)
+            a = a.reshape(rows, S, T, d).transpose(0, 2, 1, 3).reshape(rows, N, d)
+        else:
+            a = _self_attn(p, xn.reshape(rows * T, S, d)).reshape(rows, N, d)
+        h = h + (g_a * a.astype(jnp.float32)).astype(h.dtype)
+
+        if not temporal:
+            y = ctx["y"]
+            q = linear(p["cross_q"], h)
+            k, v = jnp.split(linear(p["cross_kv"], y), 2, axis=-1)
+            rs = lambda t_: t_.reshape(t_.shape[0], t_.shape[1], cfg.heads, -1)
+            c = attention(rs(q), rs(k), rs(v)).reshape(h.shape)
+            h = h + linear(p["cross_o"], c)
+
+        xm = (layer_norm(h, eps=cfg.eps) * (1 + sc_m) + sh_m).astype(h.dtype)
+        ff = linear(p["ff2"], jax.nn.gelu(linear(p["ff1"], xm), approximate=True))
+        return h + (g_m * ff.astype(jnp.float32)).astype(h.dtype)
+
+    def trunk(params, h, ctx):
+        def body(carry, ps):
+            sp, tp_ = ps
+            h = _block(sp, carry, ctx, temporal=False)
+            h = _block(tp_, h, ctx, temporal=True)
+            return h, None
+
+        h, _ = jax.lax.scan(body, h, (params["spatial"], params["temporal"]))
+        return h
+
+    def head(params, h, ctx):
+        mod = params["final_mod"][None] + ctx["te"][:, None]
+        shift, scale = mod[:, 0][:, None], mod[:, 1][:, None]
+        out = layer_norm(h, eps=cfg.eps) * (1 + scale) + shift
+        out = linear(params["final_out"], out.astype(h.dtype)).astype(jnp.float32)
+        b = out.shape[0]
+        p, c = cfg.patch, cfg.in_channels
+        out = out.reshape(b, T, H, W, c, p, p)
+        out = out.transpose(0, 1, 2, 5, 3, 6, 4)
+        return out.reshape(b, T, H * p, W * p, c)
+
+    return DiTCore(prepare, trunk, head)

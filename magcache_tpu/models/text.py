@@ -59,6 +59,59 @@ class MockPooledEncoder:
         return jnp.asarray(np.stack(outs), jnp.float32)
 
 
+class JaxT5Encoder:
+    """T5 text encoder running natively in JAX (FlaxT5EncoderModel), jitted and
+    optionally weight-sharded over the mesh.
+
+    The TPU equivalent of the reference's ColossalAI T5 shardformer policy
+    (``videosys/core/shardformer/t5/policy.py``): instead of a layer-rewrite
+    policy + fused-norm swap, the whole encoder jits onto the device and its
+    weight matrices shard over the ``tp`` mesh axis via NamedShardings.
+    """
+
+    def __init__(self, path_or_config, seq_len: int = 512, mesh=None,
+                 tokenizer=None):
+        from transformers import AutoTokenizer, FlaxT5EncoderModel, T5Config
+
+        if isinstance(path_or_config, str):
+            self.model = FlaxT5EncoderModel.from_pretrained(path_or_config)
+            self.tokenizer = tokenizer or AutoTokenizer.from_pretrained(path_or_config)
+        else:
+            # config-only init (tests / structural runs)
+            self.model = FlaxT5EncoderModel(path_or_config)
+            self.tokenizer = tokenizer
+        self.seq_len = seq_len
+        params = self.model.params
+        if mesh is not None:
+            from magcache_tpu.parallel.mesh import shard_params
+            params = shard_params(params, mesh)
+        self.params = params
+
+        import jax as _jax
+
+        def encode(params, input_ids, attention_mask):
+            out = self.model(input_ids=input_ids,
+                             attention_mask=attention_mask, params=params)
+            return out.last_hidden_state * attention_mask[..., None]
+
+        self._encode = _jax.jit(encode)
+
+    def __call__(self, prompts: Sequence[str]) -> jnp.ndarray:
+        assert self.tokenizer is not None, "tokenizer required for raw prompts"
+        tok = self.tokenizer(list(prompts), padding="max_length",
+                             truncation=True, max_length=self.seq_len,
+                             return_tensors="np")
+        return self._encode(self.params, jnp.asarray(tok["input_ids"]),
+                            jnp.asarray(tok["attention_mask"]))
+
+    def encode_ids(self, input_ids: np.ndarray,
+                   attention_mask: Optional[np.ndarray] = None) -> jnp.ndarray:
+        if attention_mask is None:
+            attention_mask = np.ones_like(input_ids)
+        return self._encode(self.params, jnp.asarray(input_ids),
+                            jnp.asarray(attention_mask))
+
+
 class HFTextEncoder:
     """Wrap a local HuggingFace encoder (e.g. T5EncoderModel) on CPU torch.
 

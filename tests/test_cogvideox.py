@@ -1,0 +1,94 @@
+"""CogVideoX model + zero-SNR DDIM scheduler tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magcache_tpu.core.magcache import MagCacheConfig, compute_skip_schedule
+from magcache_tpu.core.sampler import sample_euler
+from magcache_tpu.models.cogvideox import (
+    CogVideoXConfig,
+    init_cogvideox_params,
+    make_cogvideox_core,
+)
+from magcache_tpu.schedulers.ddim_cogvideo import CogVideoDDIMSchedule
+
+CFG = CogVideoXConfig.tiny()
+GRID = (2, 4, 4)
+TXT = 6
+
+
+@pytest.fixture(scope="module")
+def model():
+    params = init_cogvideox_params(jax.random.PRNGKey(0), CFG)
+    return make_cogvideox_core(CFG, TXT, GRID), params
+
+
+def _cond(b=1, seed=0):
+    rng = np.random.default_rng(seed)
+    return {"txt": jnp.asarray(rng.normal(size=(b, TXT, CFG.text_dim)), jnp.float32)}
+
+
+def _x(b=1, seed=1):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(b, 2, 8, 8, CFG.in_channels)), jnp.float32)
+
+
+def test_forward_shapes(model):
+    core, params = model
+    x = _x(2)
+    t = jnp.full((2,), 500.0, jnp.float32)
+    hidden, ctx = core.prepare(params, x, t, _cond(2))
+    assert hidden.shape == (2, 32, CFG.hidden)  # video tokens only
+    out = core.head(params, core.trunk(params, hidden, ctx), ctx)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ddim_schedule_zero_terminal_snr():
+    sch = CogVideoDDIMSchedule.create(50)
+    assert sch.alphas_cumprod[-1] < 1e-10  # terminal SNR == 0
+    assert abs(sch.timesteps[0] - 980) <= 20 and sch.timesteps[-1] == 0
+    c_x, c_v = sch.step_arrays()
+    assert np.isfinite(c_x).all() and np.isfinite(c_v).all()
+
+
+def test_ddim_exact_on_consistent_v():
+    """If v is the true velocity of (x0, eps), DDIM lands exactly on the
+    trajectory point at each following timestep."""
+    sch = CogVideoDDIMSchedule.create(10)
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(size=(4,))
+    eps = rng.normal(size=(4,))
+    acp = sch.alphas_cumprod
+    t0 = int(sch.timesteps[0])
+    x = np.sqrt(acp[t0]) * x0 + np.sqrt(1 - acp[t0]) * eps
+    c_x, c_v = sch.step_arrays()
+    for i in range(sch.num_steps):
+        t = int(sch.timesteps[i])
+        a = acp[t]
+        v = np.sqrt(a) * eps - np.sqrt(1 - a) * x0  # true v at this point
+        x = c_x[i] * x + c_v[i] * v
+        if i + 1 < sch.num_steps:
+            tn = int(sch.timesteps[i + 1])
+            expected = np.sqrt(acp[tn]) * x0 + np.sqrt(1 - acp[tn]) * eps
+            np.testing.assert_allclose(x, expected, atol=1e-10)
+    np.testing.assert_allclose(x, x0, atol=1e-8)  # terminal alpha=1 -> x0
+
+
+def test_cogvideo_sampling_with_cache(model):
+    core, params = model
+    steps = 8
+    sch = CogVideoDDIMSchedule.create(steps)
+    c_x, c_v = sch.step_arrays()
+    rng = np.random.default_rng(7)
+    ratios = tuple(1.0 - np.abs(rng.normal(0, 0.01, steps)))
+    cache_cfg = MagCacheConfig(num_steps=steps, mag_ratios=ratios, thresh=0.06,
+                               max_consecutive_skips=2, lanes=1)
+    assert compute_skip_schedule(cache_cfg).sum() > 0
+    out = sample_euler(core, params, _x(), _cond(),
+                       timesteps=sch.timesteps.astype(np.float32),
+                       dts=c_v, x_coeffs=c_x, cache_cfg=cache_cfg)
+    assert out.shape == (1, 2, 8, 8, CFG.in_channels)
+    assert np.isfinite(np.asarray(out)).all()

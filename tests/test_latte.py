@@ -1,0 +1,44 @@
+"""Latte T2V model tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magcache_tpu.core.sampler import sample_euler
+from magcache_tpu.models.latte import LatteConfig, init_latte_params, make_latte_core
+from magcache_tpu.schedulers.rflow import RFlowSchedule
+
+CFG = LatteConfig.tiny()
+GRID = (2, 4, 4)
+
+
+@pytest.fixture(scope="module")
+def model():
+    params = init_latte_params(jax.random.PRNGKey(0), CFG)
+    return make_latte_core(CFG, GRID, 6), params
+
+
+def test_forward_shapes(model):
+    core, params = model
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 2, 8, 8, CFG.in_channels)), jnp.float32)
+    cond = {"y": jnp.asarray(rng.normal(size=(2, 6, CFG.caption_dim)), jnp.float32)}
+    t = jnp.full((2,), 400.0, jnp.float32)
+    hidden, ctx = core.prepare(params, x, t, cond)
+    assert hidden.shape == (2, 32, CFG.hidden)
+    out = core.head(params, core.trunk(params, hidden, ctx), ctx)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_latte_sampling(model):
+    core, params = model
+    sch = RFlowSchedule.create(4)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 2, 8, 8, CFG.in_channels)), jnp.float32)
+    cond = {"y": jnp.asarray(rng.normal(size=(2, 6, CFG.caption_dim)), jnp.float32)}
+    dts = np.array([sch.dt(i) for i in range(4)], np.float32)
+    out = sample_euler(core, params, x, cond, timesteps=sch.timesteps, dts=dts,
+                       guidance_scale=7.0)
+    assert np.isfinite(np.asarray(out)).all()

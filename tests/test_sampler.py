@@ -242,4 +242,4 @@ def test_sampler_is_jittable():
         np.asarray(out),
         np.asarray(sample_euler(core, params, x, cond, timesteps=sch.timesteps,
                                 dts=dts, cache_cfg=cfg)),
-        atol=1e-6)
+        rtol=1e-5, atol=1e-5)
