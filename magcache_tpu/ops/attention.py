@@ -33,6 +33,48 @@ __all__ = ["attention", "flash_attention_bhsd"]
 _NEG_INF = -1e30
 
 
+def _flash_kernel_aux(q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref,
+                      acc_ref, m_ref, l_ref, *, scale: float, kv_len: int,
+                      block_k: int):
+    """Flash kernel variant that also emits per-row (max, sumexp) — the
+    streaming-softmax state needed to merge partial attentions across a ring
+    (ring attention over `sp`)."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    key_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(key_pos < kv_len, s, _NEG_INF)
+
+    m_prev = m_ref[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    m_ref[:, :1] = m_new
+    l_ref[:, :1] = l_new
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        m_out_ref[0] = m_ref[:, :1][:, 0]
+        l_out_ref[0] = l_ref[:, :1][:, 0]
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                   scale: float, kv_len: int, block_k: int):
     """One (batch*head, q_block, kv_block) grid cell of online-softmax attention."""
@@ -145,6 +187,87 @@ def flash_attention_bhsd(
         interpret=interpret,
     )(qr, kr, vr)
     return out.reshape(b, h, sq_p, d)[:, :, :sq, :]
+
+
+def flash_attention_bhsd_aux(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+    scale: Optional[float] = None, kv_len: Optional[int] = None,
+    block_q: int = 512, block_k: int = 512, interpret: bool = False,
+):
+    """Like `flash_attention_bhsd` but also returns per-row (m, l) — the
+    softmax running max and normalizer, shapes [B, H, Sq] f32 — so partial
+    results over KV shards can be merged exactly (ring attention)."""
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    scale = (1.0 / math.sqrt(d)) if scale is None else scale
+    kv_len = skv if kv_len is None else kv_len
+    block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (skv - 1).bit_length()))
+    sq_p = -(-sq // block_q) * block_q
+    skv_p = -(-skv // block_k) * block_k
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    if skv_p != skv:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    bh = b * h
+    qr = q.reshape(bh, sq_p, d)
+    kr = k.reshape(bh, skv_p, d)
+    vr = v.reshape(bh, skv_p, d)
+    grid = (bh, sq_p // block_q, skv_p // block_k)
+    kernel = functools.partial(_flash_kernel_aux, scale=scale, kv_len=kv_len,
+                               block_k=block_k)
+    out, m, l = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh_, i, j: (bh_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh_, i, j: (bh_, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh_, i, j: (bh_, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda bh_, i, j: (bh_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda bh_, i, j: (bh_, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda bh_, i, j: (bh_, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq_p), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sq_p), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qr, kr, vr)
+    out = out.reshape(b, h, sq_p, d)[:, :, :sq, :]
+    m = m.reshape(b, h, sq_p)[:, :, :sq]
+    l = l.reshape(b, h, sq_p)[:, :, :sq]
+    return out, m, l
+
+
+def _xla_attention_bhsd_aux(q, k, v, *, scale, kv_len=None):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if kv_len is not None and kv_len < k.shape[2]:
+        key_pos = jnp.arange(k.shape[2])
+        s = jnp.where(key_pos[None, None, None, :] < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=-1)
+    p = jnp.exp(s - m[..., None])
+    l = jnp.sum(p, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", (p / l[..., None]).astype(v.dtype), v)
+    return out, m, l
 
 
 def _xla_attention_bhsd(q, k, v, *, scale, kv_len):

@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from magcache_tpu.parallel.mesh import AXIS_DP, AXIS_SP, AXIS_TP
 
 __all__ = ["split_sequence", "gather_sequence", "all_to_all_switch",
-           "ulysses_attention"]
+           "ulysses_attention", "ring_attention"]
 
 
 def split_sequence(x: jnp.ndarray, mesh: Mesh, dim: int = 1) -> jnp.ndarray:
@@ -117,3 +117,65 @@ def ulysses_attention(
 
     return jax.shard_map(local, mesh=mesh, in_specs=(q_spec, kv_spec, kv_spec),
                          out_specs=q_spec)(q, k, v)
+
+
+def _partial_attention(q, k, v, *, scale):
+    """Per-shard attention returning (out, m, l) for streaming-softmax merge."""
+    from magcache_tpu.ops.attention import (
+        _xla_attention_bhsd_aux,
+        flash_attention_bhsd_aux,
+    )
+    import math
+
+    qt, kt, vt = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    d = q.shape[-1]
+    sc = (1.0 / math.sqrt(d)) if scale is None else scale
+    if jax.default_backend() in ("tpu", "axon"):
+        o, m, l = flash_attention_bhsd_aux(qt, kt, vt, scale=sc)
+    else:
+        o, m, l = _xla_attention_bhsd_aux(qt, kt, vt, scale=sc)
+    return o.transpose(0, 2, 1, 3), m, l
+
+
+def ring_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mesh: Mesh,
+    *, scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Ring attention over `sp`: K/V shards rotate around the ring
+    (`lax.ppermute`) while each device keeps its Q shard; partial softmax
+    results merge exactly via the streaming (m, l) state.
+
+    The TPU equivalent of xfuser's ring attention (``--ring_size``,
+    ``magcache_generate.py:637-641``): sequence memory scales 1/sp with no
+    full-sequence gather, at the cost of sp sequential steps — use when even
+    one Ulysses head-group's full sequence would not fit HBM.
+    """
+    spec = P(AXIS_DP, AXIS_SP, AXIS_TP, None)
+    sp = mesh.shape[AXIS_SP]
+
+    def local(ql, kl, vl):
+        o, m, l = _partial_attention(ql, kl, vl, scale=scale)
+
+        def body(i, carry):
+            o_acc, m_acc, l_acc, kc, vc = carry
+            perm = [(j, (j + 1) % sp) for j in range(sp)]
+            kc = jax.lax.ppermute(kc, AXIS_SP, perm)
+            vc = jax.lax.ppermute(vc, AXIS_SP, perm)
+            o2, m2, l2 = _partial_attention(ql, kc, vc, scale=scale)
+            # merge two normalized partials: [B, S, H, D] with m,l [B, H, S]
+            m_new = jnp.maximum(m_acc, m2)
+            w1 = l_acc * jnp.exp(m_acc - m_new)
+            w2 = l2 * jnp.exp(m2 - m_new)
+            tot = w1 + w2
+            wt1 = (w1 / tot).transpose(0, 2, 1)[..., None]
+            wt2 = (w2 / tot).transpose(0, 2, 1)[..., None]
+            o_new = (o_acc.astype(jnp.float32) * wt1
+                     + o2.astype(jnp.float32) * wt2).astype(o_acc.dtype)
+            return o_new, m_new, w1 + w2, kc, vc
+
+        if sp > 1:
+            o, m, l, _, _ = jax.lax.fori_loop(0, sp - 1, body, (o, m, l, kl, vl))
+        return o
+
+    return jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec)(q, k, v)

@@ -63,3 +63,32 @@ def test_ulysses_inside_jit():
 
     ref = attention(q, q, q, impl="xla")
     np.testing.assert_allclose(np.asarray(f(q)), np.asarray(ref), atol=2e-5)
+
+
+def test_ring_attention_matches_single_device():
+    from magcache_tpu.parallel.collectives import ring_attention
+    mesh = build_mesh(dp=1, sp=4, tp=2)
+    rng = np.random.default_rng(5)
+    b, s, h, d = 1, 32, 4, 16
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    ref = attention(q, k, v, impl="xla")
+    out = ring_attention(q, k, v, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_flash_aux_consistent():
+    """(m, l) from the aux kernel reproduce the plain output and true softmax
+    stats (interpret mode on CPU)."""
+    from magcache_tpu.ops.attention import (
+        _xla_attention_bhsd_aux,
+        flash_attention_bhsd_aux,
+    )
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.normal(size=(1, 2, 128, 32)), jnp.float32)
+    o_ref, m_ref, l_ref = _xla_attention_bhsd_aux(q, q, q, scale=32 ** -0.5)
+    o, m, l = flash_attention_bhsd_aux(q, q, q, interpret=True)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(l_ref), rtol=1e-5)
