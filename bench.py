@@ -134,6 +134,18 @@ def main():
     log(f"full {t_full:.1f}s  magcache {t_cached:.1f}s  speedup {speedup:.2f}x  "
         f"(t_compute {t_compute:.2f}s/step, t_skip {t_skip:.2f}s/step)")
 
+    # other published Wan1.3B configs, reconstructed from the same step costs
+    extra = {}
+    for name, E, K in [("E012K4R02", 0.12, 4), ("E024K6R02", 0.24, 6)]:
+        cfgx = make_config("wan2.1-t2v-1.3B", steps, thresh=E, K=K,
+                           retention_ratio=0.2)
+        mx = compute_skip_schedule(cfgx).reshape(steps, 2)
+        ns = int(mx.all(axis=1).sum())
+        tc = (steps - ns) * t_compute + ns * t_skip
+        extra[name] = {"speedup": round(t_full / tc, 3),
+                       "sec_per_video": round(tc, 2), "steps_elided": ns}
+        log(f"  config {name}: {t_full/tc:.2f}x ({tc:.1f}s, {ns} steps elided)")
+
     print(json.dumps({
         "metric": "Wan2.1-T2V-1.3B 480p MagCache E012K2R02 speedup (50-step UniPC, 1 chip)",
         "value": round(speedup, 3),
@@ -148,6 +160,7 @@ def main():
             "forwards_elided": int(mask.sum()),
             "total_forwards": steps * 2,
             "method": "whole-run" if full_runs else "per-step-reconstruction",
+            "other_configs": extra,
             "quick": quick,
         },
     }))

@@ -124,11 +124,15 @@ def flash_attention_bhsd(
     *,
     scale: Optional[float] = None,
     kv_len: Optional[int] = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over ``[B, H, S, D]`` tensors (full attention).
+
+    Default 1024x1024 blocks: measured 34% faster than 512x512 at Wan-480p
+    scale (KV re-fetch traffic halves per doubling of block_q; see bench
+    notes). Callers on small shapes are clamped to the padded sequence.
 
     Sequence lengths are padded to block multiples internally; padded keys are
     masked, padded query rows are sliced off.
@@ -316,7 +320,11 @@ def attention(
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     if impl == "pallas":
-        out = flash_attention_bhsd(qt, kt, vt, scale=scale, kv_len=kv_len)
+        import os
+        bq = int(os.environ.get("MAGCACHE_FLASH_BQ", 1024))
+        bk = int(os.environ.get("MAGCACHE_FLASH_BK", 1024))
+        out = flash_attention_bhsd(qt, kt, vt, scale=scale, kv_len=kv_len,
+                                   block_q=bq, block_k=bk)
     elif impl == "pallas_interpret":
         out = flash_attention_bhsd(qt, kt, vt, scale=scale, kv_len=kv_len,
                                    interpret=True)

@@ -110,3 +110,21 @@ def test_vbench_aggregation_weights():
                        ("scene", "appearance style", "temporal style", "overall consistency")}})
     out2 = aggregate_vbench(perfect)
     np.testing.assert_allclose(out2["total score"], 1.0, rtol=1e-6)
+
+
+def test_run_experiment_harness(tmp_path):
+    from magcache_tpu.eval.experiments import run_experiment
+    from magcache_tpu.pipelines.wan import WanPipeline, WanPipelineConfig
+
+    def make(variant):
+        return WanPipeline(WanPipelineConfig(
+            tiny=True, size=(64, 32), frame_num=9, sample_steps=4,
+            sample_solver="euler", dtype="float32",
+            use_magcache=(variant == "magcache")))
+
+    res = run_experiment(make, ["a cat", "a dog"],
+                         variants=("base", "magcache"),
+                         out_dir=str(tmp_path), metrics=("psnr",))
+    assert "magcache" in res and res["magcache"].metrics_vs_base["psnr"] > 5
+    assert (tmp_path / "summary.json").exists()
+    assert (tmp_path / "base_0.npy").exists()
