@@ -170,29 +170,73 @@ def make_stdit3_core(
         h = h.reshape(h.shape[0], T, S, d) + pos2d[None, None]
         h = h.reshape(h.shape[0], T * S, d)
 
-        te = linear(params["t_embed"]["out"], jax.nn.silu(
-            linear(params["t_embed"]["in"], timestep_embedding(t, cfg.freq_dim))))
+        def t_embed(tv):
+            return linear(params["t_embed"]["out"], jax.nn.silu(
+                linear(params["t_embed"]["in"],
+                       timestep_embedding(tv, cfg.freq_dim))))
+
         fps = cond.get("fps", jnp.full((x.shape[0],), 24.0, jnp.float32))
-        te = te + linear(params["fps_embed"]["out"], jax.nn.silu(
+        fps_e = linear(params["fps_embed"]["out"], jax.nn.silu(
             linear(params["fps_embed"]["in"], timestep_embedding(fps, cfg.freq_dim))))
+        te = t_embed(t) + fps_e
         t6 = linear(params["t_block"], jax.nn.silu(te)).reshape(-1, 6, d)
 
         y = jax.nn.gelu(linear(params["y_embed"]["in"],
                                cond["y"].astype(jnp.float32)), approximate=True)
         y = linear(params["y_embed"]["out"], y).astype(cfg.jdtype)
-        return h, {"t6": t6, "te": te, "y": y}
+        ctx = {"t6": t6, "te": te, "y": y}
+
+        # masked-frame conditioning: frames with x_mask ride the t=0
+        # modulation instead (t_mask_select, open_sora_transformer_3d.py:
+        # 144-152; t0 path :66-74)
+        if "x_mask" in cond:
+            te0 = t_embed(jnp.zeros_like(t)) + fps_e
+            ctx["t6_zero"] = linear(params["t_block"],
+                                    jax.nn.silu(te0)).reshape(-1, 6, d)
+            ctx["te_zero"] = te0
+            ctx["x_mask"] = cond["x_mask"]  # bool[rows, T]
+        return h, ctx
+
+    def _tmask_select(x_mask, a, b):
+        """Per-frame select over [rows, T*S, d] (t_mask_select,
+        open_sora_transformer_3d.py:144-152): True -> a (t path), False -> b
+        (t=0 path)."""
+        rows = a.shape[0]
+        am = a.reshape(rows, T, S, -1)
+        bm = b.reshape(rows, T, S, -1)
+        out = jnp.where(x_mask[:, :, None, None], am, bm)
+        return out.reshape(a.shape)
 
     def _block(p, h, ctx, temporal: bool, cached=None, reuse_flags=None):
         """One STDiT3 block. cached/reuse_flags: PAB state slices or None.
         Returns (h, new_cached)."""
         rows, N, _ = h.shape
         t6 = ctx["t6"]
-        mod = (p["scale_shift"][None] if False else p["scale_shift"])  # [6, d] slice
+        mod = p["scale_shift"]  # [6, d] slice
         e = (mod[None] + t6).astype(jnp.float32)  # [rows, 6, d]
         sh_a, sc_a, g_a, sh_m, sc_m, g_m = [e[:, i][:, None] for i in range(6)]
+        x_mask = ctx.get("x_mask")
+        if x_mask is not None:
+            e0 = (mod[None] + ctx["t6_zero"]).astype(jnp.float32)
+            z_sh_a, z_sc_a, z_g_a, z_sh_m, z_sc_m, z_g_m = [
+                e0[:, i][:, None] for i in range(6)]
+
+        def _modulate(h, sh, sc, z_sh, z_sc):
+            n = layer_norm(h, eps=cfg.eps)
+            m = n * (1 + sc) + sh
+            if x_mask is not None:
+                m = _tmask_select(x_mask, m, n * (1 + z_sc) + z_sh)
+            return m
+
+        def _gated(res, g, z_g):
+            if x_mask is None:
+                return g * res
+            return _tmask_select(x_mask, g * res, z_g * res)
 
         def compute_attn(h):
-            xn = (layer_norm(h, eps=cfg.eps) * (1 + sc_a) + sh_a).astype(h.dtype)
+            xn = _modulate(h, sh_a, sc_a,
+                           z_sh_a if x_mask is not None else None,
+                           z_sc_a if x_mask is not None else None).astype(h.dtype)
             if temporal:
                 xr = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3).reshape(rows * S, T, d)
                 a = _attn(p, xr, cfg.heads, rope=t_rope, eps=cfg.eps)
@@ -213,7 +257,9 @@ def make_stdit3_core(
             return linear(p["cross_o"], o)
 
         def compute_mlp(h):
-            xm = (layer_norm(h, eps=cfg.eps) * (1 + sc_m) + sh_m).astype(h.dtype)
+            xm = _modulate(h, sh_m, sc_m,
+                           z_sh_m if x_mask is not None else None,
+                           z_sc_m if x_mask is not None else None).astype(h.dtype)
             return linear(p["mlp2"], jax.nn.gelu(linear(p["mlp1"], xm),
                                                  approximate=True))
 
@@ -225,7 +271,8 @@ def make_stdit3_core(
             new_cached["attn"] = a
         else:
             a = compute_attn(h)
-        h = h + (g_a * a.astype(jnp.float32)).astype(h.dtype)
+        h = h + _gated(a.astype(jnp.float32), g_a,
+                       z_g_a if x_mask is not None else None).astype(h.dtype)
 
         if cached is not None:
             c = jax.lax.cond(reuse_flags["cross"], lambda _: cached["cross"],
@@ -241,7 +288,8 @@ def make_stdit3_core(
             new_cached["mlp"] = mo
         else:
             mo = compute_mlp(h)
-        h = h + (g_m * mo.astype(jnp.float32)).astype(h.dtype)
+        h = h + _gated(mo.astype(jnp.float32), g_m,
+                       z_g_m if x_mask is not None else None).astype(h.dtype)
         return h, new_cached
 
     def trunk_plain(params, h, ctx):
@@ -294,7 +342,12 @@ def make_stdit3_core(
         te = ctx["te"]
         mod = params["final"]["scale_shift"][None] + te[:, None]
         shift, scale = mod[:, 0][:, None], mod[:, 1][:, None]
-        out = layer_norm(h, eps=cfg.eps) * (1 + scale) + shift
+        n = layer_norm(h, eps=cfg.eps)
+        out = n * (1 + scale) + shift
+        if "x_mask" in ctx:
+            mod0 = params["final"]["scale_shift"][None] + ctx["te_zero"][:, None]
+            out0 = n * (1 + mod0[:, 1][:, None]) + mod0[:, 0][:, None]
+            out = _tmask_select(ctx["x_mask"], out, out0)
         out = linear(params["final"]["out"], out.astype(h.dtype))
         from magcache_tpu.models.wan import unpatchify
         shim = _PatchShim(cfg.patch, cfg.in_channels * 2)

@@ -111,3 +111,31 @@ def test_pab_actually_skips_compute():
     h_fresh, _ = core.trunk(params, hidden, ctx, state, jnp.asarray(1))
     h_poison, _ = core.trunk(params, hidden, ctx, poisoned, jnp.asarray(1))
     assert np.abs(np.asarray(h_fresh) - np.asarray(h_poison)).max() > 1e-3
+
+
+def test_x_mask_conditioning():
+    """Frames flagged by x_mask ride the t=0 modulation: with all frames
+    masked, the output equals running at t=0; with none masked, t path."""
+    params = init_stdit3_params(jax.random.PRNGKey(0), CFG)
+    core = make_stdit3_core(CFG, GRID, CAP)
+    x, cond = _x(1), _cond(1)
+    t = jnp.full((1,), 700.0, jnp.float32)
+    t0 = jnp.zeros((1,), jnp.float32)
+
+    def full(tv, extra=None):
+        c = dict(cond)
+        if extra is not None:
+            c["x_mask"] = extra
+        hidden, ctx = core.prepare(params, x, tv, c)
+        return core.head(params, core.trunk(params, hidden, ctx), ctx)
+
+    ref_t = np.asarray(full(t))
+    ref_0 = np.asarray(full(t0))
+    all_masked = np.asarray(full(t, jnp.zeros((1, GRID[0]), bool)))
+    none_masked = np.asarray(full(t, jnp.ones((1, GRID[0]), bool)))
+    np.testing.assert_allclose(none_masked, ref_t, atol=1e-5)
+    np.testing.assert_allclose(all_masked, ref_0, atol=1e-5)
+    # mixed mask differs from both
+    mixed = np.asarray(full(t, jnp.asarray([[True] + [False] * (GRID[0] - 1)])))
+    assert np.abs(mixed - ref_t).max() > 1e-4
+    assert np.abs(mixed - ref_0).max() > 1e-4
