@@ -393,3 +393,56 @@ def sample_unipc(
     # after the final step the "predictor" output for sigma=0 is x_fin; the
     # corrected final sample is x_fin itself (terminal sigma 0 => x = m).
     return x_fin
+
+
+def sample_dpm_cogvideo(
+    core: DiTCore,
+    params,
+    x_init: jnp.ndarray,
+    cond,
+    schedule,                       # CogVideoDPMSchedule
+    *,
+    cache_cfg: Optional[MagCacheConfig] = None,
+    guidance_scale: Optional[float] = None,
+    lanes: Optional[int] = None,
+    combine_fn: Optional[Callable] = None,
+) -> jnp.ndarray:
+    """DPM-Solver++ 2M sampler on the CogVideoX alpha schedule, with MagCache.
+
+    Host-precomputed per-step coefficients (`CogVideoDPMSchedule.step_arrays`);
+    the scanned body combines (x, m_i, m_{i-1}) linearly.
+    """
+    n = schedule.num_steps
+    batch = x_init.shape[0]
+    skip_mask, n_lanes, lane_of_row = _lane_setup(
+        cache_cfg, n, guidance_scale, lanes, combine_fn, batch)
+    c_x, c_m0, c_m1, sa, sb = schedule.step_arrays()
+
+    x_l0 = _stack_lanes(x_init, n_lanes)
+    ts0 = jnp.asarray(schedule.timesteps[:1].astype(np.float32))
+    cache0 = _init_cache(core, params, x_l0, ts0, cond)
+
+    step_in = (
+        jnp.asarray(schedule.timesteps.astype(np.float32)),
+        jnp.asarray(skip_mask),
+        jnp.asarray(c_x), jnp.asarray(c_m0), jnp.asarray(c_m1),
+        jnp.asarray(sa), jnp.asarray(sb),
+    )
+
+    def body(carry, inp):
+        x, m_prev, cache = carry
+        t, skip_bits, cx, cm0, cm1, sat, sbt = inp
+        x2 = _stack_lanes(x, n_lanes)
+        tvec = jnp.full((x2.shape[0],), t, jnp.float32)
+        hidden, ctx = core.prepare(params, x2, tvec, cond)
+        h_out, cache, _ = _cached_trunk(core, params, hidden, ctx, cache,
+                                        skip_bits, lane_of_row)
+        out = core.head(params, h_out, ctx)
+        v = _cfg_combine(out, guidance_scale, batch, combine_fn, n_lanes)
+        m = sat * x - sbt * v.astype(x.dtype)
+        x = cx * x + cm0 * m + cm1 * m_prev
+        return (x, m, cache), None
+
+    (x_fin, _, _), _ = jax.lax.scan(
+        body, (x_init, jnp.zeros_like(x_init), cache0), step_in)
+    return x_fin

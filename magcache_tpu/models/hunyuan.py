@@ -173,19 +173,36 @@ def _refine_text(cfg: HunyuanConfig, params, txt_raw, t):
 
 
 def make_hunyuan_core(cfg: HunyuanConfig, txt_len: int,
-                      grid: Tuple[int, int, int]) -> DiTCore:
+                      grid: Tuple[int, int, int],
+                      history_frames: int = 0) -> DiTCore:
     """(prepare, trunk, head) for a static latent patch grid (T, H, W).
 
     cond = {"txt": f[B, txt_len, text_dim] (LLM states),
-            "vec": f[B, vec_dim] (CLIP pooled), "guidance": f[B]}
+            "vec": f[B, vec_dim] (CLIP pooled), "guidance": f[B],
+            "history": f[B, history_frames*pt, H*ph, W*pw, C] (FramePack
+            clean-latent conditioning, optional)}
     x    = latent video f[B, T*pt, H*ph, W*pw, C] channel-last.
+
+    ``history_frames``: FramePack-style conditioning — prior clean latents
+    ride the image token sequence at the preceding temporal RoPE positions
+    (the reference's clean_latents inputs, ``magcache_demo_gradio.py`` worker);
+    the head returns only the current window. The cached MagCache residual
+    covers [history; current] tokens, matching the reference's residual on
+    the full image stream.
     """
     fcfg = cfg.to_flux()
-    rope = hunyuan_rope_tables(cfg, txt_len, grid)
-    mmdit = F.make_flux_core(fcfg, txt_len, grid[1], grid[2], rope_tables=rope)
+    gt, gh, gw = grid
+    full_grid = (gt + history_frames, gh, gw)
+    rope = hunyuan_rope_tables(cfg, txt_len, full_grid)
+    mmdit = F.make_flux_core(fcfg, txt_len, gh, gw, rope_tables=rope)
+    cur_tokens = gt * gh * gw
 
     def prepare(params, x, t, cond):
         tokens = patchify_video(cfg, x)
+        if history_frames:
+            hist = cond["history"]
+            tokens = jnp.concatenate(
+                [patchify_video(cfg, hist), tokens], axis=1)
         refined = _refine_text(cfg, params, cond["txt"], t)
         flux_cond = {"txt": refined, "vec": cond["vec"]}
         if cfg.guidance_embed and "guidance" in cond:
@@ -193,7 +210,8 @@ def make_hunyuan_core(cfg: HunyuanConfig, txt_len: int,
         return mmdit.prepare(params, tokens, t, flux_cond)
 
     def head(params, img, ctx):
-        out = mmdit.head(params, img, ctx)  # [B, S, patch_in]
+        out = mmdit.head(params, img, ctx)  # [B, S_total, patch_in]
+        out = out[:, -cur_tokens:]          # current window only
         return unpatchify_video(cfg, out, grid)
 
     return DiTCore(prepare, mmdit.trunk, head)

@@ -1,0 +1,118 @@
+"""CogVideoX pipeline: zero-SNR DDIM (v-pred), joint CFG batch, PAB-compatible.
+
+Mirrors ``videosys/pipelines/cogvideox/pipeline_cogvideox.py``: T5 text
+conditioning, joint batch-of-2 CFG, CogVideoXDDIM stepping. The linear DDIM
+update rides `sample_euler`'s (c_x, c_v) coefficients.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magcache_tpu.core.magcache import MagCacheConfig
+from magcache_tpu.core.sampler import sample_euler
+from magcache_tpu.models.cogvideox import (
+    CogVideoXConfig,
+    init_cogvideox_params,
+    make_cogvideox_core,
+)
+from magcache_tpu.models.text import MockTextEncoder, TextEncoder
+from magcache_tpu.pipelines.base import BasePipeline, PipelineOutput
+from magcache_tpu.schedulers.ddim_cogvideo import CogVideoDDIMSchedule
+from magcache_tpu.utils.misc import set_seed
+
+
+@dataclasses.dataclass
+class CogVideoXPipelineConfig:
+    num_frames: int = 49
+    height: int = 480
+    width: int = 720
+    num_inference_steps: int = 50
+    guidance_scale: float = 6.0
+    txt_len: int = 226
+    use_magcache: bool = False
+    magcache_ratios: Optional[tuple] = None   # calibrate per deployment
+    magcache_thresh: float = 0.12
+    magcache_K: int = 3
+    retention_ratio: float = 0.2
+    dtype: str = "float32"
+    tiny: bool = False
+
+    def model_config(self) -> CogVideoXConfig:
+        if self.tiny:
+            return CogVideoXConfig.tiny(dtype=self.dtype)
+        return CogVideoXConfig(dtype=self.dtype)
+
+
+class CogVideoXPipeline(BasePipeline):
+    def __init__(self, config: CogVideoXPipelineConfig,
+                 text_encoder: Optional[TextEncoder] = None, params=None,
+                 vae=None, key: Optional[jax.Array] = None):
+        self.config = config
+        self.model_cfg = config.model_config()
+        c = config
+        lat_t = (c.num_frames - 1) // 4 + 1
+        p = self.model_cfg.patch
+        self.latent_shape = (lat_t, c.height // 8, c.width // 8,
+                             self.model_cfg.in_channels)
+        self.grid = (lat_t, c.height // 8 // p, c.width // 8 // p)
+        self.vae = vae
+        self.core = make_cogvideox_core(self.model_cfg, c.txt_len, self.grid)
+        self.text_encoder = text_encoder or MockTextEncoder(
+            c.txt_len, self.model_cfg.text_dim, scale=0.5)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        self.params = params if params is not None else init_cogvideox_params(
+            key, self.model_cfg)
+        self._fn = None
+
+    def _sample_fn(self):
+        if self._fn is not None:
+            return self._fn
+        c = self.config
+        sch = CogVideoDDIMSchedule.create(c.num_inference_steps)
+        c_x, c_v = sch.step_arrays()
+        cache_cfg = None
+        if c.use_magcache:
+            ratios = c.magcache_ratios
+            if ratios is None:
+                # no published CogVideoX calibration in the reference — run
+                # calibration mode per deployment; a flat near-1 prior here
+                ratios = tuple(np.ones(c.num_inference_steps))
+            cache_cfg = MagCacheConfig(
+                num_steps=c.num_inference_steps, mag_ratios=tuple(ratios),
+                thresh=c.magcache_thresh, max_consecutive_skips=c.magcache_K,
+                retention_ratio=c.retention_ratio, lanes=1)
+        core, g = self.core, c.guidance_scale
+
+        def combine(chunks):
+            cond_o, uncond_o = chunks
+            return uncond_o + g * (cond_o - uncond_o)
+
+        def fn(params, z, cond):
+            return sample_euler(core, params, z, cond,
+                                timesteps=sch.timesteps.astype(np.float32),
+                                dts=c_v, x_coeffs=c_x, cache_cfg=cache_cfg,
+                                lanes=2, combine_fn=combine)
+
+        self._fn = jax.jit(fn)
+        return self._fn
+
+    def generate(self, prompt: str, negative_prompt: str = "", seed: int = 42
+                 ) -> PipelineOutput:
+        t0 = time.time()
+        cond = {"txt": self.text_encoder([prompt, negative_prompt])}
+        z = jax.random.normal(set_seed(seed), (1,) + self.latent_shape,
+                              jnp.float32)
+        latents = self._sample_fn()(self.params, z, cond)
+        latents.block_until_ready()
+        video = None
+        if self.vae is not None:
+            video = np.asarray(self.vae.decode(latents))
+        return PipelineOutput(latents=latents, video=video,
+                              timings={"total_s": time.time() - t0})

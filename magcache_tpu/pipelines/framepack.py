@@ -54,6 +54,7 @@ class FramePackPipelineConfig:
     height: int = 512
     width: int = 512
     latent_window_size: int = 9           # latents per section
+    history_frames: int = 2               # clean-latent conditioning window
     total_sections: int = 5
     steps: int = 25
     guidance: float = 10.0
@@ -82,7 +83,8 @@ class FramePackPipeline(BasePipeline):
         self.lat_shape = (c.latent_window_size,
                           (c.height // 16) * 2, (c.width // 16) * 2,
                           self.model_cfg.in_channels)
-        self.core = make_hunyuan_core(self.model_cfg, c.txt_len, self.grid)
+        self.core = make_hunyuan_core(self.model_cfg, c.txt_len, self.grid,
+                                      history_frames=c.history_frames)
         self.text_encoder = text_encoder or MockTextEncoder(
             c.txt_len, self.model_cfg.text_dim, scale=0.5)
         self.pooled_encoder = MockPooledEncoder(self.model_cfg.vec_dim)
@@ -114,13 +116,17 @@ class FramePackPipeline(BasePipeline):
         self._section_fn = jax.jit(fn)
         return self._section_fn
 
-    def generate(self, prompt: str, seed: int = 31337,
-                 on_section=None) -> PipelineOutput:
+    def generate(self, prompt: str, seed: int = 31337, on_section=None,
+                 start_latent=None) -> PipelineOutput:
         """Run the section loop; ``on_section(i, latents)`` streams each
-        finished section (the reference's incremental preview callback)."""
+        finished section (the reference's incremental preview callback).
+
+        Each section conditions on the last ``history_frames`` clean latents
+        (FramePack's clean-latent inputs); ``start_latent`` seeds the first
+        section's history (i2v)."""
         t0 = time.time()
         c = self.config
-        cond = {
+        base_cond = {
             "txt": self.text_encoder([prompt]),
             "vec": self.pooled_encoder([prompt]),
             "guidance": jnp.full((1,), c.guidance, jnp.float32),
@@ -128,17 +134,22 @@ class FramePackPipeline(BasePipeline):
         fn = self._sample_section()
         history: List[np.ndarray] = []
         key = set_seed(seed)
-        prev_tail = None
+        hf = c.history_frames
+        hist_shape = (1, hf) + self.lat_shape[1:]
+        if start_latent is not None:
+            hbuf = jnp.broadcast_to(start_latent[:, None], hist_shape)
+        else:
+            hbuf = jnp.zeros(hist_shape, jnp.float32)
         for s in range(c.total_sections):
             key, sub = jax.random.split(key)
             x0 = jax.random.normal(sub, (1,) + self.lat_shape, jnp.float32)
-            if prev_tail is not None:
-                # autoregressive chaining: blend the last latent frame of the
-                # previous section into the first frame's noise
-                x0 = x0.at[:, 0].set(0.5 * x0[:, 0] + 0.5 * prev_tail)
+            cond = dict(base_cond)
+            if hf:
+                cond["history"] = hbuf
             lat = fn(self.params, x0, cond)
             lat.block_until_ready()
-            prev_tail = lat[:, -1]
+            if hf:
+                hbuf = lat[:, -hf:]
             sec = np.asarray(lat)
             history.append(sec)
             if on_section is not None:

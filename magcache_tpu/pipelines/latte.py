@@ -1,0 +1,103 @@
+"""Latte T2V pipeline (RFLOW-style rectified flow sampling, joint CFG batch).
+
+Mirrors ``videosys/pipelines/latte/pipeline_latte.py``'s role in the stack:
+T5 captions, Latte transformer, CFG batch-of-2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magcache_tpu.core.magcache import MagCacheConfig
+from magcache_tpu.core.sampler import sample_euler
+from magcache_tpu.models.latte import LatteConfig, init_latte_params, make_latte_core
+from magcache_tpu.models.text import MockTextEncoder, TextEncoder
+from magcache_tpu.pipelines.base import BasePipeline, PipelineOutput
+from magcache_tpu.schedulers.rflow import RFlowSchedule
+from magcache_tpu.utils.misc import set_seed
+
+
+@dataclasses.dataclass
+class LattePipelineConfig:
+    num_frames: int = 16
+    height: int = 512
+    width: int = 512
+    num_sampling_steps: int = 50
+    guidance_scale: float = 7.5
+    caption_len: int = 120
+    use_magcache: bool = False
+    magcache_ratios: Optional[tuple] = None
+    magcache_thresh: float = 0.12
+    magcache_K: int = 3
+    retention_ratio: float = 0.2
+    dtype: str = "float32"
+    tiny: bool = False
+
+    def model_config(self) -> LatteConfig:
+        if self.tiny:
+            return LatteConfig.tiny(dtype=self.dtype)
+        return LatteConfig(dtype=self.dtype)
+
+
+class LattePipeline(BasePipeline):
+    def __init__(self, config: LattePipelineConfig,
+                 text_encoder: Optional[TextEncoder] = None, params=None,
+                 vae=None, key: Optional[jax.Array] = None):
+        self.config = config
+        self.model_cfg = config.model_config()
+        c = config
+        p = self.model_cfg.patch
+        self.latent_shape = (c.num_frames, c.height // 8, c.width // 8,
+                             self.model_cfg.in_channels)
+        self.grid = (c.num_frames, c.height // 8 // p, c.width // 8 // p)
+        self.vae = vae
+        self.core = make_latte_core(self.model_cfg, self.grid, c.caption_len)
+        self.text_encoder = text_encoder or MockTextEncoder(
+            c.caption_len, self.model_cfg.caption_dim, scale=0.5)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        self.params = params if params is not None else init_latte_params(
+            key, self.model_cfg)
+        self._fn = None
+
+    def _sample_fn(self):
+        if self._fn is not None:
+            return self._fn
+        c = self.config
+        sch = RFlowSchedule.create(c.num_sampling_steps)
+        dts = np.array([sch.dt(i) for i in range(sch.num_steps)], np.float32)
+        cache_cfg = None
+        if c.use_magcache:
+            ratios = c.magcache_ratios or tuple(np.ones(c.num_sampling_steps))
+            cache_cfg = MagCacheConfig(
+                num_steps=c.num_sampling_steps, mag_ratios=tuple(ratios),
+                thresh=c.magcache_thresh, max_consecutive_skips=c.magcache_K,
+                retention_ratio=c.retention_ratio, lanes=1)
+        core, g = self.core, c.guidance_scale
+
+        def fn(params, z, cond):
+            return sample_euler(core, params, z, cond, timesteps=sch.timesteps,
+                                dts=dts, cache_cfg=cache_cfg,
+                                guidance_scale=g)
+
+        self._fn = jax.jit(fn)
+        return self._fn
+
+    def generate(self, prompt: str, negative_prompt: str = "", seed: int = 0
+                 ) -> PipelineOutput:
+        t0 = time.time()
+        cond = {"y": self.text_encoder([prompt, negative_prompt])}
+        z = jax.random.normal(set_seed(seed), (1,) + self.latent_shape,
+                              jnp.float32)
+        latents = self._sample_fn()(self.params, z, cond)
+        latents.block_until_ready()
+        video = None
+        if self.vae is not None:
+            video = np.asarray(self.vae.decode(latents))
+        return PipelineOutput(latents=latents, video=video,
+                              timings={"total_s": time.time() - t0})

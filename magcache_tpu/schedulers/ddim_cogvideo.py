@@ -15,7 +15,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["CogVideoDDIMSchedule"]
+__all__ = ["CogVideoDDIMSchedule", "CogVideoDPMSchedule"]
 
 
 def _rescale_zero_terminal_snr(alphas_cumprod: np.ndarray) -> np.ndarray:
@@ -83,3 +83,69 @@ class CogVideoDDIMSchedule:
             c_x[i] = np.sqrt(a_prev) * sa + np.sqrt(1 - a_prev) * sb
             c_v[i] = np.sqrt(1 - a_prev) * sa - np.sqrt(a_prev) * sb
         return c_x.astype(np.float32), c_v.astype(np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class CogVideoDPMSchedule:
+    """DPM-Solver++ 2M over the CogVideoX alpha schedule (v-prediction,
+    zero-terminal-SNR) — ``scheduling_dpm_cogvideox.py`` equivalent.
+
+    Data-prediction 2M update at step i -> i+1 (abar = sqrt(acp),
+    sbar = sqrt(1-acp), lam = log(abar/sbar), h = lam_next - lam,
+    r = h_prev / h, phi = e^{-h} - 1):
+
+        D  = (1 + 1/(2r)) m_i - 1/(2r) m_{i-1}
+        x' = (sbar_next / sbar) x - abar_next phi D
+
+    All coefficients are static; the device step is a linear combination of
+    (x, m_i, m_{i-1}), with m = abar x - sbar v.
+    """
+
+    timesteps: np.ndarray
+    alphas_cumprod: np.ndarray
+    num_train_timesteps: int = 1000
+
+    @property
+    def num_steps(self) -> int:
+        return len(self.timesteps)
+
+    @staticmethod
+    def create(num_steps: int, **kw) -> "CogVideoDPMSchedule":
+        base = CogVideoDDIMSchedule.create(num_steps, **kw)
+        return CogVideoDPMSchedule(base.timesteps, base.alphas_cumprod,
+                                   base.num_train_timesteps)
+
+    def _abar_sbar_lam(self, i: int):
+        t = int(self.timesteps[i])
+        a = float(np.clip(self.alphas_cumprod[t], 1e-12, 1 - 1e-12))
+        ab, sb = np.sqrt(a), np.sqrt(1 - a)
+        return ab, sb, np.log(ab / sb)
+
+    def step_arrays(self):
+        """(c_x, c_m0, c_m1, sa, sb): x' = c_x x + c_m0 m_i + c_m1 m_{i-1},
+        m = sa x - sb v. The terminal step targets acp=1 (clean sample)."""
+        n = self.num_steps
+        c_x = np.zeros(n); c_m0 = np.zeros(n); c_m1 = np.zeros(n)
+        sa = np.zeros(n); sb = np.zeros(n)
+        lams = [self._abar_sbar_lam(i) for i in range(n)]
+        for i in range(n):
+            ab_t, sb_t, lam_t = lams[i]
+            sa[i], sb[i] = ab_t, sb_t
+            if i + 1 < n:
+                ab_n, sb_n, lam_n = lams[i + 1]
+            else:
+                ab_n, sb_n, lam_n = 1.0, 1e-6, np.log(1.0 / 1e-6)
+            h = lam_n - lam_t
+            phi = np.expm1(-h)
+            if i == 0:
+                w0, w1 = 1.0, 0.0          # first step: order 1
+            else:
+                h_prev = lam_t - lams[i - 1][2]
+                r = h_prev / h
+                w0, w1 = 1.0 + 1.0 / (2 * r), -1.0 / (2 * r)
+            c_x[i] = sb_n / sb_t
+            c_m0[i] = -ab_n * phi * w0
+            c_m1[i] = -ab_n * phi * w1
+        return (c_x.astype(np.float32), c_m0.astype(np.float32),
+                c_m1.astype(np.float32), sa.astype(np.float32),
+                sb.astype(np.float32))

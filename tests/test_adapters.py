@@ -83,3 +83,18 @@ def test_framepack_magcache_schedule_has_guard():
     cfg = make_config("framepack", 25)
     assert cfg.max_ratio_deviation == 0.06
     assert compute_skip_schedule(cfg).sum() > 0
+
+
+def test_framepack_history_conditions_output():
+    """Changing the clean-latent history must change the section output
+    (proves the conditioning tokens reach attention)."""
+    import jax.numpy as jnp
+    cfg = FramePackPipelineConfig(tiny=True, height=32, width=32,
+                                  latent_window_size=2, history_frames=2,
+                                  total_sections=1, steps=2, txt_len=8,
+                                  dtype="float32")
+    pipe = FramePackPipeline(cfg)
+    a = pipe.generate("a river", seed=0)
+    start = jnp.ones((1,) + pipe.lat_shape[1:], jnp.float32) * 3.0
+    b = pipe.generate("a river", seed=0, start_latent=start)
+    assert np.abs(np.asarray(a.latents) - np.asarray(b.latents)).max() > 1e-4

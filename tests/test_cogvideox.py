@@ -92,3 +92,46 @@ def test_cogvideo_sampling_with_cache(model):
                        dts=c_v, x_coeffs=c_x, cache_cfg=cache_cfg)
     assert out.shape == (1, 2, 8, 8, CFG.in_channels)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dpm_exact_on_consistent_v():
+    """With the true v of a fixed (x0, eps), DPM++ 2M must land exactly on
+    the trajectory (D == x0 when data prediction is constant)."""
+    from magcache_tpu.schedulers.ddim_cogvideo import CogVideoDPMSchedule
+    sch = CogVideoDPMSchedule.create(10)
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(size=(4,))
+    eps = rng.normal(size=(4,))
+    acp = sch.alphas_cumprod
+    c_x, c_m0, c_m1, sa, sb = sch.step_arrays()
+    t0 = int(sch.timesteps[0])
+    x = np.sqrt(acp[t0]) * x0 + np.sqrt(1 - acp[t0]) * eps
+    m_prev = np.zeros(4)
+    for i in range(sch.num_steps):
+        t = int(sch.timesteps[i])
+        a = acp[t]
+        v = np.sqrt(a) * eps - np.sqrt(1 - a) * x0
+        m = sa[i] * x - sb[i] * v
+        np.testing.assert_allclose(m, x0, atol=1e-6)  # sa/sb are f32
+        x = c_x[i] * x + c_m0[i] * m + c_m1[i] * m_prev
+        m_prev = m
+        if i + 1 < sch.num_steps:
+            tn = int(sch.timesteps[i + 1])
+            expected = np.sqrt(acp[tn]) * x0 + np.sqrt(1 - acp[tn]) * eps
+            np.testing.assert_allclose(x, expected, atol=1e-6)
+    np.testing.assert_allclose(x, x0, atol=1e-4)
+
+
+def test_dpm_sampling_runs(model):
+    from magcache_tpu.core.sampler import sample_dpm_cogvideo
+    from magcache_tpu.schedulers.ddim_cogvideo import CogVideoDPMSchedule
+    core, params = model
+    sch = CogVideoDPMSchedule.create(6)
+    rng = np.random.default_rng(3)
+    ratios = tuple(1.0 - np.abs(rng.normal(0, 0.01, 6)))
+    cache_cfg = MagCacheConfig(num_steps=6, mag_ratios=ratios, thresh=0.05,
+                               max_consecutive_skips=2, lanes=1)
+    out = sample_dpm_cogvideo(core, params, _x(), _cond(), sch,
+                              cache_cfg=cache_cfg)
+    assert out.shape == (1, 2, 8, 8, CFG.in_channels)
+    assert np.isfinite(np.asarray(out)).all()

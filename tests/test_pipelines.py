@@ -69,3 +69,29 @@ def test_engine_infers_pipeline_cls():
                              num_inference_steps=2, dtype="float32")
     eng = Engine(cfg)
     assert isinstance(eng.driver_pipeline, FluxPipeline)
+
+
+def test_cogvideox_pipeline():
+    from magcache_tpu.pipelines.cogvideox import (
+        CogVideoXPipeline,
+        CogVideoXPipelineConfig,
+    )
+    cfg = CogVideoXPipelineConfig(tiny=True, num_frames=5, height=32, width=32,
+                                  num_inference_steps=4, txt_len=6,
+                                  dtype="float32", use_magcache=True,
+                                  magcache_ratios=tuple([1.0, 0.99, 0.995, 0.99]))
+    pipe = CogVideoXPipeline(cfg)
+    out = pipe.generate("a train", seed=0)
+    assert out.latents.shape == (1, 2, 4, 4, 16)
+    assert np.isfinite(np.asarray(out.latents)).all()
+
+
+def test_latte_pipeline():
+    from magcache_tpu.pipelines.latte import LattePipeline, LattePipelineConfig
+    cfg = LattePipelineConfig(tiny=True, num_frames=2, height=32, width=32,
+                              num_sampling_steps=4, caption_len=6,
+                              dtype="float32")
+    pipe = LattePipeline(cfg)
+    out = pipe.generate("a garden", seed=0)
+    assert out.latents.shape == (1, 2, 4, 4, 4)
+    assert np.isfinite(np.asarray(out.latents)).all()
