@@ -73,13 +73,35 @@ def init_qwen_image_params(key: jax.Array, cfg: QwenImageConfig):
 
 
 def make_qwen_image_core(cfg: QwenImageConfig, txt_len: int,
-                         grid_h: int, grid_w: int) -> DiTCore:
-    """cond = {"txt": f[B, txt_len, text_dim]}; x = packed latents
-    f[B, grid_h*grid_w, in_channels]."""
-    mmdit = F.make_flux_core(cfg.to_flux(), txt_len, grid_h, grid_w)
+                         grid_h: int, grid_w: int,
+                         ref_images: int = 0) -> DiTCore:
+    """cond = {"txt": f[B, txt_len, text_dim], "ref": f[B, R*gh*gw, C]
+    (edit mode)}; x = packed latents f[B, grid_h*grid_w, in_channels].
+
+    ``ref_images``: Qwen-Image-Edit — reference-image tokens join the image
+    sequence (each with its own 2-D RoPE grid, like diffusers' per-image
+    img_shapes); the head returns only the primary image's tokens.
+    """
+    import numpy as np
+    fcfg = cfg.to_flux()
+    cur = grid_h * grid_w
+    rope = None
+    if ref_images:
+        base = F.flux_rope_tables(fcfg, txt_len, grid_h, grid_w)
+        img = F.flux_rope_tables(fcfg, 0, grid_h, grid_w)
+        cos = np.concatenate([base[0]] + [img[0]] * ref_images, axis=0)
+        sin = np.concatenate([base[1]] + [img[1]] * ref_images, axis=0)
+        rope = (cos, sin)
+    mmdit = F.make_flux_core(fcfg, txt_len, grid_h, grid_w, rope_tables=rope)
 
     def prepare(params, x, t, cond):
         txt = rms_norm(cond["txt"], params["txt_norm"], eps=1e-6)
+        if ref_images:
+            x = jnp.concatenate([x, cond["ref"]], axis=1)
         return mmdit.prepare(params, x, t, {"txt": txt})
 
-    return DiTCore(prepare, mmdit.trunk, mmdit.head)
+    def head(params, img, ctx):
+        out = mmdit.head(params, img, ctx)
+        return out[:, :cur] if ref_images else out
+
+    return DiTCore(prepare, mmdit.trunk, head)

@@ -69,6 +69,11 @@ class WanConfig:
     model_type: str = "t2v"          # "t2v" | "i2v"
     clip_dim: int = 1280             # i2v CLIP feature dim
     clip_tokens: int = 257
+    # VACE video editing (magcache_vace_forward, magcache_generate.py:439-560):
+    # a parallel stack of vace blocks consumes the conditioning-video context
+    # and emits per-layer hints added into the main trunk at `vace_layers`.
+    vace_layers: Tuple[int, ...] = ()
+    vace_in_channels: int = 96       # packed video+mask conditioning channels
     dtype: str = "float32"
     remat: bool = False
 
@@ -106,7 +111,7 @@ WAN_14B = WanConfig(dim=5120, ffn_dim=13824, heads=40, layers=40)
 
 def init_wan_params(key: jax.Array, cfg: WanConfig):
     d, dt, L = cfg.dim, cfg.jdtype, cfg.layers
-    ks = iter(jax.random.split(key, 24))
+    ks = iter(jax.random.split(key, 64))
     nxt = lambda: next(ks)
 
     def st(d_in, d_out):
@@ -149,6 +154,32 @@ def init_wan_params(key: jax.Array, cfg: WanConfig):
         params["blocks"]["cross_k_img"] = st(d, d)
         params["blocks"]["cross_v_img"] = st(d, d)
         params["blocks"]["cross_norm_k_img"] = jnp.ones((L, d), jnp.float32)
+    if cfg.vace_layers:
+        Lv = len(cfg.vace_layers)
+        pt, ph, pw = cfg.patch
+
+        def stv(d_in, d_out):
+            return linear_params(nxt(), d_in, d_out, depth=Lv, dtype=dt)
+
+        params["vace"] = {
+            "patch_embedding": linear_params(
+                nxt(), cfg.vace_in_channels * pt * ph * pw, d, dtype=dt),
+            "before_proj": linear_params(nxt(), d, d, dtype=dt),
+            "after_proj": stv(d, d),
+            "blocks": {
+                "modulation": jax.random.normal(nxt(), (Lv, 6, d), jnp.float32) / np.sqrt(d),
+                "q": stv(d, d), "k": stv(d, d), "v": stv(d, d), "o": stv(d, d),
+                "norm_q": jnp.ones((Lv, d), jnp.float32),
+                "norm_k": jnp.ones((Lv, d), jnp.float32),
+                "cross_q": stv(d, d), "cross_k": stv(d, d),
+                "cross_v": stv(d, d), "cross_o": stv(d, d),
+                "cross_norm_q": jnp.ones((Lv, d), jnp.float32),
+                "cross_norm_k": jnp.ones((Lv, d), jnp.float32),
+                "norm3_w": jnp.ones((Lv, d), jnp.float32),
+                "norm3_b": jnp.zeros((Lv, d), jnp.float32),
+                "ffn1": stv(d, cfg.ffn_dim), "ffn2": stv(cfg.ffn_dim, d),
+            },
+        }
     return params
 
 
@@ -277,10 +308,50 @@ def make_wan_core(cfg: WanConfig, grid: Tuple[int, int, int]) -> DiTCore:
             ctx = jnp.concatenate([img, ctx], axis=1)
         hidden = maybe_shard(hidden, "tokens")
         ctx = maybe_shard(ctx, "context")
-        return hidden, {"e": e, "e0": e0, "context": ctx}
+        out_ctx = {"e": e, "e0": e0, "context": ctx}
+        if cfg.vace_layers:
+            out_ctx["vace_context"] = cond["vace_context"].astype(dt_)
+            out_ctx["vace_scale"] = cond.get("vace_scale", 1.0)
+        return hidden, out_ctx
 
     def trunk(params, hidden, ctx):
         block = functools.partial(_wan_block, cfg, rope, ctx_split)
+
+        if cfg.vace_layers:
+            # VACE: run the hint stack over the conditioning-context tokens,
+            # then inject each vace block's after_proj output into the main
+            # trunk at its mapped layer (magcache_generate.py:543-548:
+            # hints = forward_vace(...); blocks consume hints w/ context_scale)
+            vp = params["vace"]
+            c0 = linear(vp["patch_embedding"],
+                        patchify(cfg, ctx["vace_context"]))
+            c0 = linear(vp["before_proj"], c0) + hidden
+
+            def vace_body(carry, ps):
+                bp, ap = ps
+                c, e0, context = block(bp, (carry[0], carry[1], carry[2]))
+                hint = linear(ap, c)
+                return (c, e0, context), hint
+
+            (_, _, _), hints = jax.lax.scan(
+                vace_body, (c0, ctx["e0"], ctx["context"]),
+                (vp["blocks"], vp["after_proj"]))
+            scale = ctx.get("vace_scale", 1.0)
+            # scatter hints to their layers (zeros elsewhere)
+            L = cfg.layers
+            hint_full = jnp.zeros((L,) + hints.shape[1:], hints.dtype)
+            hint_full = hint_full.at[jnp.asarray(cfg.vace_layers)].set(hints)
+
+            def body(carry, ps):
+                p, hint = ps
+                h, e0, context = block(p, carry)
+                h = h + (hint * scale).astype(h.dtype)
+                return (h, e0, context), None
+
+            (h, _, _), _ = jax.lax.scan(
+                body, (hidden, ctx["e0"], ctx["context"]),
+                (params["blocks"], hint_full))
+            return h
 
         def body(carry, p):
             return block(p, carry), None

@@ -59,8 +59,10 @@ class QwenImagePipeline(BasePipeline):
         self.config = config
         self.model_cfg = config.model_config()
         self.grid = (config.height // 16, config.width // 16)
+        self.ref_images = 1 if "edit" in config.model else 0
         self.core = make_qwen_image_core(self.model_cfg, config.txt_len,
-                                         *self.grid)
+                                         *self.grid,
+                                         ref_images=self.ref_images)
         self.text_encoder = text_encoder or MockTextEncoder(
             config.txt_len, self.model_cfg.text_dim, scale=0.5)
         key = key if key is not None else jax.random.PRNGKey(0)
@@ -98,11 +100,18 @@ class QwenImagePipeline(BasePipeline):
         self._jit_cache[k] = jitted
         return jitted
 
-    def generate(self, prompt: str, negative_prompt: str = "", seed: int = 0
-                 ) -> PipelineOutput:
+    def generate(self, prompt: str, negative_prompt: str = "", seed: int = 0,
+                 ref_latents=None) -> PipelineOutput:
         t0 = time.time()
         gh, gw = self.grid
         cond = {"txt": self.text_encoder([prompt, negative_prompt])}
+        if self.ref_images:
+            import jax.numpy as _jnp
+            if ref_latents is None:
+                ref_latents = _jnp.zeros((1, gh * gw, self.model_cfg.in_channels),
+                                         _jnp.float32)
+            # both CFG lanes see the same reference tokens
+            cond["ref"] = _jnp.concatenate([ref_latents, ref_latents], axis=0)
         x0 = jax.random.normal(set_seed(seed),
                                (1, gh * gw, self.model_cfg.in_channels),
                                jnp.float32)

@@ -98,3 +98,18 @@ def test_framepack_history_conditions_output():
     start = jnp.ones((1,) + pipe.lat_shape[1:], jnp.float32) * 3.0
     b = pipe.generate("a river", seed=0, start_latent=start)
     assert np.abs(np.asarray(a.latents) - np.asarray(b.latents)).max() > 1e-4
+
+
+def test_qwen_image_edit_ref_tokens():
+    """Edit mode: reference-image tokens condition the output."""
+    import jax.numpy as jnp
+    cfg = QwenImagePipelineConfig(model="qwen-image-edit", tiny=True,
+                                  height=64, width=64, txt_len=8,
+                                  sample_steps=4, use_magcache=True,
+                                  dtype="float32")
+    pipe = QwenImagePipeline(cfg)
+    a = pipe.generate("remove the hat", seed=0)
+    ref = jnp.ones((1, 16, pipe.model_cfg.in_channels), jnp.float32)
+    b = pipe.generate("remove the hat", seed=0, ref_latents=ref)
+    assert a.latents.shape == (1, 16, pipe.model_cfg.in_channels)
+    assert np.abs(np.asarray(a.latents) - np.asarray(b.latents)).max() > 1e-4

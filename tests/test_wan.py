@@ -129,3 +129,32 @@ def test_rope_split_dims():
     cos, sin = wan_rope_tables(CFG, GRID)
     assert cos.shape == (48, CFG.head_dim // 2)
     assert np.isfinite(cos).all()
+
+
+def test_vace_variant():
+    """VACE: conditioning-video hints must reach the trunk (A1 vace forward,
+    magcache_generate.py:439-560)."""
+    cfg = WanConfig.tiny(vace_layers=(0,), vace_in_channels=8)
+    params = init_wan_params(jax.random.PRNGKey(2), cfg)
+    core = make_wan_core(cfg, GRID)
+    rng = np.random.default_rng(0)
+    f, h, w = LAT
+    x = jnp.asarray(rng.normal(size=(1, f, h, w, cfg.in_channels)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(1, f, h, w, 8)), jnp.float32)
+    cond = {"context": jnp.asarray(rng.normal(size=(1, cfg.text_len, cfg.text_dim)), jnp.float32),
+            "vace_context": vc}
+    t = jnp.full((1,), 500.0, jnp.float32)
+    hidden, ctx = core.prepare(params, x, t, cond)
+    out = core.head(params, core.trunk(params, hidden, ctx), ctx)
+    assert out.shape == (1, f, h, w, cfg.out_channels)
+    assert np.isfinite(np.asarray(out)).all()
+    # different vace context -> different output
+    cond2 = dict(cond); cond2["vace_context"] = vc * 2.0
+    hidden2, ctx2 = core.prepare(params, x, t, cond2)
+    out2 = core.head(params, core.trunk(params, hidden2, ctx2), ctx2)
+    assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-4
+    # vace_scale=0 silences the hints -> equals plain trunk of a no-vace model
+    cond3 = dict(cond); cond3["vace_scale"] = 0.0
+    hidden3, ctx3 = core.prepare(params, x, t, cond3)
+    out3 = core.head(params, core.trunk(params, hidden3, ctx3), ctx3)
+    assert np.abs(np.asarray(out) - np.asarray(out3)).max() > 1e-4
