@@ -23,6 +23,8 @@ import functools
 import math
 from typing import Optional
 
+_LOG2E = math.log2(math.e)
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -53,15 +55,15 @@ def _flash_kernel_aux(q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref,
     v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    ) * (scale * _LOG2E)  # base-2 softmax: exp2 is the VPU-native path
     key_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(key_pos < kv_len, s, _NEG_INF)
 
     m_prev = m_ref[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
     l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32)
@@ -71,6 +73,7 @@ def _flash_kernel_aux(q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref,
     @pl.when(j == nk - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        # (m, l) are in base-2; the ring merge uses exp2 consistently
         m_out_ref[0] = m_ref[:, :1][:, 0]
         l_out_ref[0] = l_ref[:, :1][:, 0]
 
@@ -93,7 +96,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [block_q, block_k]
+    ) * (scale * _LOG2E)  # [block_q, block_k]; base-2 softmax (VPU-native exp2)
 
     # Mask keys past the true kv length (handles wrapper padding).
     key_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -102,8 +105,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     m_prev = m_ref[:, :1]                                   # [block_q, 1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
     l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
 
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
@@ -256,7 +259,10 @@ def flash_attention_bhsd_aux(
         interpret=interpret,
     )(qr, kr, vr)
     out = out.reshape(b, h, sq_p, d)[:, :, :sq, :]
-    m = m.reshape(b, h, sq_p)[:, :, :sq]
+    # kernel softmax runs in base 2: the running max is in the scaled (base-2)
+    # domain; the normalizer l = sum exp2(s2 - m2) = sum exp(s - m) is
+    # base-invariant. Convert m back to natural base for the ring merge.
+    m = m.reshape(b, h, sq_p)[:, :, :sq] / _LOG2E
     l = l.reshape(b, h, sq_p)[:, :, :sq]
     return out, m, l
 
