@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--magcache_K", type=int, default=None)
     p.add_argument("--retention_ratio", type=float, default=None)
     p.add_argument("--magcache_calibration", action="store_true")
+    p.add_argument("--mag_ratios_json", default=None,
+                   help="path to a calibration-mode *_mag_ratio.json; its "
+                        "ratios replace the preset's published array")
     # parallel plan
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1)
@@ -86,10 +89,18 @@ def _wan_pipeline(args):
         magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
         retention_ratio=args.retention_ratio,
         magcache_calibration=args.magcache_calibration,
+        mag_ratios_override=_load_ratios(args),
         dtype=args.dtype, dp=args.dp, sp=args.sp, tp=args.tp,
         ckpt_dir=args.ckpt_dir, tiny=args.tiny,
     )
     return WanPipeline(cfg), cfg
+
+
+def _load_ratios(args):
+    if not args.mag_ratios_json:
+        return None
+    with open(args.mag_ratios_json) as f:
+        return tuple(json.load(f))
 
 
 def _flux_pipeline(args):

@@ -78,13 +78,20 @@ def _lane_masks(cache_cfg: Optional[MagCacheConfig], num_steps: int):
 
 
 def _cfg_combine(out: jnp.ndarray, guidance_scale: Optional[float], batch: int,
-                 combine_fn: Optional[Callable] = None, n_lanes: int = 1):
+                 combine_fn: Optional[Callable] = None, n_lanes: int = 1,
+                 step_idx=None):
     """Combine lane outputs. Default dual-lane: uncond + g*(cond - uncond).
 
-    ``combine_fn(lane_outputs: list) -> v`` supports N-branch guidance
-    (OmniGen2's cond/uncond/ref, ``magcache_utils.py:396-546``)."""
+    ``combine_fn(lane_outputs: list[, step_idx]) -> v`` supports N-branch
+    guidance (OmniGen2's cond/uncond/ref, ``magcache_utils.py:396-546``); a
+    two-argument combine_fn receives the traced step index (step-dependent
+    guidance like OmniGen2's cfg_range, ``magcache_utils.py:463-464``)."""
     if combine_fn is not None:
         chunks = [out[i * batch:(i + 1) * batch] for i in range(n_lanes)]
+        import inspect
+        if step_idx is not None and len(
+                inspect.signature(combine_fn).parameters) >= 2:
+            return combine_fn(chunks, step_idx)
         return combine_fn(chunks)
     if guidance_scale is None:
         return out
@@ -214,7 +221,7 @@ def sample_euler(
         h_out, cache, state = _cached_trunk(core, params, hidden, ctx, cache,
                                             skip_bits, lane_of_row, state, idx)
         out = core.head(params, h_out, ctx)
-        v = _cfg_combine(out, guidance_scale, batch, combine_fn, n_lanes)
+        v = _cfg_combine(out, guidance_scale, batch, combine_fn, n_lanes, idx)
         x = cx.astype(x.dtype) * x + dt.astype(x.dtype) * v.astype(x.dtype)
         return (x, cache, state), None
 

@@ -80,6 +80,7 @@ class OmniGen2PipelineConfig:
     num_inference_steps: int = 50
     text_guidance_scale: float = 5.0
     image_guidance_scale: float = 2.0
+    cfg_range: tuple = (0.0, 1.0)      # step-fraction window for guidance
     txt_len: int = 128
     use_magcache: bool = False
     magcache_thresh: float = 0.05
@@ -115,16 +116,28 @@ class OmniGen2Pipeline(BasePipeline):
         return len(BRANCHES[self.config.mode])
 
     def _combine(self):
+        """Step-dependent guidance: scales drop to 1.0 outside cfg_range
+        (magcache_utils.py:463-464: i/len(timesteps) in [lo, hi])."""
+        import numpy as _np
+        import jax.numpy as _jnp
         c = self.config
-        tg, ig = c.text_guidance_scale, c.image_guidance_scale
+        n = c.num_inference_steps
+        lo, hi = c.cfg_range
+        frac = _np.arange(n) / n
+        in_rng = (frac >= lo) & (frac <= hi)
+        tg_arr = _jnp.asarray(_np.where(in_rng, c.text_guidance_scale, 1.0),
+                              _jnp.float32)
+        ig_arr = _jnp.asarray(_np.where(in_rng, c.image_guidance_scale, 1.0),
+                              _jnp.float32)
         if self.config.mode == "t2i":
-            def fn(outs):
+            def fn(outs, step_idx):
                 cond, uncond = outs
-                return uncond + tg * (cond - uncond)
+                return uncond + tg_arr[step_idx] * (cond - uncond)
         else:
-            def fn(outs):
+            def fn(outs, step_idx):
                 cond, uncond, ref = outs
-                return uncond + ig * (ref - uncond) + tg * (cond - ref)
+                return (uncond + ig_arr[step_idx] * (ref - uncond)
+                        + tg_arr[step_idx] * (cond - ref))
         return fn
 
     def _sample_fn(self):

@@ -76,6 +76,10 @@ class WanPipelineConfig:
     ckpt_dir: Optional[str] = None       # safetensors dir; random init if None
     # Wan2.2 MoE: boundary in [0,1]; if set, two experts switched by timestep
     moe_boundary: Optional[float] = None
+    # user-calibrated magnitude ratios (unpadded, as saved by calibration
+    # mode) — overrides the preset's published array; closes the reference's
+    # calibrate -> paste-constants loop without editing code
+    mag_ratios_override: Optional[tuple] = None
     tiny: bool = False                   # toy-size model for smoke runs
 
     def model_config(self) -> WanConfig:
@@ -166,6 +170,20 @@ class WanPipeline(BasePipeline):
                 base = schedule
             split_step = base.boundary_step(c.moe_boundary) * 2
             mode = c.task
+        if c.mag_ratios_override is not None:
+            from magcache_tpu.core.presets import PRESETS
+            p = PRESETS[c.model]
+            num_steps = c.sample_steps * p.lanes
+            from magcache_tpu.core.magcache import prepare_mag_ratios
+            ratios = prepare_mag_ratios(np.asarray(c.mag_ratios_override),
+                                        num_steps, lanes=p.lanes, pad=p.lanes)
+            return MagCacheConfig(
+                num_steps=num_steps, mag_ratios=tuple(ratios),
+                thresh=c.magcache_thresh if c.magcache_thresh is not None else p.thresh,
+                max_consecutive_skips=c.magcache_K if c.magcache_K is not None else p.K,
+                retention_ratio=(c.retention_ratio if c.retention_ratio is not None
+                                 else p.retention_ratio),
+                lanes=p.lanes, split_step=split_step, mode=mode)
         return make_config(
             c.model, c.sample_steps,
             thresh=c.magcache_thresh, K=c.magcache_K,
