@@ -59,6 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--tiny", action="store_true",
                    help="toy-size model for checkpoint-free smoke runs")
+    p.add_argument("--enable_pab", action="store_true",
+                   help="Pyramid Attention Broadcast (open-sora task)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon sitecustomize "
                         "force-registers the TPU; env vars don't override it)")
@@ -169,6 +171,28 @@ def _hunyuan_pipeline(args):
     return FramePackPipeline(cfg), cfg
 
 
+def _open_sora_pipeline(args):
+    from magcache_tpu.pipelines.open_sora import (
+        OpenSoraPipeline,
+        OpenSoraPipelineConfig,
+    )
+    w, h = (int(v) for v in args.size.split("*"))
+    if args.tiny:
+        w = h = 32
+        args.frame_num = 8
+    cfg = OpenSoraPipelineConfig(
+        num_frames=args.frame_num, height=h, width=w,
+        num_sampling_steps=args.sample_steps or 30,
+        cfg_scale=args.sample_guide_scale,
+        caption_len=6 if args.tiny else 300,
+        use_magcache=args.use_magcache,
+        magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
+        retention_ratio=args.retention_ratio,
+        enable_pab=getattr(args, "enable_pab", False),
+        dtype=args.dtype, tiny=args.tiny)
+    return OpenSoraPipeline(cfg), cfg
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.cpu:
@@ -184,6 +208,9 @@ def main(argv=None):
     elif args.task.startswith("hunyuan") or args.task.startswith("framepack"):
         pipe, cfg = _hunyuan_pipeline(args)
         steps = cfg.steps
+    elif args.task.startswith("open-sora"):
+        pipe, cfg = _open_sora_pipeline(args)
+        steps = cfg.num_sampling_steps
     else:
         pipe, cfg = _wan_pipeline(args)
         steps = cfg.sample_steps

@@ -96,9 +96,16 @@ def init_latte_params(key: jax.Array, cfg: LatteConfig):
 
 
 def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
-                    caption_len: int) -> DiTCore:
+                    caption_len: int, *, pab=None, timesteps=None) -> DiTCore:
     """cond = {"y": f[B, caption_len, caption_dim]}; x = latent video
-    f[B, T, H*p, W*p, C]."""
+    f[B, T, H*p, W*p, C].
+
+    ``pab``: a `core.pab.PABConfig` + the sampling ``timesteps`` enables
+    Pyramid Attention Broadcast on the spatial/temporal/cross attentions and
+    MLPs, with cached per-block outputs threaded as sampler trunk state
+    (the reference wires PAB into Latte's blocks,
+    ``latte_transformer_3d.py:150,:521``).
+    """
     T, H, W = grid
     S = H * W
     d = cfg.hidden
@@ -133,42 +140,109 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
         o = attention(rs(q), rs(k), rs(v)).reshape(xr.shape)
         return linear(p["proj"], o)
 
-    def _block(p, h, ctx, temporal: bool):
+    masks = None
+    if pab is not None:
+        from magcache_tpu.core.pab import broadcast_masks
+        assert timesteps is not None, "PAB needs the sampling timesteps"
+        masks = {k: jnp.asarray(v) for k, v in
+                 broadcast_masks(pab, timesteps).items()}
+
+    def _block(p, h, ctx, temporal: bool, cached=None, flags=None):
         rows, N, _ = h.shape
         e = (p["scale_shift"][None] + ctx["t6"]).astype(jnp.float32)
         sh_a, sc_a, g_a, sh_m, sc_m, g_m = [e[:, i][:, None] for i in range(6)]
 
-        xn = (layer_norm(h, eps=cfg.eps) * (1 + sc_a) + sh_a).astype(h.dtype)
-        if temporal:
-            xr = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3).reshape(rows * S, T, d)
-            xr = xr + temp_pos[None]
-            a = _self_attn(p, xr)
-            a = a.reshape(rows, S, T, d).transpose(0, 2, 1, 3).reshape(rows, N, d)
-        else:
-            a = _self_attn(p, xn.reshape(rows * T, S, d)).reshape(rows, N, d)
-        h = h + (g_a * a.astype(jnp.float32)).astype(h.dtype)
+        def compute_attn(h):
+            xn = (layer_norm(h, eps=cfg.eps) * (1 + sc_a) + sh_a).astype(h.dtype)
+            if temporal:
+                xr = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3).reshape(rows * S, T, d)
+                xr = xr + temp_pos[None]
+                a = _self_attn(p, xr)
+                return a.reshape(rows, S, T, d).transpose(0, 2, 1, 3).reshape(rows, N, d)
+            return _self_attn(p, xn.reshape(rows * T, S, d)).reshape(rows, N, d)
 
-        if not temporal:
+        def compute_cross(h):
             y = ctx["y"]
             q = linear(p["cross_q"], h)
             k, v = jnp.split(linear(p["cross_kv"], y), 2, axis=-1)
             rs = lambda t_: t_.reshape(t_.shape[0], t_.shape[1], cfg.heads, -1)
             c = attention(rs(q), rs(k), rs(v)).reshape(h.shape)
-            h = h + linear(p["cross_o"], c)
+            return linear(p["cross_o"], c)
 
-        xm = (layer_norm(h, eps=cfg.eps) * (1 + sc_m) + sh_m).astype(h.dtype)
-        ff = linear(p["ff2"], jax.nn.gelu(linear(p["ff1"], xm), approximate=True))
-        return h + (g_m * ff.astype(jnp.float32)).astype(h.dtype)
+        def compute_mlp(h):
+            xm = (layer_norm(h, eps=cfg.eps) * (1 + sc_m) + sh_m).astype(h.dtype)
+            return linear(p["ff2"], jax.nn.gelu(linear(p["ff1"], xm),
+                                                approximate=True))
+
+        new_cached = {}
+        kind = "temporal" if temporal else "spatial"
+        if cached is not None:
+            a = jax.lax.cond(flags[kind], lambda _: cached["attn"],
+                             compute_attn, h)
+            new_cached["attn"] = a
+        else:
+            a = compute_attn(h)
+        h = h + (g_a * a.astype(jnp.float32)).astype(h.dtype)
+
+        if not temporal:
+            if cached is not None:
+                c = jax.lax.cond(flags["cross"], lambda _: cached["cross"],
+                                 compute_cross, h)
+                new_cached["cross"] = c
+            else:
+                c = compute_cross(h)
+            h = h + c
+        elif cached is not None:
+            new_cached["cross"] = cached["cross"]  # unused slot for temporal
+
+        if cached is not None:
+            mo = jax.lax.cond(flags["mlp"], lambda _: cached["mlp"],
+                              compute_mlp, h)
+            new_cached["mlp"] = mo
+        else:
+            mo = compute_mlp(h)
+        h = h + (g_m * mo.astype(jnp.float32)).astype(h.dtype)
+        return h, new_cached
 
     def trunk(params, h, ctx):
         def body(carry, ps):
             sp, tp_ = ps
-            h = _block(sp, carry, ctx, temporal=False)
-            h = _block(tp_, h, ctx, temporal=True)
+            h, _ = _block(sp, carry, ctx, temporal=False)
+            h, _ = _block(tp_, h, ctx, temporal=True)
             return h, None
 
         h, _ = jax.lax.scan(body, h, (params["spatial"], params["temporal"]))
         return h
+
+    def init_state(params, hidden_shape, ctx_shape):
+        rows, N, _ = hidden_shape.shape
+        z = lambda: jnp.zeros((cfg.depth, rows, N, d), hidden_shape.dtype)
+        return {"sp_attn": z(), "sp_cross": z(), "sp_mlp": z(),
+                "tp_attn": z(), "tp_cross": z(), "tp_mlp": z()}
+
+    def trunk_pab(params, h, ctx, state, step_idx):
+        flags = {k: masks[k][step_idx] for k in masks}
+
+        def body(carry, ps):
+            h = carry
+            sp, tp_, c_sa, c_sc, c_sm, c_ta, c_tc, c_tm = ps
+            h, ns = _block(sp, h, ctx, temporal=False,
+                           cached={"attn": c_sa, "cross": c_sc, "mlp": c_sm},
+                           flags=flags)
+            h, nt = _block(tp_, h, ctx, temporal=True,
+                           cached={"attn": c_ta, "cross": c_tc, "mlp": c_tm},
+                           flags=flags)
+            return h, (ns["attn"], ns["cross"], ns["mlp"],
+                       nt["attn"], nt["cross"], nt["mlp"])
+
+        h, ys = jax.lax.scan(
+            body, h,
+            (params["spatial"], params["temporal"], state["sp_attn"],
+             state["sp_cross"], state["sp_mlp"], state["tp_attn"],
+             state["tp_cross"], state["tp_mlp"]))
+        new_state = {"sp_attn": ys[0], "sp_cross": ys[1], "sp_mlp": ys[2],
+                     "tp_attn": ys[3], "tp_cross": ys[4], "tp_mlp": ys[5]}
+        return h, new_state
 
     def head(params, h, ctx):
         mod = params["final_mod"][None] + ctx["te"][:, None]
@@ -181,4 +255,6 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
         out = out.transpose(0, 1, 2, 5, 3, 6, 4)
         return out.reshape(b, T, H * p, W * p, c)
 
+    if pab is not None:
+        return DiTCore(prepare, trunk_pab, head, init_state=init_state)
     return DiTCore(prepare, trunk, head)

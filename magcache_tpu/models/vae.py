@@ -457,3 +457,61 @@ class ImageVAE:
                 weight = weight.at[:, i0 * scale:i0 * scale + ph,
                                    j0 * scale:j0 * scale + pw_].add(wz)
         return out / jnp.maximum(weight, 1e-8)
+
+
+# --------------------------------------------------------------------------
+# Open-Sora V1.2 composite VAE: spatial 2-D VAE + temporal causal VAE over
+# independent micro-frame chunks
+# --------------------------------------------------------------------------
+
+class MicroFrameVAE:
+    """The Open-Sora VAE pipeline (``videosys/models/autoencoders/
+    autoencoder_kl_open_sora.py:621-761``): a 2-D spatial VAE runs per frame,
+    then a temporal causal VAE compresses time — processed in independent
+    ``micro_frame_size`` (17-frame) chunks so memory stays bounded and chunks
+    parallelize (``micro_frame_size`` splitting :640-664). Optional
+    ``micro_batch`` splits the batch the same way.
+    """
+
+    def __init__(self, spatial: "ImageVAE", temporal: "CausalVAE",
+                 micro_frame_size: int = 17, micro_batch: Optional[int] = None):
+        self.spatial = spatial
+        self.temporal = temporal
+        self.micro_frame_size = micro_frame_size
+        self.micro_batch = micro_batch
+
+    def _spatial_encode(self, x):
+        b, t = x.shape[:2]
+        flat = x.reshape((b * t,) + x.shape[2:])
+        mean, _ = self.spatial.encode(flat)
+        return mean.reshape((b, t) + mean.shape[1:])
+
+    def _spatial_decode(self, z):
+        b, t = z.shape[:2]
+        flat = z.reshape((b * t,) + z.shape[2:])
+        y = self.spatial.decode(flat)
+        return y.reshape((b, t) + y.shape[1:])
+
+    def encode(self, x):
+        """pixels [B, T, H, W, 3] -> latents [B, T', H/8s, W/8s, z]."""
+        zs = self._spatial_encode(x)
+        outs = []
+        mf = self.micro_frame_size
+        for i in range(0, zs.shape[1], mf):
+            chunk = zs[:, i:i + mf]
+            mean, _ = self.temporal.encode(chunk)
+            outs.append(mean)
+        return jnp.concatenate(outs, axis=1)
+
+    def decode(self, z, latent_chunk: Optional[int] = None):
+        """latents -> pixels; chunks decode independently (per-micro-frame
+        reset, unlike `CausalVAE.decode_chunked`'s carried-cache streaming)."""
+        if latent_chunk is None:
+            # latent frames produced by one 17-frame chunk: 1 + (mf-1)//ds
+            ds = 2 ** sum(self.temporal.cfg.temporal_downsample)
+            latent_chunk = 1 + (self.micro_frame_size - 1) // ds
+        outs = []
+        for i in range(0, z.shape[1], latent_chunk):
+            y = self.temporal.decode(z[:, i:i + latent_chunk])
+            outs.append(self._spatial_decode(y))
+        return jnp.concatenate(outs, axis=1)

@@ -308,3 +308,31 @@ class WanPipeline(BasePipeline):
             video = np.asarray(self.vae.decode(latents))
         return PipelineOutput(latents=latents, video=video,
                               calibration=calibration, timings=timings)
+
+    # ---- batched generation ----------------------------------------------
+    def generate_batch(self, prompts, negative_prompt: str = DEFAULT_NEGATIVE,
+                       seed: int = 0) -> PipelineOutput:
+        """Generate several prompts in one batched denoise (batch rides the
+        `dp` mesh axis when a plan is active — the reference's DP/eval-time
+        prompt sharding, `wan_eval.sh` / utils.py:19-34 per-rank seeds)."""
+        b = len(prompts)
+        ctx_c = self.text_encoder(list(prompts))
+        ctx_u = self.text_encoder([negative_prompt] * b)
+        cond = {"context": jnp.concatenate([ctx_c, ctx_u], axis=0)}
+        keys = [set_seed(seed, dp_rank=i) for i in range(b)]
+        x0 = jnp.concatenate(
+            [jax.random.normal(k, (1,) + self.latent_shape, jnp.float32)
+             for k in keys], axis=0)
+        if self.plan is not None:
+            mesh = self.plan.mesh
+            x0 = jax.device_put(x0, activation_sharding(mesh, "latents", x0.ndim))
+            cond = {k: jax.device_put(v, activation_sharding(mesh, "context", v.ndim))
+                    for k, v in cond.items()}
+        t0 = time.time()
+        fn = self._sample_fn(False)
+        with use_mesh(self.plan):
+            latents = fn(self.params, x0, cond)
+        latents.block_until_ready()
+        return PipelineOutput(latents=latents,
+                              timings={"total_s": time.time() - t0,
+                                       "prompts": b})

@@ -42,3 +42,42 @@ def test_latte_sampling(model):
     out = sample_euler(core, params, x, cond, timesteps=sch.timesteps, dts=dts,
                        guidance_scale=7.0)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_latte_pab_refresh_step_matches_plain():
+    from magcache_tpu.core.pab import PABConfig
+    params = init_latte_params(jax.random.PRNGKey(0), CFG)
+    ts = RFlowSchedule.create(4).timesteps
+    pab = PABConfig(spatial_broadcast=True, spatial_threshold=(450, 930),
+                    spatial_range=2, temporal_broadcast=True,
+                    temporal_threshold=(450, 930), temporal_range=2)
+    core_p = make_latte_core(CFG, GRID, 6, pab=pab, timesteps=ts)
+    core_n = make_latte_core(CFG, GRID, 6)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 2, 8, 8, CFG.in_channels)), jnp.float32)
+    cond = {"y": jnp.asarray(rng.normal(size=(1, 6, CFG.caption_dim)), jnp.float32)}
+    t = jnp.full((1,), float(ts[0]), jnp.float32)
+    hidden, ctx = core_p.prepare(params, x, t, cond)
+    state = core_p.init_state(params, jax.eval_shape(lambda: hidden),
+                              jax.eval_shape(lambda: ctx))
+    h_p, state2 = core_p.trunk(params, hidden, ctx, state, jnp.asarray(0))
+    h_n = core_n.trunk(params, hidden, ctx)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_n), atol=1e-5)
+    assert float(jnp.abs(state2["tp_attn"]).max()) > 0
+
+
+def test_latte_pab_in_pipeline_sampler():
+    from magcache_tpu.core.pab import PABConfig
+    from magcache_tpu.core.sampler import sample_euler
+    params = init_latte_params(jax.random.PRNGKey(1), CFG)
+    sch = RFlowSchedule.create(4)
+    pab = PABConfig(spatial_broadcast=True, spatial_threshold=(200, 990),
+                    spatial_range=2)
+    core = make_latte_core(CFG, GRID, 6, pab=pab, timesteps=sch.timesteps)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 2, 8, 8, CFG.in_channels)), jnp.float32)
+    cond = {"y": jnp.asarray(rng.normal(size=(2, 6, CFG.caption_dim)), jnp.float32)}
+    dts = np.array([sch.dt(i) for i in range(4)], np.float32)
+    out = sample_euler(core, params, x, cond, timesteps=sch.timesteps,
+                       dts=dts, guidance_scale=7.0)
+    assert np.isfinite(np.asarray(out)).all()

@@ -95,3 +95,16 @@ def test_latte_pipeline():
     out = pipe.generate("a garden", seed=0)
     assert out.latents.shape == (1, 2, 4, 4, 4)
     assert np.isfinite(np.asarray(out.latents)).all()
+
+
+def test_wan_generate_batch():
+    pipe = WanPipeline(_wan_cfg(use_magcache=True))
+    out = pipe.generate_batch(["a cat", "a dog", "a fox"], seed=5)
+    assert out.latents.shape[0] == 3
+    lat = np.asarray(out.latents)
+    # per-prompt seeds differ -> outputs differ
+    assert np.abs(lat[0] - lat[1]).max() > 1e-3
+    # batched result matches the single-prompt path sample-for-sample
+    single = pipe.generate("a cat", seed=5)
+    np.testing.assert_allclose(lat[0], np.asarray(single.latents)[0],
+                               rtol=2e-4, atol=2e-4)

@@ -87,3 +87,40 @@ def test_image_tiled_decode_close(image_vae):
     corr = np.corrcoef(tiled.ravel(), full.ravel())[0, 1]
     assert corr > 0.97, corr
     assert np.median(np.abs(tiled - full)) < 0.15
+
+
+def test_micro_frame_vae_roundtrip_shapes(video_vae, image_vae):
+    from magcache_tpu.models.vae import MicroFrameVAE
+    import dataclasses
+    # temporal VAE over the spatial VAE's latent channels
+    from magcache_tpu.models.vae import CausalVAE, CausalVAEConfig, init_causal_vae_params
+    tcfg = CausalVAEConfig.tiny(in_channels=image_vae.cfg.z_channels)
+    tvae = CausalVAE(tcfg, init_causal_vae_params(jax.random.PRNGKey(3), tcfg))
+    vae = MicroFrameVAE(image_vae, tvae, micro_frame_size=5)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 10, 16, 16, 3)),
+                    jnp.float32)
+    z = vae.encode(x)
+    # two chunks of 5 frames -> each 1+(5-1)/2 = 3 latents; spatial /2 twice
+    # (the 2-D VAE and the temporal VAE each halve space in the tiny configs)
+    assert z.shape == (1, 6, 4, 4, tcfg.z_channels)
+    y = vae.decode(z)
+    assert y.shape[0] == 1 and y.shape[2:] == (16, 16, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_micro_frame_chunks_independent(video_vae, image_vae):
+    """Micro-frame chunks decode independently: changing a later chunk's
+    latents must not change the earlier chunk's frames."""
+    from magcache_tpu.models.vae import CausalVAE, CausalVAEConfig, init_causal_vae_params, MicroFrameVAE
+    tcfg = CausalVAEConfig.tiny(in_channels=image_vae.cfg.z_channels)
+    tvae = CausalVAE(tcfg, init_causal_vae_params(jax.random.PRNGKey(3), tcfg))
+    vae = MicroFrameVAE(image_vae, tvae, micro_frame_size=5)
+    z = jnp.asarray(np.random.default_rng(1).normal(size=(1, 6, 4, 4, tcfg.z_channels)),
+                    jnp.float32)
+    y1 = np.asarray(vae.decode(z))
+    z2 = z.at[:, 3:].add(5.0)
+    y2 = np.asarray(vae.decode(z2))
+    first_chunk_frames = 1 + (3 - 1) * 2  # 3 latents -> 5 frames
+    np.testing.assert_array_equal(y1[:, :first_chunk_frames],
+                                  y2[:, :first_chunk_frames])
+    assert np.abs(y1[:, first_chunk_frames:] - y2[:, first_chunk_frames:]).max() > 1e-3
