@@ -73,12 +73,15 @@ def _wan_pipeline(args):
     w, h = (int(v) for v in args.size.split("*"))
     preset = {
         "t2v-1.3B": "wan2.1-t2v-1.3B", "t2v-14B": "wan2.1-t2v-14B",
+        "t2i-14B": "wan2.1-t2v-14B",   # t2i = single-frame t2v (reference task)
         "i2v-14B": "wan2.1-i2v-480p" if h <= 480 else "wan2.1-i2v-720p",
         "ti2v-5B": "wan2.2-ti2v-5B-t2v",
         "t2v-A14B": "wan2.2-t2v-A14B", "i2v-A14B": "wan2.2-i2v-A14B",
     }[args.task]
     if args.tiny:
         w, h, args.frame_num = 64, 32, 9
+    if args.task.startswith("t2i"):
+        args.frame_num = 1
     cfg = WanPipelineConfig(
         model=preset,
         task="i2v" if args.task.startswith("i2v") else "t2v",
