@@ -130,9 +130,18 @@ def _cached_trunk(core: DiTCore, params, hidden, ctx, cache, skip_bits,
 
 
 def _init_cache(core: DiTCore, params, x_lanes, t0, cond):
+    """Residual cache buffer, **sharded like the activations**: under a mesh
+    plan the cache carries the hidden sequence's (dp, sp, tp) layout, so cache
+    memory scales 1/sp and skip steps need no collectives — the reference's
+    sharded-cache pattern (``eval/magcache/experiments/opensora.py:284-312``)."""
+    from magcache_tpu.parallel.mesh import maybe_shard
+
     hshape = jax.eval_shape(lambda p, x, t, c: core.prepare(p, x, t, c)[0],
                             params, x_lanes, t0, cond)
-    return jnp.zeros(hshape.shape, hshape.dtype)
+    cache = jnp.zeros(hshape.shape, hshape.dtype)
+    if cache.ndim == 3:
+        cache = maybe_shard(cache, "tokens")
+    return cache
 
 
 def _stack_lanes(x: jnp.ndarray, lanes: int) -> jnp.ndarray:

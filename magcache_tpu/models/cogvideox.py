@@ -119,10 +119,17 @@ def _mod3(vec, p, d):
 
 
 def make_cogvideox_core(cfg: CogVideoXConfig, txt_len: int,
-                        grid: Tuple[int, int, int]) -> DiTCore:
+                        grid: Tuple[int, int, int],
+                        *, pab=None, timesteps=None) -> DiTCore:
     """cond = {"txt": f[B, txt_len, text_dim]}; x = latent video
     f[B, T, H*p, W*p, C] channel-last. Hidden stream = [txt; vid]; the
-    MagCache residual is measured on the video segment."""
+    MagCache residual is measured on the video segment.
+
+    ``pab``: `core.pab.PABConfig` + sampling ``timesteps`` enable PAB on the
+    joint attention ("spatial" mask) and FFN ("mlp" mask), caches threaded as
+    sampler trunk state (the reference's PAB-aware CogVideoX attn processor,
+    ``cogvideox_transformer_3d.py:35``).
+    """
     T, H, W = grid
     S = T * H * W
     d = cfg.hidden
@@ -159,45 +166,94 @@ def make_cogvideox_core(cfg: CogVideoXConfig, txt_len: int,
         # so the cacheable residual is exactly the video stream)
         return vid, {"txt": txt, "temb": temb}
 
-    def _block(p, carry):
+    masks = None
+    if pab is not None:
+        from magcache_tpu.core.pab import broadcast_masks
+        assert timesteps is not None, "PAB needs the sampling timesteps"
+        masks = {k: jnp.asarray(v) for k, v in
+                 broadcast_masks(pab, timesteps).items()}
+
+    def _block(p, carry, cached=None, flags=None):
         vid, txt, temb = carry
         b = vid.shape[0]
         vs1, vsc1, vg1, ts1, tsc1, tg1 = _mod3(temb, p["mod1"], d)
 
-        vid_n = layer_norm(vid, eps=cfg.eps) * (1 + vsc1) + vs1
-        txt_n = layer_norm(txt, eps=cfg.eps) * (1 + tsc1) + ts1
-        h = jnp.concatenate([txt_n, vid_n], axis=1).astype(vid.dtype)
-        q, k, v = jnp.split(linear(p["qkv"], h), 3, axis=-1)
-        rs = lambda x: x.reshape(b, x.shape[1], cfg.heads, -1)
-        q, k, v = rs(q), rs(k), rs(v)
-        q = layer_norm(q, p["q_norm_w"], p["q_norm_b"], eps=cfg.eps)
-        k = layer_norm(k, p["k_norm_w"], p["k_norm_b"], eps=cfg.eps)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        o = attention(q, k, v).reshape(b, -1, d)
-        o = linear(p["proj"], o)
+        def compute_attn(args):
+            vid, txt = args
+            vid_n = layer_norm(vid, eps=cfg.eps) * (1 + vsc1) + vs1
+            txt_n = layer_norm(txt, eps=cfg.eps) * (1 + tsc1) + ts1
+            h = jnp.concatenate([txt_n, vid_n], axis=1).astype(vid.dtype)
+            q, k, v = jnp.split(linear(p["qkv"], h), 3, axis=-1)
+            rs = lambda x: x.reshape(b, x.shape[1], cfg.heads, -1)
+            q, k, v = rs(q), rs(k), rs(v)
+            q = layer_norm(q, p["q_norm_w"], p["q_norm_b"], eps=cfg.eps)
+            k = layer_norm(k, p["k_norm_w"], p["k_norm_b"], eps=cfg.eps)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            o = attention(q, k, v).reshape(b, -1, d)
+            return linear(p["proj"], o)
+
+        new_cached = {}
+        if cached is not None:
+            o = jax.lax.cond(flags["spatial"], lambda _: cached["attn"],
+                             compute_attn, (vid, txt))
+            new_cached["attn"] = o
+        else:
+            o = compute_attn((vid, txt))
         t_attn, v_attn = o[:, :txt.shape[1]], o[:, txt.shape[1]:]
         vid = vid + (vg1 * v_attn.astype(jnp.float32)).astype(vid.dtype)
         txt = txt + (tg1 * t_attn.astype(jnp.float32)).astype(txt.dtype)
 
         vs2, vsc2, vg2, ts2, tsc2, tg2 = _mod3(temb, p["mod2"], d)
-        vid_n = layer_norm(vid, eps=cfg.eps) * (1 + vsc2) + vs2
-        txt_n = layer_norm(txt, eps=cfg.eps) * (1 + tsc2) + ts2
-        h = jnp.concatenate([txt_n, vid_n], axis=1).astype(vid.dtype)
-        ff = linear(p["ff2"], jax.nn.gelu(linear(p["ff1"], h), approximate=True))
+
+        def compute_ff(args):
+            vid, txt = args
+            vid_n = layer_norm(vid, eps=cfg.eps) * (1 + vsc2) + vs2
+            txt_n = layer_norm(txt, eps=cfg.eps) * (1 + tsc2) + ts2
+            h = jnp.concatenate([txt_n, vid_n], axis=1).astype(vid.dtype)
+            return linear(p["ff2"], jax.nn.gelu(linear(p["ff1"], h),
+                                                approximate=True))
+
+        if cached is not None:
+            ff = jax.lax.cond(flags["mlp"], lambda _: cached["mlp"],
+                              compute_ff, (vid, txt))
+            new_cached["mlp"] = ff
+        else:
+            ff = compute_ff((vid, txt))
         t_ff, v_ff = ff[:, :txt.shape[1]], ff[:, txt.shape[1]:]
         vid = vid + (vg2 * v_ff.astype(jnp.float32)).astype(vid.dtype)
         txt = txt + (tg2 * t_ff.astype(jnp.float32)).astype(txt.dtype)
-        return vid, txt, temb
+        return (vid, txt, temb), new_cached
 
     def trunk(params, vid, ctx):
         def body(carry, p):
-            return _block(p, carry), None
+            out, _ = _block(p, carry)
+            return out, None
 
         fn = jax.checkpoint(body) if cfg.remat else body
         (vid, _, _), _ = jax.lax.scan(fn, (vid, ctx["txt"], ctx["temb"]),
                                       params["blocks"])
         return vid
+
+    def init_state(params, hidden_shape, ctx_shape):
+        rows, s_vid, _ = hidden_shape.shape
+        s_all = s_vid + txt_len
+        z = lambda: jnp.zeros((cfg.layers, rows, s_all, d), hidden_shape.dtype)
+        return {"attn": z(), "mlp": z()}
+
+    def trunk_pab(params, vid, ctx, state, step_idx):
+        flags = {k: masks[k][step_idx] for k in masks}
+
+        def body(carry, ps):
+            p, c_a, c_m = ps
+            out, nc = _block(p, carry, cached={"attn": c_a, "mlp": c_m},
+                             flags=flags)
+            return out, (nc["attn"], nc["mlp"])
+
+        (vid_o, _, _), ys = jax.lax.scan(
+            body, (vid, ctx["txt"], ctx["temb"]),
+            (params["blocks"], state["attn"], state["mlp"]))
+        return vid_o, {"attn": ys[0], "mlp": ys[1]}
 
     def head(params, vid, ctx):
         temb = ctx["temb"]
@@ -207,4 +263,6 @@ def make_cogvideox_core(cfg: CogVideoXConfig, txt_len: int,
         out = linear(params["final_out"], h.astype(vid.dtype))
         return _unpatchify(out.astype(jnp.float32))
 
+    if pab is not None:
+        return DiTCore(prepare, trunk_pab, head, init_state=init_state)
     return DiTCore(prepare, trunk, head)

@@ -135,3 +135,40 @@ def test_dpm_sampling_runs(model):
                               cache_cfg=cache_cfg)
     assert out.shape == (1, 2, 8, 8, CFG.in_channels)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cogvideo_pab_refresh_matches_plain():
+    from magcache_tpu.core.pab import PABConfig
+    from magcache_tpu.schedulers.rflow import RFlowSchedule
+    params = init_cogvideox_params(jax.random.PRNGKey(0), CFG)
+    ts = RFlowSchedule.create(4).timesteps
+    pab = PABConfig(spatial_broadcast=True, spatial_threshold=(450, 930),
+                    spatial_range=2, mlp_broadcast=True,
+                    mlp_threshold=(450, 930), mlp_range=2)
+    core_p = make_cogvideox_core(CFG, TXT, GRID, pab=pab, timesteps=ts)
+    core_n = make_cogvideox_core(CFG, TXT, GRID)
+    x, cond = _x(), _cond()
+    t = jnp.full((1,), float(ts[0]), jnp.float32)
+    hidden, ctx = core_p.prepare(params, x, t, cond)
+    state = core_p.init_state(params, jax.eval_shape(lambda: hidden),
+                              jax.eval_shape(lambda: ctx))
+    h_p, st2 = core_p.trunk(params, hidden, ctx, state, jnp.asarray(0))
+    h_n = core_n.trunk(params, hidden, ctx)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_n), atol=1e-5)
+    assert float(jnp.abs(st2["attn"]).max()) > 0
+
+
+def test_cogvideo_pab_sampler_runs():
+    from magcache_tpu.core.pab import PABConfig
+    from magcache_tpu.schedulers.ddim_cogvideo import CogVideoDDIMSchedule
+    params = init_cogvideox_params(jax.random.PRNGKey(1), CFG)
+    sch = CogVideoDDIMSchedule.create(4)
+    pab = PABConfig(spatial_broadcast=True, spatial_threshold=(100, 999),
+                    spatial_range=2)
+    core = make_cogvideox_core(CFG, TXT, GRID, pab=pab,
+                               timesteps=sch.timesteps)
+    c_x, c_v = sch.step_arrays()
+    out = sample_euler(core, params, _x(), _cond(),
+                       timesteps=sch.timesteps.astype(np.float32),
+                       dts=c_v, x_coeffs=c_x)
+    assert np.isfinite(np.asarray(out)).all()
