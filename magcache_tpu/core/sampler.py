@@ -99,19 +99,74 @@ def _cfg_combine(out: jnp.ndarray, guidance_scale: Optional[float], batch: int,
     return uncond + guidance_scale * (cond - uncond)
 
 
+def _gather_rows(tree, idx, rows):
+    """Gather axis-0 rows of every per-row leaf in a ctx pytree.
+
+    A leaf is per-row iff its leading dim equals the lane-stacked row count;
+    row-independent leaves (RoPE tables, grids, scalars) pass through."""
+    return jax.tree.map(
+        lambda a: a[idx] if (hasattr(a, "ndim") and a.ndim >= 1
+                             and a.shape[0] == rows) else a,
+        tree)
+
+
 def _cached_trunk(core: DiTCore, params, hidden, ctx, cache, skip_bits,
-                  lane_of_row, state=None, step_idx=None):
+                  lane_of_row, state=None, step_idx=None,
+                  partial_lanes: Optional[int] = None):
     """One trunk evaluation under the cache policy.
 
     skip_bits: bool[lanes] (traced, from static schedule); cache has hidden's
     shape. Returns (hidden_out, new_cache, new_state).
-    """
-    all_skip = jnp.all(skip_bits)
 
-    def run_trunk(hidden):
+    When ``partial_lanes`` is set (L = cache lanes == stacked lanes, stateless
+    trunk), the step dispatches through a ``lax.switch`` on how many lanes
+    skip: s == L replays residuals, s == 0 runs the full trunk, and
+    0 < s < L gathers only the non-skipping lanes' rows, runs the trunk on
+    the reduced batch, and scatters residuals back — so a one-lane skip costs
+    half a trunk, matching the reference's per-forward skip economics
+    (``magcache_generate.py:294-298``: cond and uncond are separate forwards,
+    each independently skippable). All shapes stay static per branch.
+    """
+
+    def run_trunk(hidden, ctx):
         if core.init_state is None:
             return core.trunk(params, hidden, ctx), state
         return core.trunk(params, hidden, ctx, state, step_idx)
+
+    if partial_lanes is not None and core.init_state is None:
+        L = partial_lanes
+        rows = hidden.shape[0]
+        per_lane = rows // L
+        row_skip = skip_bits[lane_of_row]                    # bool[rows]
+        # Stable ascending sort: non-skipping rows first, original order kept.
+        order = jnp.argsort(row_skip, stable=True)
+
+        def make_branch(s):
+            if s == L:
+                def all_skip_branch(hidden, ctx, cache, order):
+                    return hidden + cache, cache, state
+                return all_skip_branch
+            if s == 0:
+                def full_branch(hidden, ctx, cache, order):
+                    h, _ = run_trunk(hidden, ctx)
+                    resid = h - hidden
+                    return h, resid, state
+                return full_branch
+            keep = (L - s) * per_lane
+
+            def partial_branch(hidden, ctx, cache, order):
+                idx = order[:keep]
+                h_g, _ = run_trunk(hidden[idx], _gather_rows(ctx, idx, rows))
+                resid_g = h_g - hidden[idx]
+                resid_full = cache.at[idx].set(resid_g.astype(cache.dtype))
+                return hidden + resid_full, resid_full, state
+            return partial_branch
+
+        n_skip = jnp.sum(skip_bits.astype(jnp.int32))
+        return jax.lax.switch(n_skip, [make_branch(s) for s in range(L + 1)],
+                              hidden, ctx, cache, order)
+
+    all_skip = jnp.all(skip_bits)
 
     def do_skip(args):
         hidden, cache = args
@@ -119,7 +174,7 @@ def _cached_trunk(core: DiTCore, params, hidden, ctx, cache, skip_bits,
 
     def do_compute(args):
         hidden, cache = args
-        h, new_state = run_trunk(hidden)
+        h, new_state = run_trunk(hidden, ctx)
         resid = h - hidden
         row_skip = skip_bits[lane_of_row]  # bool[rows]
         mask = row_skip.reshape((-1,) + (1,) * (hidden.ndim - 1))
@@ -156,9 +211,11 @@ def _init_trunk_state(core: DiTCore, params, x_lanes, t0, cond):
 
 
 def _lane_setup(cache_cfg, num_steps, guidance_scale, lanes, combine_fn, batch):
-    """Resolve (skip_mask, n_lanes, lane_of_row). ``n_lanes`` is how many
-    copies of x the sampler stacks per step; the cache may have fewer lanes
-    (e.g. Open-Sora's joint CFG batch uses one lane over a batch of 2)."""
+    """Resolve (skip_mask, n_lanes, lane_of_row, partial_lanes). ``n_lanes`` is
+    how many copies of x the sampler stacks per step; the cache may have fewer
+    lanes (e.g. Open-Sora's joint CFG batch uses one lane over a batch of 2).
+    ``partial_lanes`` enables the reduced-batch trunk for lane-asymmetric skip
+    steps (only meaningful with >=2 independently-skipping cache lanes)."""
     skip_mask, cache_lanes = _lane_masks(cache_cfg, num_steps)
     if lanes is not None:
         n_lanes = lanes
@@ -174,7 +231,8 @@ def _lane_setup(cache_cfg, num_steps, guidance_scale, lanes, combine_fn, batch):
     else:
         assert cache_lanes == n_lanes, (cache_lanes, n_lanes)
         lane_rows = np.arange(rows) // batch
-    return skip_mask, n_lanes, jnp.asarray(lane_rows, jnp.int32)
+    partial_lanes = cache_lanes if cache_lanes == n_lanes and cache_lanes > 1 else None
+    return skip_mask, n_lanes, jnp.asarray(lane_rows, jnp.int32), partial_lanes
 
 
 def sample_euler(
@@ -207,7 +265,7 @@ def sample_euler(
     """
     num_steps = len(timesteps)
     batch = x_init.shape[0]
-    skip_mask, n_lanes, lane_of_row = _lane_setup(
+    skip_mask, n_lanes, lane_of_row, partial_lanes = _lane_setup(
         cache_cfg, num_steps, guidance_scale, lanes, combine_fn, batch)
 
     x_l0 = _stack_lanes(x_init, n_lanes)
@@ -228,7 +286,8 @@ def sample_euler(
         tvec = jnp.full((x2.shape[0],), t, jnp.float32)
         hidden, ctx = core.prepare(params, x2, tvec, cond)
         h_out, cache, state = _cached_trunk(core, params, hidden, ctx, cache,
-                                            skip_bits, lane_of_row, state, idx)
+                                            skip_bits, lane_of_row, state, idx,
+                                            partial_lanes=partial_lanes)
         out = core.head(params, h_out, ctx)
         v = _cfg_combine(out, guidance_scale, batch, combine_fn, n_lanes, idx)
         x = cx.astype(x.dtype) * x + dt.astype(x.dtype) * v.astype(x.dtype)
@@ -316,7 +375,7 @@ def unipc_executor(
     # m_{i-1}..m_{i-order+1}; the corrector (correcting i-1 -> i) additionally
     # reaches back to m_{i-order}.
     hist = max(2, order)
-    skip_mask, n_lanes, lane_of_row = _lane_setup(
+    skip_mask, n_lanes, lane_of_row, partial_lanes = _lane_setup(
         cache_cfg, n, guidance_scale, lanes, combine_fn, batch)
 
     # Host-precomputed per-step coefficient tables (padded to fixed width).
@@ -364,7 +423,8 @@ def unipc_executor(
             tvec = jnp.full((x2.shape[0],), t, jnp.float32)
             hidden, ctx = core.prepare(params, x2, tvec, cond)
             h_out, cache, _ = _cached_trunk(core, params, hidden, ctx, cache,
-                                            skip_bits, lane_of_row)
+                                            skip_bits, lane_of_row,
+                                            partial_lanes=partial_lanes)
             out = core.head(params, h_out, ctx)
             v = _cfg_combine(out, guidance_scale, batch, combine_fn, n_lanes)
             m = x_pred - sigma.astype(x_pred.dtype) * v.astype(x_pred.dtype)
@@ -430,7 +490,7 @@ def sample_dpm_cogvideo(
     """
     n = schedule.num_steps
     batch = x_init.shape[0]
-    skip_mask, n_lanes, lane_of_row = _lane_setup(
+    skip_mask, n_lanes, lane_of_row, partial_lanes = _lane_setup(
         cache_cfg, n, guidance_scale, lanes, combine_fn, batch)
     c_x, c_m0, c_m1, sa, sb = schedule.step_arrays()
 
@@ -452,7 +512,8 @@ def sample_dpm_cogvideo(
         tvec = jnp.full((x2.shape[0],), t, jnp.float32)
         hidden, ctx = core.prepare(params, x2, tvec, cond)
         h_out, cache, _ = _cached_trunk(core, params, hidden, ctx, cache,
-                                        skip_bits, lane_of_row)
+                                        skip_bits, lane_of_row,
+                                        partial_lanes=partial_lanes)
         out = core.head(params, h_out, ctx)
         v = _cfg_combine(out, guidance_scale, batch, combine_fn, n_lanes)
         m = sat * x - sbt * v.astype(x.dtype)

@@ -243,3 +243,38 @@ def test_sampler_is_jittable():
         np.asarray(sample_euler(core, params, x, cond, timesteps=sch.timesteps,
                                 dts=dts, cache_cfg=cfg)),
         rtol=1e-5, atol=1e-5)
+
+
+def test_partial_lane_skip_runs_reduced_trunk():
+    """A lane-asymmetric step must dispatch the trunk on HALF the rows (the
+    non-skipping lane only), not the full batch + select — the per-forward
+    skip economics of the reference (magcache_generate.py:294-298)."""
+    steps = 10
+    ratios = np.ones(steps * 2)
+    ratios[0::2] = 0.90
+    ratios[1::2] = 0.995
+    cfg = make_cfg(steps, lanes=2, ratios=ratios, thresh=0.05,
+                   max_consecutive_skips=4)
+    sched = compute_skip_schedule(cfg).reshape(steps, 2)
+    assert any(a != b for a, b in sched)
+
+    core, params = make_toy(3)
+    seen_rows = []
+    orig_trunk = core.trunk
+
+    def spy_trunk(p, h, ctx):
+        seen_rows.append(h.shape[0])
+        return orig_trunk(p, h, ctx)
+
+    import dataclasses as dc
+    spy_core = dc.replace(core, trunk=spy_trunk)
+    sch = FlowMatchSchedule.create(steps, shift=3.0)
+    x = jnp.zeros((2, DIM), jnp.float32)
+    cond = jnp.zeros((4, 4), jnp.float32)
+    jax.eval_shape(
+        lambda p, x, c: sample_euler(
+            spy_core, p, x, c, timesteps=sch.timesteps,
+            dts=np.diff(sch.sigmas), cache_cfg=cfg, guidance_scale=6.0),
+        params, x, cond)
+    # full trunk (4 rows = 2 lanes x batch 2) AND reduced trunk (2 rows)
+    assert 4 in seen_rows and 2 in seen_rows, seen_rows
