@@ -37,7 +37,8 @@ from magcache_tpu.core.calibration import calibration_stats
 from magcache_tpu.core.magcache import MagCacheConfig, compute_skip_schedule
 from magcache_tpu.schedulers.unipc import UniPCSchedule
 
-__all__ = ["DiTCore", "sample_euler", "sample_unipc", "calibrate_euler"]
+__all__ = ["DiTCore", "sample_euler", "sample_unipc", "calibrate_euler",
+           "calibrate_unipc"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -360,6 +361,7 @@ def unipc_executor(
     combine_fn: Optional[Callable] = None,
     skip_mask_override: Optional[jnp.ndarray] = None,
     batch: int = 1,
+    calibrate: bool = False,
 ):
     """Build the UniPC step machinery without committing to a dispatch shape.
 
@@ -368,7 +370,18 @@ def unipc_executor(
     either `lax.scan` the whole run in one dispatch (`sample_unipc`) or slice
     ``step_inputs`` into host-dispatched segments — bounding single-dispatch
     duration (streaming previews, RPC deadline limits) with one compile.
+
+    ``calibrate=True`` disables the cache (full compute) and makes the body
+    emit per-step calibration statistics ``f32[lanes, 3]`` as scan outputs —
+    calibration then runs *inside the very sampler that generation uses*, the
+    reference's semantics (``magcache_generate.py:921-928`` patches
+    ``magcache_calibration`` into the same unipc/dpm++ trajectory; recording
+    from a different solver's trajectory would yield systematically-off
+    mag_ratios).
     """
+    if calibrate:
+        cache_cfg = None
+        skip_mask_override = None
     n = schedule.num_steps
     order = schedule.order
     # carry `order` previous data predictions: predictor at step i uses
@@ -422,9 +435,23 @@ def unipc_executor(
             x2 = _stack_lanes(x_pred, n_lanes)
             tvec = jnp.full((x2.shape[0],), t, jnp.float32)
             hidden, ctx = core.prepare(params, x2, tvec, cond)
-            h_out, cache, _ = _cached_trunk(core, params, hidden, ctx, cache,
-                                            skip_bits, lane_of_row,
-                                            partial_lanes=partial_lanes)
+            stats = None
+            if calibrate:
+                assert core.init_state is None, "calibration needs a stateless trunk"
+                h_out = core.trunk(params, hidden, ctx)
+                resid = h_out - hidden
+                rows_per_lane = hidden.shape[0] // n_lanes
+                stats = jnp.stack([
+                    calibration_stats(
+                        resid[l * rows_per_lane:(l + 1) * rows_per_lane],
+                        cache[l * rows_per_lane:(l + 1) * rows_per_lane])
+                    for l in range(n_lanes)
+                ])  # [lanes, 3]
+                cache = resid
+            else:
+                h_out, cache, _ = _cached_trunk(core, params, hidden, ctx, cache,
+                                                skip_bits, lane_of_row,
+                                                partial_lanes=partial_lanes)
             out = core.head(params, h_out, ctx)
             v = _cfg_combine(out, guidance_scale, batch, combine_fn, n_lanes)
             m = x_pred - sigma.astype(x_pred.dtype) * v.astype(x_pred.dtype)
@@ -439,10 +466,35 @@ def unipc_executor(
             x_next = (pcx * x_cur + pcm0 * m + jnp.tensordot(pw, m_hist, axes=1))
 
             m_hist = jnp.concatenate([m[None], m_hist[:-1]], axis=0)
-            return (x_next, x_cur, m_hist, cache), None
+            return (x_next, x_cur, m_hist, cache), stats
         return f
 
     return init_carry, step_in, body
+
+
+def calibrate_unipc(
+    core: DiTCore,
+    params,
+    x_init: jnp.ndarray,
+    cond,
+    schedule: UniPCSchedule,
+    *,
+    lanes: int = 1,
+    guidance_scale: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-compute UniPC run recording calibration stats from the *actual*
+    generation trajectory (reference: ``magcache_generate.py:921-928``).
+
+    Returns (x_final, stats[num_steps-1, lanes, 3]); same step-(i vs i-1)
+    same-lane convention as `calibrate_euler`.
+    """
+    init_carry, step_in, body = unipc_executor(
+        core, schedule, guidance_scale=guidance_scale,
+        lanes=lanes if lanes > 1 else None, batch=x_init.shape[0],
+        calibrate=True)
+    carry0 = init_carry(params, x_init, cond)
+    (x_fin, _, _, _), stats = jax.lax.scan(body(params, cond), carry0, step_in)
+    return x_fin, stats[1:]  # step 0 has no previous residual
 
 
 def sample_unipc(

@@ -24,7 +24,12 @@ import numpy as np
 
 from magcache_tpu.core.magcache import MagCacheConfig
 from magcache_tpu.core.presets import make_config
-from magcache_tpu.core.sampler import calibrate_euler, sample_euler, sample_unipc
+from magcache_tpu.core.sampler import (
+    calibrate_euler,
+    calibrate_unipc,
+    sample_euler,
+    sample_unipc,
+)
 from magcache_tpu.models.text import MockTextEncoder, TextEncoder
 from magcache_tpu.models.wan import (
     WAN_14B,
@@ -233,14 +238,19 @@ class WanPipeline(BasePipeline):
         core = self.core
 
         if calibrate:
-            def fn(params, x, cond):
-                if self.config.sample_solver == "unipc":
-                    base_dts = np.diff(sch.sigmas)
-                else:
-                    base_dts = np.diff(sch.sigmas)
-                return calibrate_euler(core, params, x, cond,
-                                       timesteps=sch.timesteps, dts=base_dts,
-                                       lanes=2, guidance_scale=g)
+            # Calibration must ride the SAME solver trajectory generation uses
+            # (magcache_generate.py:921-928); recording from Euler while
+            # generating with UniPC yields systematically-off mag_ratios.
+            if self.config.sample_solver == "unipc":
+                def fn(params, x, cond):
+                    return calibrate_unipc(core, params, x, cond, sch,
+                                           lanes=2, guidance_scale=g)
+            else:
+                def fn(params, x, cond):
+                    return calibrate_euler(core, params, x, cond,
+                                           timesteps=sch.timesteps,
+                                           dts=np.diff(sch.sigmas),
+                                           lanes=2, guidance_scale=g)
         elif self.config.sample_solver == "unipc":
             def fn(params, x, cond):
                 return sample_unipc(core, params, x, cond, sch,

@@ -42,3 +42,55 @@ def test_recorder_round_trip(tmp_path):
     with open(tmp_path / "test_mag_ratio.json") as f:
         assert json.load(f) == [1.01235, 0.99]
     np.testing.assert_array_equal(rec.mag_ratios(), [1.01235, 0.99])
+
+
+def test_unipc_calibration_differs_from_euler_and_matches_trajectory():
+    """Calibration must run inside the generation solver (reference:
+    magcache_generate.py:921-928). On the same toy model, UniPC-trajectory
+    stats differ measurably from Euler-trajectory stats — the round-1 bug of
+    always calibrating with Euler silently corrupted UniPC schedules."""
+    import jax
+    import jax.numpy as jnp
+
+    from magcache_tpu.core.sampler import (
+        DiTCore, calibrate_euler, calibrate_unipc, sample_unipc)
+    from magcache_tpu.schedulers.flow_match import FlowMatchSchedule
+    from magcache_tpu.schedulers.unipc import UniPCSchedule
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    params = {
+        "w1": jax.random.normal(ks[0], (8, 24)) * 0.4,
+        "w2": jax.random.normal(ks[1], (24, 8)) * 0.4,
+    }
+    core = DiTCore(
+        prepare=lambda p, x, t, c: (x + 0.01 * t[:, None] + c, None),
+        trunk=lambda p, h, ctx: h + jnp.tanh(h @ p["w1"]) @ p["w2"],
+        head=lambda p, h, ctx: h,
+    )
+    steps = 12
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8)), jnp.float32)
+    cond = jnp.concatenate([jnp.asarray(rng.normal(size=(2, 8)), jnp.float32),
+                            jnp.zeros((2, 8), jnp.float32)])
+
+    usch = UniPCSchedule.create(steps, shift=3.0)
+    esch = FlowMatchSchedule.create(steps, shift=3.0)
+
+    xu, stats_u = calibrate_unipc(core, params, x, cond, usch,
+                                  lanes=2, guidance_scale=5.0)
+    xe, stats_e = calibrate_euler(core, params, x, cond,
+                                  timesteps=esch.timesteps,
+                                  dts=np.diff(esch.sigmas),
+                                  lanes=2, guidance_scale=5.0)
+    assert stats_u.shape == (steps - 1, 2, 3)
+    assert stats_e.shape == (steps - 1, 2, 3)
+    assert np.isfinite(np.asarray(stats_u)).all()
+    # trajectories differ -> recorded mag_ratios differ (the bug was real)
+    ratios_u = np.asarray(stats_u[:, :, 0])
+    ratios_e = np.asarray(stats_e[:, :, 0])
+    assert np.abs(ratios_u - ratios_e).max() > 1e-4
+
+    # calibration's full-compute final sample == generation's full-compute run
+    x_gen = sample_unipc(core, params, x, cond, usch, guidance_scale=5.0)
+    np.testing.assert_allclose(np.asarray(xu), np.asarray(x_gen),
+                               rtol=1e-5, atol=1e-5)
