@@ -46,7 +46,8 @@ class CogVideoXConfig:
     text_dim: int = 4096
     patch: int = 2                 # spatial patch per frame
     axes_dims: Tuple[int, int, int] = (16, 24, 24)  # t/h/w rope split of head_dim
-    time_embed_dim: int = 256
+    time_embed_dim: int = 256      # sinusoid width (published ckpts: = hidden)
+    temb_dim: int = 0              # conditioning width (published: 512); 0 = hidden
     eps: float = 1e-5
     dtype: str = "float32"
     remat: bool = False
@@ -54,6 +55,12 @@ class CogVideoXConfig:
     @property
     def head_dim(self):
         return self.hidden // self.heads
+
+    @property
+    def cond_dim(self):
+        """Timestep-conditioning width (diffusers ``time_embed_dim``, 512 for
+        published CogVideoX; the LayerNormZero/AdaLN linears read from it)."""
+        return self.temb_dim or self.hidden
 
     @property
     def jdtype(self):
@@ -69,7 +76,7 @@ class CogVideoXConfig:
 
 
 def init_cogvideox_params(key: jax.Array, cfg: CogVideoXConfig):
-    d, L = cfg.hidden, cfg.layers
+    d, L, ct = cfg.hidden, cfg.layers, cfg.cond_dim
     p2 = cfg.patch * cfg.patch
     ks = iter(jax.random.split(key, 16))
     nxt = lambda: next(ks)
@@ -80,11 +87,15 @@ def init_cogvideox_params(key: jax.Array, cfg: CogVideoXConfig):
     return {
         "patch_embed": linear_params(nxt(), cfg.in_channels * p2, d, dtype=cfg.jdtype),
         "text_proj": linear_params(nxt(), cfg.text_dim, d, dtype=cfg.jdtype),
-        "time": {"in": linear_params(nxt(), cfg.time_embed_dim, d),
-                 "out": linear_params(nxt(), d, d)},
+        "time": {"in": linear_params(nxt(), cfg.time_embed_dim, ct),
+                 "out": linear_params(nxt(), ct, ct)},
         "blocks": {
-            "mod1": st(d, 6 * d),          # LayerNormZero: vid(3) + txt(3)
-            "mod2": st(d, 6 * d),
+            "mod1": st(ct, 6 * d),         # LayerNormZero: vid(3) + txt(3)
+            "mod2": st(ct, 6 * d),
+            "ln1_w": jnp.ones((L, d), jnp.float32),   # norm1.norm affine
+            "ln1_b": jnp.zeros((L, d), jnp.float32),
+            "ln2_w": jnp.ones((L, d), jnp.float32),   # norm2.norm affine
+            "ln2_b": jnp.zeros((L, d), jnp.float32),
             "qkv": st(d, 3 * d),
             "q_norm_w": jnp.ones((L, cfg.head_dim), jnp.float32),
             "q_norm_b": jnp.zeros((L, cfg.head_dim), jnp.float32),
@@ -94,7 +105,11 @@ def init_cogvideox_params(key: jax.Array, cfg: CogVideoXConfig):
             "ff1": st(d, cfg.mlp_ratio * d),
             "ff2": st(cfg.mlp_ratio * d, d),
         },
-        "final_mod": linear_params(nxt(), d, 2 * d),
+        "norm_final_w": jnp.ones((d,), jnp.float32),  # norm_final affine
+        "norm_final_b": jnp.zeros((d,), jnp.float32),
+        "norm_out_w": jnp.ones((d,), jnp.float32),    # norm_out.norm affine
+        "norm_out_b": jnp.zeros((d,), jnp.float32),
+        "final_mod": linear_params(nxt(), ct, 2 * d),
         "final_out": linear_params(nxt(), d, cfg.in_channels * p2),
     }
 
@@ -180,8 +195,8 @@ def make_cogvideox_core(cfg: CogVideoXConfig, txt_len: int,
 
         def compute_attn(args):
             vid, txt = args
-            vid_n = layer_norm(vid, eps=cfg.eps) * (1 + vsc1) + vs1
-            txt_n = layer_norm(txt, eps=cfg.eps) * (1 + tsc1) + ts1
+            vid_n = layer_norm(vid, p["ln1_w"], p["ln1_b"], eps=cfg.eps) * (1 + vsc1) + vs1
+            txt_n = layer_norm(txt, p["ln1_w"], p["ln1_b"], eps=cfg.eps) * (1 + tsc1) + ts1
             h = jnp.concatenate([txt_n, vid_n], axis=1).astype(vid.dtype)
             q, k, v = jnp.split(linear(p["qkv"], h), 3, axis=-1)
             rs = lambda x: x.reshape(b, x.shape[1], cfg.heads, -1)
@@ -208,8 +223,8 @@ def make_cogvideox_core(cfg: CogVideoXConfig, txt_len: int,
 
         def compute_ff(args):
             vid, txt = args
-            vid_n = layer_norm(vid, eps=cfg.eps) * (1 + vsc2) + vs2
-            txt_n = layer_norm(txt, eps=cfg.eps) * (1 + tsc2) + ts2
+            vid_n = layer_norm(vid, p["ln2_w"], p["ln2_b"], eps=cfg.eps) * (1 + vsc2) + vs2
+            txt_n = layer_norm(txt, p["ln2_w"], p["ln2_b"], eps=cfg.eps) * (1 + tsc2) + ts2
             h = jnp.concatenate([txt_n, vid_n], axis=1).astype(vid.dtype)
             return linear(p["ff2"], jax.nn.gelu(linear(p["ff1"], h),
                                                 approximate=True))
@@ -256,10 +271,18 @@ def make_cogvideox_core(cfg: CogVideoXConfig, txt_len: int,
         return vid_o, {"attn": ys[0], "mlp": ys[1]}
 
     def head(params, vid, ctx):
+        # norm_final (affine LN; the 5B path concatenates [txt; vid], norms,
+        # then slices the video tokens back out — affine LN is per-token, so
+        # norming vid alone is identical), then AdaLayerNorm (norm_out) with
+        # (shift, scale) chunk order, then proj_out
+        # (cogvideox_transformer_3d.py:567-579, normalization.py:80-96).
         temb = ctx["temb"]
+        h = layer_norm(vid, params["norm_final_w"], params["norm_final_b"],
+                       eps=cfg.eps)
         mod = linear(params["final_mod"], jax.nn.silu(temb)).astype(jnp.float32)
         shift, scale = mod[:, None, :d], mod[:, None, d:]
-        h = layer_norm(vid, eps=cfg.eps) * (1 + scale) + shift
+        h = layer_norm(h, params["norm_out_w"], params["norm_out_b"],
+                       eps=cfg.eps) * (1 + scale) + shift
         out = linear(params["final_out"], h.astype(vid.dtype))
         return _unpatchify(out.astype(jnp.float32))
 

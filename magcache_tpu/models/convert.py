@@ -34,9 +34,16 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["load_safetensors_dir", "convert_wan_state_dict",
-           "load_wan_checkpoint", "convert_flux_state_dict",
-           "load_flux_checkpoint", "save_params", "load_params"]
+__all__ = [
+    "load_safetensors_dir", "save_params", "load_params",
+    "convert_wan_state_dict", "load_wan_checkpoint",
+    "convert_flux_state_dict", "load_flux_checkpoint",
+    "convert_hunyuan_state_dict", "load_hunyuan_checkpoint",
+    "convert_qwen_image_state_dict", "load_qwen_image_checkpoint",
+    "convert_cogvideox_state_dict", "load_cogvideox_checkpoint",
+    "convert_stdit3_state_dict", "load_stdit3_checkpoint",
+    "convert_t5_encoder_state_dict", "load_t5_encoder_checkpoint",
+]
 
 
 def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
@@ -233,3 +240,383 @@ def load_params(path: str, like=None):
         if like is not None:
             return ckptr.restore(os.path.abspath(path), like)
         return ckptr.restore(os.path.abspath(path))
+
+
+# --------------------------------------------------------------------------
+# HunyuanVideo (official tencent `hyvideo` naming; the reference monkey-
+# patches this model in MagCache4HunyuanVideo/magcache_sample_video.py)
+# --------------------------------------------------------------------------
+
+def convert_hunyuan_state_dict(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """Map the official HunyuanVideo transformer state dict onto
+    `init_hunyuan_params`' tree.
+
+    Key layout (hyvideo/modules/models.py):
+      img_in.proj (Conv3d k=(1,2,2)); txt_in.input_embedder;
+      txt_in.t_embedder.mlp.{0,2}; txt_in.c_embedder.linear_{1,2};
+      txt_in.individual_token_refiner.blocks.i.{norm1,self_attn_qkv,
+        self_attn_proj,norm2,mlp.fc1,mlp.fc2,adaLN_modulation.1};
+      time_in.mlp.{0,2}; vector_in.{in,out}_layer; guidance_in.mlp.{0,2};
+      double_blocks.i.{img,txt}_{mod.linear,attn_qkv,attn_q_norm,attn_k_norm,
+        attn_proj,mlp.fc1,mlp.fc2};
+      single_blocks.i.{linear1,linear2,q_norm,k_norm,modulation.linear};
+      final_layer.{adaLN_modulation.1,linear}.
+    """
+    dt = cfg.jdtype
+    d = cfg.hidden
+    L2, L1, LR = cfg.depth_double, cfg.depth_single, cfg.refiner_depth
+
+    # strip an optional "model." / "module." prefix (pt checkpoint wrappers)
+    for pre in ("model.", "module."):
+        if any(k.startswith(pre) for k in sd):
+            sd = {k[len(pre):] if k.startswith(pre) else k: v for k, v in sd.items()}
+
+    # conv3d patchify [d, C, kt, kh, kw] -> linear [(C*kt*kh*kw), d], feature
+    # order (c, pt, ph, pw) = patchify_video's flattening
+    pw_ = np.asarray(sd["img_in.proj.weight"], np.float32)
+    cout, cin, kt, kh, kw = pw_.shape
+    img_in_w = pw_.transpose(1, 2, 3, 4, 0).reshape(cin * kt * kh * kw, cout)
+
+    def norm_pair(name, i, rms_only=True):
+        w = np.asarray(sd[name], np.float32)
+        return w
+
+    def qk_scale(prefix):
+        q = np.asarray(sd[f"{prefix}_q_norm.weight"], np.float32)
+        k = np.asarray(sd[f"{prefix}_k_norm.weight"], np.float32)
+        return np.stack([q, k])
+
+    params = {
+        "img_in": {"w": jnp.asarray(img_in_w, dt),
+                   "b": jnp.asarray(np.asarray(sd["img_in.proj.bias"], np.float32), dt)},
+        # hyvideo feeds the refiner output straight into the trunk; our flux
+        # trunk view applies txt_in after the refiner -> identity
+        "txt_in": {"w": jnp.eye(d, dtype=dt), "b": jnp.zeros((d,), dt)},
+        "time_in": {"in": _lin(sd, "time_in.mlp.0", jnp.float32),
+                    "out": _lin(sd, "time_in.mlp.2", jnp.float32)},
+        "vector_in": {"in": _lin(sd, "vector_in.in_layer", jnp.float32),
+                      "out": _lin(sd, "vector_in.out_layer", jnp.float32)},
+        "final_mod": _lin(sd, "final_layer.adaLN_modulation.1", jnp.float32),
+        "final_out": _lin(sd, "final_layer.linear", dt),
+        "refiner": {
+            "in": _lin(sd, "txt_in.input_embedder", jnp.float32),
+            "t_embed": {"in": _lin(sd, "txt_in.t_embedder.mlp.0", jnp.float32),
+                        "out": _lin(sd, "txt_in.t_embedder.mlp.2", jnp.float32)},
+            "c_embed": {"in": _lin(sd, "txt_in.c_embedder.linear_1", jnp.float32),
+                        "out": _lin(sd, "txt_in.c_embedder.linear_2", jnp.float32)},
+            "blocks": {
+                "qkv": _stack([_lin(sd, f"txt_in.individual_token_refiner.blocks.{i}.self_attn_qkv", dt) for i in range(LR)]),
+                "proj": _stack([_lin(sd, f"txt_in.individual_token_refiner.blocks.{i}.self_attn_proj", dt) for i in range(LR)]),
+                "mlp1": _stack([_lin(sd, f"txt_in.individual_token_refiner.blocks.{i}.mlp.fc1", dt) for i in range(LR)]),
+                "mlp2": _stack([_lin(sd, f"txt_in.individual_token_refiner.blocks.{i}.mlp.fc2", dt) for i in range(LR)]),
+                "mod": _stack([_lin(sd, f"txt_in.individual_token_refiner.blocks.{i}.adaLN_modulation.1", jnp.float32) for i in range(LR)]),
+                "norm1_w": jnp.stack([jnp.asarray(sd[f"txt_in.individual_token_refiner.blocks.{i}.norm1.weight"], jnp.float32) for i in range(LR)]),
+                "norm1_b": jnp.stack([jnp.asarray(sd[f"txt_in.individual_token_refiner.blocks.{i}.norm1.bias"], jnp.float32) for i in range(LR)]),
+                "norm2_w": jnp.stack([jnp.asarray(sd[f"txt_in.individual_token_refiner.blocks.{i}.norm2.weight"], jnp.float32) for i in range(LR)]),
+                "norm2_b": jnp.stack([jnp.asarray(sd[f"txt_in.individual_token_refiner.blocks.{i}.norm2.bias"], jnp.float32) for i in range(LR)]),
+            },
+        },
+        "double": {
+            "img_mod": _stack([_lin(sd, f"double_blocks.{i}.img_mod.linear", jnp.float32) for i in range(L2)]),
+            "txt_mod": _stack([_lin(sd, f"double_blocks.{i}.txt_mod.linear", jnp.float32) for i in range(L2)]),
+            "img_qkv": _stack([_lin(sd, f"double_blocks.{i}.img_attn_qkv", dt) for i in range(L2)]),
+            "txt_qkv": _stack([_lin(sd, f"double_blocks.{i}.txt_attn_qkv", dt) for i in range(L2)]),
+            "img_qk_scale": jnp.asarray(np.stack([qk_scale(f"double_blocks.{i}.img_attn") for i in range(L2)])),
+            "txt_qk_scale": jnp.asarray(np.stack([qk_scale(f"double_blocks.{i}.txt_attn") for i in range(L2)])),
+            "img_proj": _stack([_lin(sd, f"double_blocks.{i}.img_attn_proj", dt) for i in range(L2)]),
+            "txt_proj": _stack([_lin(sd, f"double_blocks.{i}.txt_attn_proj", dt) for i in range(L2)]),
+            "img_mlp1": _stack([_lin(sd, f"double_blocks.{i}.img_mlp.fc1", dt) for i in range(L2)]),
+            "img_mlp2": _stack([_lin(sd, f"double_blocks.{i}.img_mlp.fc2", dt) for i in range(L2)]),
+            "txt_mlp1": _stack([_lin(sd, f"double_blocks.{i}.txt_mlp.fc1", dt) for i in range(L2)]),
+            "txt_mlp2": _stack([_lin(sd, f"double_blocks.{i}.txt_mlp.fc2", dt) for i in range(L2)]),
+        },
+        "single": {
+            "mod": _stack([_lin(sd, f"single_blocks.{i}.modulation.linear", jnp.float32) for i in range(L1)]),
+            "lin1": _stack([_lin(sd, f"single_blocks.{i}.linear1", dt) for i in range(L1)]),
+            "lin2": _stack([_lin(sd, f"single_blocks.{i}.linear2", dt) for i in range(L1)]),
+            "qk_scale": jnp.asarray(np.stack([
+                np.stack([np.asarray(sd[f"single_blocks.{i}.q_norm.weight"], np.float32),
+                          np.asarray(sd[f"single_blocks.{i}.k_norm.weight"], np.float32)])
+                for i in range(L1)])),
+        },
+    }
+    if cfg.guidance_embed and "guidance_in.mlp.0.weight" in sd:
+        params["guidance_in"] = {"in": _lin(sd, "guidance_in.mlp.0", jnp.float32),
+                                 "out": _lin(sd, "guidance_in.mlp.2", jnp.float32)}
+    return params
+
+
+def load_hunyuan_checkpoint(ckpt_dir: str, cfg):
+    return convert_hunyuan_state_dict(load_safetensors_dir(ckpt_dir), cfg)
+
+
+# --------------------------------------------------------------------------
+# Qwen-Image / Qwen-Image-Edit (diffusers QwenImageTransformer2DModel naming;
+# reference adapter: MagCache4QwenImage/magcache_generate.py)
+# --------------------------------------------------------------------------
+
+def convert_qwen_image_state_dict(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """Map the diffusers Qwen-Image transformer state dict onto
+    `init_qwen_image_params`' tree (flux layout + txt_norm, depth_single=0).
+
+    Key layout: img_in, txt_norm, txt_in,
+      time_text_embed.timestep_embedder.linear_{1,2},
+      transformer_blocks.i.{img_mod.1, txt_mod.1,
+        attn.{to_q,to_k,to_v,norm_q,norm_k,to_out.0},
+        attn.{add_q_proj,add_k_proj,add_v_proj,norm_added_q,norm_added_k,
+              to_add_out},
+        img_mlp.net.0.proj, img_mlp.net.2, txt_mlp.net.0.proj, txt_mlp.net.2},
+      norm_out.linear, proj_out.
+    """
+    dt = cfg.jdtype if hasattr(cfg, "jdtype") else jnp.float32
+    fcfg = cfg.to_flux()
+    dt = fcfg.jdtype
+    d = fcfg.hidden
+    L = fcfg.depth_double
+
+    def cat_qkv(i, names):
+        ws = [np.asarray(sd[f"transformer_blocks.{i}.attn.{n}.weight"], np.float32).T
+              for n in names]
+        bs = [np.asarray(sd[f"transformer_blocks.{i}.attn.{n}.bias"], np.float32)
+              for n in names]
+        return {"w": jnp.asarray(np.concatenate(ws, axis=1), dt),
+                "b": jnp.asarray(np.concatenate(bs, axis=0), dt)}
+
+    def qk_scale(i, qn, kn):
+        q = np.asarray(sd[f"transformer_blocks.{i}.attn.{qn}.weight"], np.float32)
+        k = np.asarray(sd[f"transformer_blocks.{i}.attn.{kn}.weight"], np.float32)
+        return np.stack([q, k])
+
+    # depth_single == 0: zero-length stacks matching init_flux_params' shapes
+    mlp_d = fcfg.mlp_ratio * d
+    zero_single = {
+        "mod": {"w": jnp.zeros((0, d, 3 * d), dt), "b": jnp.zeros((0, 3 * d), dt)},
+        "lin1": {"w": jnp.zeros((0, d, 3 * d + mlp_d), dt),
+                 "b": jnp.zeros((0, 3 * d + mlp_d), dt)},
+        "lin2": {"w": jnp.zeros((0, d + mlp_d, d), dt), "b": jnp.zeros((0, d), dt)},
+        "qk_scale": jnp.ones((0, 2, fcfg.head_dim), jnp.float32),
+    }
+
+    params = {
+        "txt_norm": jnp.asarray(sd["txt_norm.weight"], jnp.float32),
+        "img_in": _lin(sd, "img_in", dt),
+        "txt_in": _lin(sd, "txt_in", dt),
+        "time_in": {"in": _lin(sd, "time_text_embed.timestep_embedder.linear_1", jnp.float32),
+                    "out": _lin(sd, "time_text_embed.timestep_embedder.linear_2", jnp.float32)},
+        # Qwen-Image has no pooled-text vector; the flux tree slot is unused
+        "vector_in": {"in": {"w": jnp.zeros((fcfg.vec_dim, d), jnp.float32),
+                             "b": jnp.zeros((d,), jnp.float32)},
+                      "out": {"w": jnp.zeros((d, d), jnp.float32),
+                              "b": jnp.zeros((d,), jnp.float32)}},
+        "final_mod": _lin(sd, "norm_out.linear", jnp.float32),
+        "final_out": _lin(sd, "proj_out", dt),
+        "double": {
+            "img_mod": _stack([_lin(sd, f"transformer_blocks.{i}.img_mod.1", jnp.float32) for i in range(L)]),
+            "txt_mod": _stack([_lin(sd, f"transformer_blocks.{i}.txt_mod.1", jnp.float32) for i in range(L)]),
+            "img_qkv": _stack([cat_qkv(i, ["to_q", "to_k", "to_v"]) for i in range(L)]),
+            "txt_qkv": _stack([cat_qkv(i, ["add_q_proj", "add_k_proj", "add_v_proj"]) for i in range(L)]),
+            "img_qk_scale": jnp.asarray(np.stack([qk_scale(i, "norm_q", "norm_k") for i in range(L)])),
+            "txt_qk_scale": jnp.asarray(np.stack([qk_scale(i, "norm_added_q", "norm_added_k") for i in range(L)])),
+            "img_proj": _stack([_lin(sd, f"transformer_blocks.{i}.attn.to_out.0", dt) for i in range(L)]),
+            "txt_proj": _stack([_lin(sd, f"transformer_blocks.{i}.attn.to_add_out", dt) for i in range(L)]),
+            "img_mlp1": _stack([_lin(sd, f"transformer_blocks.{i}.img_mlp.net.0.proj", dt) for i in range(L)]),
+            "img_mlp2": _stack([_lin(sd, f"transformer_blocks.{i}.img_mlp.net.2", dt) for i in range(L)]),
+            "txt_mlp1": _stack([_lin(sd, f"transformer_blocks.{i}.txt_mlp.net.0.proj", dt) for i in range(L)]),
+            "txt_mlp2": _stack([_lin(sd, f"transformer_blocks.{i}.txt_mlp.net.2", dt) for i in range(L)]),
+        },
+        "single": zero_single,
+    }
+    return params
+
+
+def load_qwen_image_checkpoint(ckpt_dir: str, cfg):
+    return convert_qwen_image_state_dict(load_safetensors_dir(ckpt_dir), cfg)
+
+
+# --------------------------------------------------------------------------
+# CogVideoX (diffusers CogVideoXTransformer3DModel naming; reference:
+# videosys/models/transformers/cogvideox_transformer_3d.py)
+# --------------------------------------------------------------------------
+
+def convert_cogvideox_state_dict(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """Map a CogVideoX transformer state dict onto `init_cogvideox_params`.
+
+    Key layout (cogvideox_transformer_3d.py:405-455 + modules):
+      patch_embed.{proj (Conv2d), text_proj}; time_embedding.linear_{1,2};
+      transformer_blocks.i.{norm1.{linear,norm}, attn1.{to_q,to_k,to_v,
+        norm_q,norm_k,to_out.0}, norm2.{linear,norm}, ff.net.0.proj,
+        ff.net.2}; norm_final; norm_out.{linear,norm}; proj_out.
+    """
+    dt = cfg.jdtype
+    L = cfg.layers
+
+    # conv2d per-frame patchify [d, C, p, p] -> linear [(C*p*p), d], feature
+    # order (c, ph, pw) = make_cogvideox_core._patchify's flattening
+    pw_ = np.asarray(sd["patch_embed.proj.weight"], np.float32)
+    cout, cin, ph, pw = pw_.shape
+    pe_w = pw_.transpose(1, 2, 3, 0).reshape(cin * ph * pw, cout)
+
+    def cat_qkv(i):
+        ws = [np.asarray(sd[f"transformer_blocks.{i}.attn1.{n}.weight"], np.float32).T
+              for n in ("to_q", "to_k", "to_v")]
+        bs = [np.asarray(sd[f"transformer_blocks.{i}.attn1.{n}.bias"], np.float32)
+              for n in ("to_q", "to_k", "to_v")]
+        return {"w": jnp.asarray(np.concatenate(ws, axis=1), dt),
+                "b": jnp.asarray(np.concatenate(bs, axis=0), dt)}
+
+    def ln_stack(fmt, part):
+        return jnp.stack([jnp.asarray(sd[fmt.format(i=i) + f".{part}"], jnp.float32)
+                          for i in range(L)])
+
+    params = {
+        "patch_embed": {"w": jnp.asarray(pe_w, dt),
+                        "b": jnp.asarray(np.asarray(sd["patch_embed.proj.bias"], np.float32), dt)},
+        "text_proj": _lin(sd, "patch_embed.text_proj", dt),
+        "time": {"in": _lin(sd, "time_embedding.linear_1", jnp.float32),
+                 "out": _lin(sd, "time_embedding.linear_2", jnp.float32)},
+        "blocks": {
+            "mod1": _stack([_lin(sd, f"transformer_blocks.{i}.norm1.linear", dt) for i in range(L)]),
+            "mod2": _stack([_lin(sd, f"transformer_blocks.{i}.norm2.linear", dt) for i in range(L)]),
+            "ln1_w": ln_stack("transformer_blocks.{i}.norm1.norm", "weight"),
+            "ln1_b": ln_stack("transformer_blocks.{i}.norm1.norm", "bias"),
+            "ln2_w": ln_stack("transformer_blocks.{i}.norm2.norm", "weight"),
+            "ln2_b": ln_stack("transformer_blocks.{i}.norm2.norm", "bias"),
+            "qkv": _stack([cat_qkv(i) for i in range(L)]),
+            "q_norm_w": ln_stack("transformer_blocks.{i}.attn1.norm_q", "weight"),
+            "q_norm_b": ln_stack("transformer_blocks.{i}.attn1.norm_q", "bias"),
+            "k_norm_w": ln_stack("transformer_blocks.{i}.attn1.norm_k", "weight"),
+            "k_norm_b": ln_stack("transformer_blocks.{i}.attn1.norm_k", "bias"),
+            "proj": _stack([_lin(sd, f"transformer_blocks.{i}.attn1.to_out.0", dt) for i in range(L)]),
+            "ff1": _stack([_lin(sd, f"transformer_blocks.{i}.ff.net.0.proj", dt) for i in range(L)]),
+            "ff2": _stack([_lin(sd, f"transformer_blocks.{i}.ff.net.2", dt) for i in range(L)]),
+        },
+        "norm_final_w": jnp.asarray(sd["norm_final.weight"], jnp.float32),
+        "norm_final_b": jnp.asarray(sd["norm_final.bias"], jnp.float32),
+        "norm_out_w": jnp.asarray(sd["norm_out.norm.weight"], jnp.float32),
+        "norm_out_b": jnp.asarray(sd["norm_out.norm.bias"], jnp.float32),
+        "final_mod": _lin(sd, "norm_out.linear", jnp.float32),
+        "final_out": _lin(sd, "proj_out", dt),
+    }
+    return params
+
+
+def load_cogvideox_checkpoint(ckpt_dir: str, cfg):
+    return convert_cogvideox_state_dict(load_safetensors_dir(ckpt_dir), cfg)
+
+
+# --------------------------------------------------------------------------
+# STDiT3 / Open-Sora 1.2 (videosys open_sora_transformer_3d.py naming)
+# --------------------------------------------------------------------------
+
+def convert_stdit3_state_dict(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """Map an Open-Sora 1.2 STDiT3 state dict onto `init_stdit3_params`.
+
+    Key layout (open_sora_transformer_3d.py:345-426 + modules):
+      x_embedder.proj (Conv3d); t_embedder.mlp.{0,2}; fps_embedder.mlp.{0,2};
+      t_block.1; y_embedder.{y_embedding, y_proj.fc1, y_proj.fc2};
+      {spatial,temporal}_blocks.i.{scale_shift_table, attn.{qkv,q_norm,k_norm,
+        proj}, cross_attn.{q_linear,kv_linear,proj}, mlp.{fc1,fc2}};
+      final_layer.{linear, scale_shift_table}.
+    """
+    L = cfg.depth
+
+    pw_ = np.asarray(sd["x_embedder.proj.weight"], np.float32)
+    cout, cin, kt, kh, kw = pw_.shape
+    pe_w = pw_.transpose(1, 2, 3, 4, 0).reshape(cin * kt * kh * kw, cout)
+
+    def group(prefix):
+        g = {
+            "scale_shift": jnp.stack([
+                jnp.asarray(sd[f"{prefix}.{i}.scale_shift_table"], jnp.float32)
+                for i in range(L)]),
+            "qkv": _stack([_lin(sd, f"{prefix}.{i}.attn.qkv", cfg.jdtype) for i in range(L)]),
+            "proj": _stack([_lin(sd, f"{prefix}.{i}.attn.proj", cfg.jdtype) for i in range(L)]),
+            "cross_q": _stack([_lin(sd, f"{prefix}.{i}.cross_attn.q_linear", cfg.jdtype) for i in range(L)]),
+            "cross_kv": _stack([_lin(sd, f"{prefix}.{i}.cross_attn.kv_linear", cfg.jdtype) for i in range(L)]),
+            "cross_o": _stack([_lin(sd, f"{prefix}.{i}.cross_attn.proj", cfg.jdtype) for i in range(L)]),
+            "mlp1": _stack([_lin(sd, f"{prefix}.{i}.mlp.fc1", cfg.jdtype) for i in range(L)]),
+            "mlp2": _stack([_lin(sd, f"{prefix}.{i}.mlp.fc2", cfg.jdtype) for i in range(L)]),
+        }
+        if cfg.qk_norm:
+            g["q_norm"] = jnp.stack([jnp.asarray(sd[f"{prefix}.{i}.attn.q_norm.weight"], jnp.float32) for i in range(L)])
+            g["k_norm"] = jnp.stack([jnp.asarray(sd[f"{prefix}.{i}.attn.k_norm.weight"], jnp.float32) for i in range(L)])
+        return g
+
+    return {
+        "y_null": jnp.asarray(sd["y_embedder.y_embedding"], jnp.float32),
+        "patch_embed": {"w": jnp.asarray(pe_w, jnp.float32),
+                        "b": jnp.asarray(np.asarray(sd["x_embedder.proj.bias"], np.float32), jnp.float32)},
+        "t_embed": {"in": _lin(sd, "t_embedder.mlp.0", jnp.float32),
+                    "out": _lin(sd, "t_embedder.mlp.2", jnp.float32)},
+        "fps_embed": {"in": _lin(sd, "fps_embedder.mlp.0", jnp.float32),
+                      "out": _lin(sd, "fps_embedder.mlp.2", jnp.float32)},
+        "t_block": _lin(sd, "t_block.1", jnp.float32),
+        "y_embed": {"in": _lin(sd, "y_embedder.y_proj.fc1", jnp.float32),
+                    "out": _lin(sd, "y_embedder.y_proj.fc2", jnp.float32)},
+        "spatial": group("spatial_blocks"),
+        "temporal": group("temporal_blocks"),
+        "final": {
+            "scale_shift": jnp.asarray(sd["final_layer.scale_shift_table"], jnp.float32),
+            "out": _lin(sd, "final_layer.linear", jnp.float32),
+        },
+    }
+
+
+def load_stdit3_checkpoint(ckpt_dir: str, cfg):
+    return convert_stdit3_state_dict(load_safetensors_dir(ckpt_dir), cfg)
+
+
+# --------------------------------------------------------------------------
+# T5 encoder (torch HF naming -> FlaxT5EncoderModel params)
+# --------------------------------------------------------------------------
+
+def convert_t5_encoder_state_dict(sd: Dict[str, np.ndarray]) -> dict:
+    """Map a torch T5/umt5 encoder state dict onto FlaxT5EncoderModel.params.
+
+    The reference loads the torch T5 through ColossalAI's shardformer
+    (``videosys/core/shardformer/t5/policy.py``); here the torch weights map
+    onto the HF Flax tree that `JaxT5Encoder` jits: Linear weights transpose
+    to ``kernel`` [in, out]; embeddings/norm scales pass through.
+    """
+    params: dict = {}
+
+    def put(path, value):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = jnp.asarray(value)
+
+    for key, v in sd.items():
+        if key.startswith(("decoder.", "lm_head")):
+            continue
+        v = np.asarray(v, np.float32)
+        if key == "shared.weight":
+            put(("shared", "embedding"), v)
+            continue
+        if key == "encoder.embed_tokens.weight":
+            continue  # tied to shared
+        if key == "encoder.final_layer_norm.weight":
+            put(("encoder", "final_layer_norm", "weight"), v)
+            continue
+        parts = key.split(".")
+        if parts[0] != "encoder" or parts[1] != "block":
+            continue
+        i, j = parts[2], parts[4]  # block idx, layer idx
+        rest = parts[5:]
+        base = ("encoder", "block", i, "layer", j)
+        if rest[0] == "layer_norm":
+            put(base + ("layer_norm", "weight"), v)
+        elif rest[0] == "SelfAttention":
+            name = rest[1]
+            if name == "relative_attention_bias":
+                put(base + ("SelfAttention", "relative_attention_bias",
+                            "embedding"), v)
+            else:  # q/k/v/o Linear (no bias in T5)
+                put(base + ("SelfAttention", name, "kernel"), v.T)
+        elif rest[0] == "DenseReluDense":
+            put(base + ("DenseReluDense", rest[1], "kernel"), v.T)
+    return params
+
+
+def load_t5_encoder_checkpoint(path: str):
+    return convert_t5_encoder_state_dict(load_safetensors_dir(path))

@@ -32,7 +32,7 @@ from magcache_tpu.core.pab import PABConfig, broadcast_masks
 from magcache_tpu.core.sampler import DiTCore
 from magcache_tpu.models.common import linear, linear_params, timestep_embedding
 from magcache_tpu.ops.attention import attention
-from magcache_tpu.ops.norms import layer_norm
+from magcache_tpu.ops.norms import layer_norm, rms_norm
 from magcache_tpu.ops.rope import apply_rope, rope_freqs_1d
 
 __all__ = ["STDiT3Config", "init_stdit3_params", "make_stdit3_core"]
@@ -48,6 +48,8 @@ class STDiT3Config:
     caption_dim: int = 4096
     patch: Tuple[int, int, int] = (1, 2, 2)
     freq_dim: int = 256
+    caption_max_len: int = 300          # y_embedder token_num (model_max_length)
+    qk_norm: bool = True                # v1.2 ckpts: RMSNorm on q/k heads
     eps: float = 1e-6
     dtype: str = "float32"
 
@@ -64,7 +66,8 @@ class STDiT3Config:
         return jnp.dtype(self.dtype)
 
     def tiny(**kw):
-        d = dict(hidden=64, heads=4, depth=2, caption_dim=24, freq_dim=32)
+        d = dict(hidden=64, heads=4, depth=2, caption_dim=24, freq_dim=32,
+                 caption_max_len=4)
         d.update(kw)
         return STDiT3Config(**d)
 
@@ -81,15 +84,25 @@ def init_stdit3_params(key: jax.Array, cfg: STDiT3Config):
         return linear_params(nxt(), d_in, d_out, depth=L, dtype=cfg.jdtype)
 
     def block_group():
-        return {
+        g = {
             "scale_shift": jax.random.normal(nxt(), (L, 6, d), jnp.float32) / np.sqrt(d),
             "qkv": st(d, 3 * d),
             "proj": st(d, d),
             "cross_q": st(d, d), "cross_kv": st(d, 2 * d), "cross_o": st(d, d),
             "mlp1": st(d, cfg.mlp_ratio * d), "mlp2": st(cfg.mlp_ratio * d, d),
         }
+        if cfg.qk_norm:
+            # attn.{q,k}_norm: LlamaRMSNorm over head_dim (attentions.py:43-45)
+            g["q_norm"] = jnp.ones((L, cfg.head_dim), jnp.float32)
+            g["k_norm"] = jnp.ones((L, cfg.head_dim), jnp.float32)
+        return g
 
     return {
+        # trained null-caption embedding for CFG uncond
+        # (y_embedder.y_embedding [token_num, caption_dim], embeddings.py:200-210)
+        "y_null": jax.random.normal(
+            nxt(), (cfg.caption_max_len, cfg.caption_dim), jnp.float32)
+            / np.sqrt(cfg.caption_dim),
         "patch_embed": linear_params(nxt(), cfg.in_channels * pt * ph * pw, d),
         "t_embed": {"in": linear_params(nxt(), cfg.freq_dim, d),
                     "out": linear_params(nxt(), d, d)},
@@ -120,10 +133,16 @@ def _pos_embed_2d(dim: int, gh: int, gw: int, scale: float = 1.0) -> np.ndarray:
 
 
 def _attn(p, x, heads, rope=None, eps=1e-6):
-    """Self-attention over the middle axis of x [rows, s, d]."""
+    """Self-attention over the middle axis of x [rows, s, d].
+
+    qk-norm (when the params carry it) applies BEFORE rope — the reference's
+    non-legacy ordering (attentions.py:71-75)."""
     q, k, v = jnp.split(linear(p_slice(p, "qkv"), x), 3, axis=-1)
     rs = lambda t: t.reshape(t.shape[0], t.shape[1], heads, -1)
     q, k, v = rs(q), rs(k), rs(v)
+    if "q_norm" in p:
+        q = rms_norm(q, p["q_norm"], eps=1e-6)
+        k = rms_norm(k, p["k_norm"], eps=1e-6)
     if rope is not None:
         q = apply_rope(q, *rope)
         k = apply_rope(k, *rope)

@@ -145,3 +145,259 @@ def test_orbax_save_load_roundtrip(tmp_path):
     restored = load_params(str(tmp_path / "ckpt"), like=params)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
                  params, restored)
+
+
+# --------------------------------------------------------------------------
+# Round-2 converters: Hunyuan / Qwen-Image / CogVideoX / STDiT3 / T5
+# --------------------------------------------------------------------------
+
+def _rlin(rng, sd, name, i, o, bias=True):
+    sd[f"{name}.weight"] = rng.normal(0, 0.05, (o, i)).astype(np.float32)
+    if bias:
+        sd[f"{name}.bias"] = rng.normal(0, 0.01, (o,)).astype(np.float32)
+
+
+def _tree_shapes_match(a, b):
+    jax.tree.map(lambda x, y: None if x.shape == y.shape else (_ for _ in ()).throw(
+        AssertionError(f"{x.shape} != {y.shape}")), a, b)
+
+
+def test_hunyuan_convert_and_forward():
+    from magcache_tpu.models.convert import convert_hunyuan_state_dict
+    from magcache_tpu.models.hunyuan import (
+        HunyuanConfig, init_hunyuan_params, make_hunyuan_core)
+
+    cfg = HunyuanConfig.tiny()
+    d, hd = cfg.hidden, cfg.head_dim
+    mlp_d = cfg.mlp_ratio * d
+    rng = np.random.default_rng(1)
+    sd = {}
+    sd["img_in.proj.weight"] = rng.normal(0, 0.05, (d, cfg.in_channels, 1, 2, 2)).astype(np.float32)
+    sd["img_in.proj.bias"] = rng.normal(0, 0.01, (d,)).astype(np.float32)
+    _rlin(rng, sd, "txt_in.input_embedder", cfg.text_dim, d)
+    _rlin(rng, sd, "txt_in.t_embedder.mlp.0", cfg.time_embed_dim, d)
+    _rlin(rng, sd, "txt_in.t_embedder.mlp.2", d, d)
+    _rlin(rng, sd, "txt_in.c_embedder.linear_1", cfg.text_dim, d)
+    _rlin(rng, sd, "txt_in.c_embedder.linear_2", d, d)
+    for i in range(cfg.refiner_depth):
+        b = f"txt_in.individual_token_refiner.blocks.{i}"
+        _rlin(rng, sd, f"{b}.self_attn_qkv", d, 3 * d)
+        _rlin(rng, sd, f"{b}.self_attn_proj", d, d)
+        _rlin(rng, sd, f"{b}.mlp.fc1", d, mlp_d)
+        _rlin(rng, sd, f"{b}.mlp.fc2", mlp_d, d)
+        _rlin(rng, sd, f"{b}.adaLN_modulation.1", d, 2 * d)
+        for nm in ("norm1", "norm2"):
+            sd[f"{b}.{nm}.weight"] = np.ones(d, np.float32)
+            sd[f"{b}.{nm}.bias"] = np.zeros(d, np.float32)
+    _rlin(rng, sd, "time_in.mlp.0", cfg.time_embed_dim, d)
+    _rlin(rng, sd, "time_in.mlp.2", d, d)
+    _rlin(rng, sd, "vector_in.in_layer", cfg.vec_dim, d)
+    _rlin(rng, sd, "vector_in.out_layer", d, d)
+    _rlin(rng, sd, "guidance_in.mlp.0", cfg.time_embed_dim, d)
+    _rlin(rng, sd, "guidance_in.mlp.2", d, d)
+    for i in range(cfg.depth_double):
+        b = f"double_blocks.{i}"
+        _rlin(rng, sd, f"{b}.img_mod.linear", d, 6 * d)
+        _rlin(rng, sd, f"{b}.txt_mod.linear", d, 6 * d)
+        for s_ in ("img", "txt"):
+            _rlin(rng, sd, f"{b}.{s_}_attn_qkv", d, 3 * d)
+            _rlin(rng, sd, f"{b}.{s_}_attn_proj", d, d)
+            _rlin(rng, sd, f"{b}.{s_}_mlp.fc1", d, mlp_d)
+            _rlin(rng, sd, f"{b}.{s_}_mlp.fc2", mlp_d, d)
+            sd[f"{b}.{s_}_attn_q_norm.weight"] = np.ones(hd, np.float32)
+            sd[f"{b}.{s_}_attn_k_norm.weight"] = np.ones(hd, np.float32)
+    for i in range(cfg.depth_single):
+        b = f"single_blocks.{i}"
+        _rlin(rng, sd, f"{b}.modulation.linear", d, 3 * d)
+        _rlin(rng, sd, f"{b}.linear1", d, 3 * d + mlp_d)
+        _rlin(rng, sd, f"{b}.linear2", d + mlp_d, d)
+        sd[f"{b}.q_norm.weight"] = np.ones(hd, np.float32)
+        sd[f"{b}.k_norm.weight"] = np.ones(hd, np.float32)
+    _rlin(rng, sd, "final_layer.adaLN_modulation.1", d, 2 * d)
+    _rlin(rng, sd, "final_layer.linear", d, cfg.patch_in)
+
+    params = convert_hunyuan_state_dict(sd, cfg)
+    ref = init_hunyuan_params(jax.random.PRNGKey(0), cfg)
+    _tree_shapes_match(params, ref)
+
+    core = make_hunyuan_core(cfg, txt_len=6, grid=(2, 2, 2))
+    x = jnp.ones((1, 2, 4, 4, cfg.in_channels))
+    cond = {"txt": jnp.ones((1, 6, cfg.text_dim)),
+            "vec": jnp.ones((1, cfg.vec_dim)),
+            "guidance": jnp.full((1,), 6.0)}
+    t = jnp.full((1,), 500.0)
+    h, ctx = core.prepare(params, x, t, cond)
+    out = core.head(params, core.trunk(params, h, ctx), ctx)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_qwen_image_convert_and_forward():
+    from magcache_tpu.models.convert import convert_qwen_image_state_dict
+    from magcache_tpu.models.qwen_image import (
+        QwenImageConfig, init_qwen_image_params, make_qwen_image_core)
+
+    cfg = QwenImageConfig.tiny()
+    f = cfg.to_flux()
+    d, hd, mlp_d = f.hidden, f.head_dim, f.mlp_ratio * f.hidden
+    rng = np.random.default_rng(2)
+    sd = {"txt_norm.weight": np.ones(cfg.text_dim, np.float32)}
+    _rlin(rng, sd, "img_in", cfg.in_channels, d)
+    _rlin(rng, sd, "txt_in", cfg.text_dim, d)
+    _rlin(rng, sd, "time_text_embed.timestep_embedder.linear_1", cfg.time_embed_dim, d)
+    _rlin(rng, sd, "time_text_embed.timestep_embedder.linear_2", d, d)
+    for i in range(cfg.depth):
+        b = f"transformer_blocks.{i}"
+        _rlin(rng, sd, f"{b}.img_mod.1", d, 6 * d)
+        _rlin(rng, sd, f"{b}.txt_mod.1", d, 6 * d)
+        for n in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj", "add_v_proj"):
+            _rlin(rng, sd, f"{b}.attn.{n}", d, d)
+        for n in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
+            sd[f"{b}.attn.{n}.weight"] = np.ones(hd, np.float32)
+        _rlin(rng, sd, f"{b}.attn.to_out.0", d, d)
+        _rlin(rng, sd, f"{b}.attn.to_add_out", d, d)
+        _rlin(rng, sd, f"{b}.img_mlp.net.0.proj", d, mlp_d)
+        _rlin(rng, sd, f"{b}.img_mlp.net.2", mlp_d, d)
+        _rlin(rng, sd, f"{b}.txt_mlp.net.0.proj", d, mlp_d)
+        _rlin(rng, sd, f"{b}.txt_mlp.net.2", mlp_d, d)
+    _rlin(rng, sd, "norm_out.linear", d, 2 * d)
+    _rlin(rng, sd, "proj_out", d, cfg.in_channels)
+
+    params = convert_qwen_image_state_dict(sd, cfg)
+    ref = init_qwen_image_params(jax.random.PRNGKey(0), cfg)
+    _tree_shapes_match(params, ref)
+
+    core = make_qwen_image_core(cfg, txt_len=5, grid_h=4, grid_w=4)
+    x = jnp.ones((1, 16, cfg.in_channels))
+    cond = {"txt": jnp.ones((1, 5, cfg.text_dim))}
+    t = jnp.full((1,), 0.5)
+    h, ctx = core.prepare(params, x, t, cond)
+    out = core.head(params, core.trunk(params, h, ctx), ctx)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cogvideox_convert_and_forward():
+    from magcache_tpu.models.cogvideox import (
+        CogVideoXConfig, init_cogvideox_params, make_cogvideox_core)
+    from magcache_tpu.models.convert import convert_cogvideox_state_dict
+
+    cfg = CogVideoXConfig.tiny(temb_dim=16, time_embed_dim=96)
+    d, ct, hd = cfg.hidden, cfg.cond_dim, cfg.head_dim
+    p2 = cfg.patch * cfg.patch
+    rng = np.random.default_rng(3)
+    sd = {}
+    sd["patch_embed.proj.weight"] = rng.normal(0, 0.05, (d, cfg.in_channels, cfg.patch, cfg.patch)).astype(np.float32)
+    sd["patch_embed.proj.bias"] = rng.normal(0, 0.01, (d,)).astype(np.float32)
+    _rlin(rng, sd, "patch_embed.text_proj", cfg.text_dim, d)
+    _rlin(rng, sd, "time_embedding.linear_1", cfg.time_embed_dim, ct)
+    _rlin(rng, sd, "time_embedding.linear_2", ct, ct)
+    for i in range(cfg.layers):
+        b = f"transformer_blocks.{i}"
+        _rlin(rng, sd, f"{b}.norm1.linear", ct, 6 * d)
+        _rlin(rng, sd, f"{b}.norm2.linear", ct, 6 * d)
+        for nm in ("norm1.norm", "norm2.norm"):
+            sd[f"{b}.{nm}.weight"] = np.ones(d, np.float32)
+            sd[f"{b}.{nm}.bias"] = np.zeros(d, np.float32)
+        for n in ("to_q", "to_k", "to_v"):
+            _rlin(rng, sd, f"{b}.attn1.{n}", d, d)
+        for n in ("norm_q", "norm_k"):
+            sd[f"{b}.attn1.{n}.weight"] = np.ones(hd, np.float32)
+            sd[f"{b}.attn1.{n}.bias"] = np.zeros(hd, np.float32)
+        _rlin(rng, sd, f"{b}.attn1.to_out.0", d, d)
+        _rlin(rng, sd, f"{b}.ff.net.0.proj", d, cfg.mlp_ratio * d)
+        _rlin(rng, sd, f"{b}.ff.net.2", cfg.mlp_ratio * d, d)
+    sd["norm_final.weight"] = np.ones(d, np.float32)
+    sd["norm_final.bias"] = np.zeros(d, np.float32)
+    sd["norm_out.norm.weight"] = np.ones(d, np.float32)
+    sd["norm_out.norm.bias"] = np.zeros(d, np.float32)
+    _rlin(rng, sd, "norm_out.linear", ct, 2 * d)
+    _rlin(rng, sd, "proj_out", d, cfg.in_channels * p2)
+
+    params = convert_cogvideox_state_dict(sd, cfg)
+    ref = init_cogvideox_params(jax.random.PRNGKey(0), cfg)
+    _tree_shapes_match(params, ref)
+
+    core = make_cogvideox_core(cfg, txt_len=4, grid=(2, 2, 2))
+    x = jnp.ones((1, 2, 4, 4, cfg.in_channels))
+    cond = {"txt": jnp.ones((1, 4, cfg.text_dim))}
+    t = jnp.full((1,), 500.0)
+    h, ctx = core.prepare(params, x, t, cond)
+    out = core.head(params, core.trunk(params, h, ctx), ctx)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_stdit3_convert_and_forward():
+    from magcache_tpu.models.convert import convert_stdit3_state_dict
+    from magcache_tpu.models.stdit3 import (
+        STDiT3Config, init_stdit3_params, make_stdit3_core)
+
+    cfg = STDiT3Config.tiny()
+    d, hd = cfg.hidden, cfg.head_dim
+    pt, ph, pw = cfg.patch
+    mlp_d = cfg.mlp_ratio * d
+    rng = np.random.default_rng(4)
+    sd = {}
+    sd["x_embedder.proj.weight"] = rng.normal(0, 0.05, (d, cfg.in_channels, pt, ph, pw)).astype(np.float32)
+    sd["x_embedder.proj.bias"] = rng.normal(0, 0.01, (d,)).astype(np.float32)
+    _rlin(rng, sd, "t_embedder.mlp.0", cfg.freq_dim, d)
+    _rlin(rng, sd, "t_embedder.mlp.2", d, d)
+    _rlin(rng, sd, "fps_embedder.mlp.0", cfg.freq_dim, d)
+    _rlin(rng, sd, "fps_embedder.mlp.2", d, d)
+    _rlin(rng, sd, "t_block.1", d, 6 * d)
+    sd["y_embedder.y_embedding"] = rng.normal(0, 0.05, (cfg.caption_max_len, cfg.caption_dim)).astype(np.float32)
+    _rlin(rng, sd, "y_embedder.y_proj.fc1", cfg.caption_dim, d)
+    _rlin(rng, sd, "y_embedder.y_proj.fc2", d, d)
+    for pre in ("spatial_blocks", "temporal_blocks"):
+        for i in range(cfg.depth):
+            b = f"{pre}.{i}"
+            sd[f"{b}.scale_shift_table"] = rng.normal(0, 0.02, (6, d)).astype(np.float32)
+            _rlin(rng, sd, f"{b}.attn.qkv", d, 3 * d)
+            _rlin(rng, sd, f"{b}.attn.proj", d, d)
+            sd[f"{b}.attn.q_norm.weight"] = np.ones(hd, np.float32)
+            sd[f"{b}.attn.k_norm.weight"] = np.ones(hd, np.float32)
+            _rlin(rng, sd, f"{b}.cross_attn.q_linear", d, d)
+            _rlin(rng, sd, f"{b}.cross_attn.kv_linear", d, 2 * d)
+            _rlin(rng, sd, f"{b}.cross_attn.proj", d, d)
+            _rlin(rng, sd, f"{b}.mlp.fc1", d, mlp_d)
+            _rlin(rng, sd, f"{b}.mlp.fc2", mlp_d, d)
+    sd["final_layer.scale_shift_table"] = rng.normal(0, 0.02, (2, d)).astype(np.float32)
+    _rlin(rng, sd, "final_layer.linear", d, cfg.in_channels * 2 * pt * ph * pw)
+
+    params = convert_stdit3_state_dict(sd, cfg)
+    ref = init_stdit3_params(jax.random.PRNGKey(0), cfg)
+    _tree_shapes_match(params, ref)
+
+    core = make_stdit3_core(cfg, grid=(2, 2, 2), caption_len=4)
+    x = jnp.ones((1, 2, 4, 4, cfg.in_channels))
+    cond = {"y": jnp.ones((1, 4, cfg.caption_dim)), "fps": jnp.full((1,), 24.0)}
+    t = jnp.full((1,), 500.0)
+    h, ctx = core.prepare(params, x, t, cond)
+    out = core.head(params, core.trunk(params, h, ctx), ctx)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_t5_convert_numeric_parity_vs_torch():
+    """Real numeric check: tiny torch T5EncoderModel vs FlaxT5EncoderModel
+    running our converted params — outputs must agree."""
+    torch = pytest.importorskip("torch")
+    from transformers import FlaxT5EncoderModel, T5Config, T5EncoderModel
+
+    from magcache_tpu.models.convert import convert_t5_encoder_state_dict
+
+    tc = T5Config(vocab_size=64, d_model=16, d_kv=4, d_ff=32, num_layers=2,
+                  num_heads=4, relative_attention_num_buckets=8,
+                  feed_forward_proj="gated-gelu", tie_word_embeddings=False)
+    with torch.no_grad():
+        tm = T5EncoderModel(tc).eval()
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+        fm = FlaxT5EncoderModel(tc)
+        params = convert_t5_encoder_state_dict(sd)
+        # same tree structure as the flax model's own params
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(fm.params))
+        ids = np.array([[3, 7, 12, 1, 0, 0]], np.int64)
+        mask = np.array([[1, 1, 1, 1, 0, 0]], np.int64)
+        t_out = tm(input_ids=torch.tensor(ids),
+                   attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+        f_out = fm(input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask),
+                   params=params).last_hidden_state
+    np.testing.assert_allclose(np.asarray(f_out), t_out, rtol=2e-4, atol=2e-4)
