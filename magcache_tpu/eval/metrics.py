@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["psnr", "ssim", "lpips_distance", "LPIPSModel"]
+__all__ = ["psnr", "ssim", "lpips_distance", "LPIPSModel", "load_lpips_weights"]
 
 
 def psnr(a: np.ndarray, b: np.ndarray, max_val: float = 1.0) -> float:
@@ -165,18 +165,49 @@ class LPIPSModel:
 _DEFAULT_LPIPS: Optional[LPIPSModel] = None
 
 
+def load_lpips_weights(path: str) -> LPIPSModel:
+    """Install pretrained LPIPS weights as the process-default model.
+
+    ``path``: a torch ``lpips.LPIPS(net='alex')`` checkpoint (.pt/.pth via
+    torch.load, or .safetensors). The reference's eval loads the same weights
+    through the lpips package (``common_metrics/calculate_lpips.py``).
+    """
+    global _DEFAULT_LPIPS
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        sd = load_file(path)
+    else:
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        sd = {k: v.numpy() for k, v in sd.items()}
+    _DEFAULT_LPIPS = LPIPSModel.from_torch_state_dict(sd)
+    return _DEFAULT_LPIPS
+
+
 def lpips_distance(a: np.ndarray, b: np.ndarray,
-                   model: Optional[LPIPSModel] = None) -> float:
+                   model: Optional[LPIPSModel] = None,
+                   allow_random_backbone: bool = False) -> float:
     """Frames [T, H, W, 3] in [0, 1]; mean LPIPS over frames.
 
-    Without pretrained weights this is a relative metric only (random
-    backbone); load real weights via LPIPSModel.from_torch_state_dict.
+    Without pretrained weights (`load_lpips_weights` /
+    `LPIPSModel.from_torch_state_dict`) the backbone is RANDOM: the number is
+    a relative similarity signal only and **cannot gate the LPIPS<=0.1
+    quality target** — a loud warning fires unless
+    ``allow_random_backbone=True`` acknowledges that explicitly.
     """
     global _DEFAULT_LPIPS
     if model is None:
         if _DEFAULT_LPIPS is None:
             _DEFAULT_LPIPS = LPIPSModel.init()
         model = _DEFAULT_LPIPS
+    if not model.pretrained and not allow_random_backbone:
+        import warnings
+        warnings.warn(
+            "lpips_distance: RANDOM AlexNet backbone (no pretrained weights "
+            "loaded) — value is relative-only and must not be reported as "
+            "LPIPS. Call eval.metrics.load_lpips_weights(path) first, or pass "
+            "allow_random_backbone=True to acknowledge.",
+            UserWarning, stacklevel=2)
     a = jnp.asarray(np.asarray(a, np.float32) * 2.0 - 1.0)
     b = jnp.asarray(np.asarray(b, np.float32) * 2.0 - 1.0)
     if a.ndim == 3:

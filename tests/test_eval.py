@@ -128,3 +128,68 @@ def test_run_experiment_harness(tmp_path):
     assert "magcache" in res and res["magcache"].metrics_vs_base["psnr"] > 5
     assert (tmp_path / "summary.json").exists()
     assert (tmp_path / "base_0.npy").exists()
+
+
+def test_lpips_random_backbone_warns():
+    """lpips_distance must refuse to be silently meaningless (round-1 review
+    weak #5): a random backbone fires a UserWarning unless acknowledged."""
+    import warnings
+
+    import magcache_tpu.eval.metrics as M
+
+    a = np.random.default_rng(0).random((1, 32, 32, 3)).astype(np.float32)
+    M._DEFAULT_LPIPS = None
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        lpips_distance(a, a)
+        assert any("RANDOM" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        lpips_distance(a, a, allow_random_backbone=True)
+        assert not any("RANDOM" in str(x.message) for x in w)
+
+
+def test_load_lpips_weights_safetensors(tmp_path):
+    """load_lpips_weights installs a pretrained default from a synthetic
+    lpips-alex checkpoint; subsequent calls stop warning."""
+    import warnings
+
+    from safetensors.numpy import save_file
+
+    import magcache_tpu.eval.metrics as M
+
+    specs = [(11, 4, 2, 64), (5, 1, 2, 192), (3, 1, 1, 384), (3, 1, 1, 256),
+             (3, 1, 1, 256)]
+    rng = np.random.default_rng(0)
+    sd, cin = {}, 3
+    conv_idx = [0, 0, 0, 0, 0]
+    for i, (k, s, p, cout) in enumerate(specs):
+        sd[f"net.slice{i+1}.{i}.weight"] = rng.normal(0, 0.05, (cout, cin, k, k)).astype(np.float32)
+        sd[f"net.slice{i+1}.{i}.bias"] = np.zeros(cout, np.float32)
+        cin = cout
+    for i, c in enumerate((64, 192, 384, 256, 256)):
+        sd[f"lin{i}.model.1.weight"] = np.abs(rng.normal(0, 0.05, (1, c, 1, 1))).astype(np.float32)
+    path = tmp_path / "lpips_alex.safetensors"
+    save_file(sd, str(path))
+
+    model = M.load_lpips_weights(str(path))
+    assert model.pretrained
+    a = rng.random((1, 32, 32, 3)).astype(np.float32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        M.lpips_distance(a, a)
+        assert not any("RANDOM" in str(x.message) for x in w)
+    M._DEFAULT_LPIPS = None  # restore
+
+
+def test_evaluate_cli_self_check(tmp_path):
+    """The quality-gate CLI runs full-vs-magcache on the tiny model and
+    reports PSNR/SSIM (reference flow: common_metrics/eval.py:76-150)."""
+    from magcache_tpu.cli.evaluate import main
+
+    out = tmp_path / "EVAL.json"
+    res = main(["--self_check", "--cpu", "--steps", "4",
+                "--json", str(out)])
+    assert out.exists()
+    m = res["metrics_magcache_vs_full"]
+    assert np.isfinite(m["psnr"]) and np.isfinite(m["ssim"])
