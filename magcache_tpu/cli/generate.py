@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "boxing gear and bright gloves fight intensely on a "
                    "spotlighted stage.")
     p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--image", default=None,
+                   help="input image for i2v / edit tasks (png/jpg via PIL, "
+                        "or .npy [H, W, 3]) — the reference's --image flag")
+    p.add_argument("--clip_ckpt", default=None,
+                   help="CLIP vision tower safetensors for i2v conditioning")
     p.add_argument("--save_file", default=None)
     # MagCache triple (reference flags)
     p.add_argument("--use_magcache", action="store_true")
@@ -96,7 +101,7 @@ def _wan_pipeline(args):
         magcache_calibration=args.magcache_calibration,
         mag_ratios_override=_load_ratios(args),
         dtype=args.dtype, dp=args.dp, sp=args.sp, tp=args.tp,
-        ckpt_dir=args.ckpt_dir, tiny=args.tiny,
+        ckpt_dir=args.ckpt_dir, clip_ckpt=args.clip_ckpt, tiny=args.tiny,
     )
     return WanPipeline(cfg), cfg
 
@@ -196,6 +201,18 @@ def _open_sora_pipeline(args):
     return OpenSoraPipeline(cfg), cfg
 
 
+def _load_image(path: str) -> np.ndarray:
+    """Load an input image as [H, W, 3] float [0, 1]."""
+    if path.endswith(".npy"):
+        img = np.load(path)
+    else:
+        from PIL import Image
+        img = np.asarray(Image.open(path).convert("RGB"))
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    return img
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.cpu:
@@ -217,7 +234,10 @@ def main(argv=None):
     else:
         pipe, cfg = _wan_pipeline(args)
         steps = cfg.sample_steps
-    out = pipe.generate(args.prompt, seed=args.base_seed)
+    gen_kwargs = {}
+    if args.image:
+        gen_kwargs["image"] = _load_image(args.image)
+    out = pipe.generate(args.prompt, seed=args.base_seed, **gen_kwargs)
     dt = time.time() - t0
 
     E = args.magcache_thresh if args.magcache_thresh is not None else "def"

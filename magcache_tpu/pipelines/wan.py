@@ -85,11 +85,16 @@ class WanPipelineConfig:
     # mode) — overrides the preset's published array; closes the reference's
     # calibrate -> paste-constants loop without editing code
     mag_ratios_override: Optional[tuple] = None
+    clip_ckpt: Optional[str] = None      # CLIP vision tower weights (i2v)
     tiny: bool = False                   # toy-size model for smoke runs
 
     def model_config(self) -> WanConfig:
         if self.tiny:
-            return WanConfig.tiny(dtype=self.dtype)
+            base = WanConfig.tiny(dtype=self.dtype)
+            if self.task == "i2v":
+                base = dataclasses.replace(base, model_type="i2v",
+                                           in_channels=36)
+            return base
         base = WAN_14B if "14B" in self.model else WAN_1_3B
         return dataclasses.replace(
             base,
@@ -267,14 +272,97 @@ class WanPipeline(BasePipeline):
         return jitted
 
     # ---- generation -----------------------------------------------------
+    # ---- i2v input encoding ----------------------------------------------
+    def _i2v_encoders(self):
+        """Lazily build the CLIP vision tower + encoding VAE for i2v inputs.
+
+        Matches the reference's encode flow (wan.WanI2V.generate via
+        ``magcache_generate.py:989-1018``): CLIP visual penultimate-block
+        features + first-frame VAE latents under a zero-padded video."""
+        if getattr(self, "_clip", None) is None:
+            from magcache_tpu.models.clip import (
+                CLIPVisionConfig, clip_vision_forward,
+                convert_clip_vision_state_dict, init_clip_vision_params)
+            dim = self.model_cfg.clip_dim
+            if self.config.clip_ckpt:
+                ccfg = CLIPVisionConfig(dim=dim)
+                from magcache_tpu.models.convert import load_safetensors_dir
+                cparams = convert_clip_vision_state_dict(
+                    load_safetensors_dir(self.config.clip_ckpt), ccfg)
+            else:
+                # structural tower (random init) sized to the model's
+                # clip_dim, with image_size chosen so the token count matches
+                # the DiT's expected clip_tokens (257 -> 224px at patch 14)
+                side = int(round((self.model_cfg.clip_tokens - 1) ** 0.5))
+                ccfg = CLIPVisionConfig(
+                    dim=dim, layers=2 if self.config.tiny else 32,
+                    heads=16 if dim % 16 == 0 else 4,
+                    image_size=14 * side)
+                cparams = init_clip_vision_params(jax.random.PRNGKey(7), ccfg)
+            self._clip = (ccfg, cparams,
+                          jax.jit(lambda pr, im: clip_vision_forward(pr, ccfg, im)))
+        if getattr(self, "_enc_vae", None) is None:
+            vae = self.vae
+            if vae is None or not hasattr(vae, "encode"):
+                # random-init encoder with the real Wan strides (4, 8, 8) so
+                # latent grids line up; swap in a loaded CausalVAE for quality
+                from magcache_tpu.models.vae import (
+                    CausalVAE, CausalVAEConfig, init_causal_vae_params)
+                vcfg = CausalVAEConfig(
+                    base=8 if self.config.tiny else 96,
+                    ch_mult=(1, 1, 2, 2) if self.config.tiny else (1, 2, 4, 4),
+                    blocks_per_level=1 if self.config.tiny else 2,
+                    groups=4 if self.config.tiny else 32)
+                vae = CausalVAE(vcfg, init_causal_vae_params(
+                    jax.random.PRNGKey(11), vcfg))
+            self._enc_vae = vae
+        return self._clip, self._enc_vae
+
+    def encode_image(self, image) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """image: [H, W, 3] uint8 or [0,1] float. Returns (y, clip_fea):
+
+        - ``y`` f32[1, F_lat, lh, lw, 20]: 4 mask channels (first latent frame
+          = 1) + 16 VAE latent channels of [image; zero frames] — the
+          reference's ``msk``+``y`` concat (wan.WanI2V.generate);
+        - ``clip_fea`` f32[1, tokens, clip_dim]: CLIP visual features.
+        """
+        import numpy as _np
+
+        from magcache_tpu.models.clip import preprocess_clip_image
+
+        (ccfg, cparams, clip_fn), vae = self._i2v_encoders()
+        img = _np.asarray(image)
+        if img.dtype == _np.uint8:
+            img = img.astype(_np.float32) / 255.0
+
+        clip_fea = clip_fn(cparams, preprocess_clip_image(img, ccfg))
+
+        w, h = self.config.size
+        img_r = jax.image.resize(jnp.asarray(img, jnp.float32)[None],
+                                 (1, h, w, 3), method="bicubic")
+        img_r = jnp.clip(img_r, 0.0, 1.0) * 2.0 - 1.0      # [-1, 1]
+        frames = jnp.concatenate(
+            [img_r[:, None],
+             jnp.zeros((1, self.config.frame_num - 1, h, w, 3), jnp.float32)],
+            axis=1)                                        # [1, F_pix, H, W, 3]
+        mean, _ = vae.encode(frames)
+        lf, lh, lw, _ = self.latent_shape
+        assert mean.shape[1:4] == (lf, lh, lw), (mean.shape, self.latent_shape)
+        msk = jnp.zeros((1, lf, lh, lw, 4), jnp.float32).at[:, 0].set(1.0)
+        y = jnp.concatenate([msk, mean.astype(jnp.float32)], axis=-1)
+        return y, clip_fea
+
     def generate(self, prompt: str, negative_prompt: str = DEFAULT_NEGATIVE,
-                 seed: int = 0, image_latents: Optional[jnp.ndarray] = None,
+                 seed: int = 0, image=None,
+                 image_latents: Optional[jnp.ndarray] = None,
                  clip_features: Optional[jnp.ndarray] = None) -> PipelineOutput:
         t0 = time.time()
         ctx = self.text_encoder([prompt, negative_prompt])  # [2, L, 4096]
         cond = {"context": ctx}
         if self.config.task == "i2v":
-            assert image_latents is not None and clip_features is not None
+            if image_latents is None:
+                assert image is not None, "i2v needs image= or image_latents="
+                image_latents, clip_features = self.encode_image(image)
             cond["y"] = jnp.concatenate([image_latents] * 2, axis=0)
             cond["clip_fea"] = jnp.concatenate([clip_features] * 2, axis=0)
 
