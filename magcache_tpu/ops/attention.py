@@ -304,24 +304,41 @@ def attention(
     impl: "pallas" (TPU flash kernel), "xla" (fused XLA softmax-attention),
     "pallas_interpret" (debug), or "auto" (pallas on TPU, xla elsewhere).
     """
+    import os
+
     if impl == "auto":
-        # Pallas kernel on single-device TPU; under an active mesh plan,
-        # shard_map Ulysses sequence-parallel attention (flash kernel per
-        # shard). MAGCACHE_ATTN_IMPL overrides for experiments.
-        import os
         env = os.environ.get("MAGCACHE_ATTN_IMPL")
-        if env:
-            impl = env
-        else:
-            from magcache_tpu.parallel.mesh import _ACTIVE
-            plan = _ACTIVE.get()
-            if plan is not None:
-                from magcache_tpu.parallel.collectives import ulysses_attention
-                kv_rep = k.shape[1] != q.shape[1]
-                return ulysses_attention(q, k, v, plan.mesh, scale=scale,
-                                         kv_len=kv_len, kv_replicated=kv_rep)
-            on_tpu = jax.default_backend() in ("tpu", "axon")
-            impl = "pallas" if on_tpu else "xla"
+        impl = env if env else "auto"
+    if impl in ("auto", "ring", "ulysses"):
+        # Under an active mesh plan, pick the sequence-parallel strategy:
+        # Ulysses (all-to-all head regrouping; one full-sequence attention per
+        # head group) by default, ring (ppermute K/V rotation; sequence memory
+        # 1/sp, xfuser --ring_size equivalent, magcache_generate.py:637-641)
+        # when forced via MAGCACHE_ATTN_IMPL=ring / impl="ring" or when the
+        # global self-attention sequence exceeds MAGCACHE_RING_THRESHOLD
+        # tokens (default 128Ki — the point where even one Ulysses head
+        # group's full sequence strains HBM).
+        from magcache_tpu.parallel.mesh import _ACTIVE
+        plan = _ACTIVE.get()
+        if plan is not None:
+            from magcache_tpu.parallel.collectives import (
+                ring_attention,
+                ulysses_attention,
+            )
+            kv_rep = k.shape[1] != q.shape[1]
+            ring_thresh = int(os.environ.get("MAGCACHE_RING_THRESHOLD",
+                                             128 * 1024))
+            want_ring = impl == "ring" or (impl == "auto"
+                                           and q.shape[1] >= ring_thresh)
+            if want_ring and not kv_rep:
+                return ring_attention(q, k, v, plan.mesh, scale=scale)
+            return ulysses_attention(q, k, v, plan.mesh, scale=scale,
+                                     kv_len=kv_len, kv_replicated=kv_rep)
+        if impl in ("ring", "ulysses"):
+            raise ValueError(f"attention impl {impl!r} needs an active mesh "
+                             "plan (use_mesh)")
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        impl = "pallas" if on_tpu else "xla"
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)

@@ -91,3 +91,72 @@ def test_dp_only_mesh():
             {"context": jax.device_put(cond["context"],
                                        activation_sharding(mesh, "context", 3))})
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_ring_attention_selected_and_matches_single_device(monkeypatch):
+    """MAGCACHE_ATTN_IMPL=ring routes self-attention through the ppermute
+    ring path inside a full Wan block run on the 2x2x2 mesh and reproduces
+    the single-device numbers (xfuser --ring_size equivalence,
+    magcache_generate.py:637-641)."""
+    core, params, x, cond = _setup()
+    cache_cfg = make_config("wan2.1-t2v-1.3B", 4)
+    ref = np.asarray(_run(core, params, x, cond, cache_cfg))
+
+    # prove the ring path is actually taken: spy on ring_attention
+    import magcache_tpu.parallel.collectives as C
+    calls = []
+    orig = C.ring_attention
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(C, "ring_attention", spy)
+    monkeypatch.setenv("MAGCACHE_ATTN_IMPL", "ring")
+
+    mesh = build_mesh(dp=2, sp=2, tp=2)
+    plan = MeshPlan(mesh)
+    params_s = shard_params(params, mesh)
+    x_s = jax.device_put(x, activation_sharding(mesh, "latents", x.ndim))
+    cond_s = {"context": jax.device_put(
+        cond["context"], activation_sharding(mesh, "context", 3))}
+    with use_mesh(plan):
+        out = jax.jit(lambda p, xx, cc: _run(core, p, xx, cc, cache_cfg))(
+            params_s, x_s, cond_s)
+    assert calls, "ring_attention was not selected"
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_ring_auto_threshold_selection(monkeypatch):
+    """auto impl flips to ring once the global sequence crosses
+    MAGCACHE_RING_THRESHOLD."""
+    import magcache_tpu.parallel.collectives as C
+    from magcache_tpu.ops.attention import attention
+
+    calls = {"ring": 0, "ulysses": 0}
+    orig_ring, orig_uly = C.ring_attention, C.ulysses_attention
+    monkeypatch.setattr(C, "ring_attention",
+                        lambda *a, **k: (calls.__setitem__("ring", calls["ring"] + 1),
+                                         orig_ring(*a, **k))[1])
+    monkeypatch.setattr(C, "ulysses_attention",
+                        lambda *a, **k: (calls.__setitem__("ulysses", calls["ulysses"] + 1),
+                                         orig_uly(*a, **k))[1])
+    monkeypatch.setenv("MAGCACHE_RING_THRESHOLD", "64")
+    monkeypatch.delenv("MAGCACHE_ATTN_IMPL", raising=False)
+
+    mesh = build_mesh(dp=1, sp=8, tp=1)
+    plan = MeshPlan(mesh)
+    rng = np.random.default_rng(0)
+    mk = lambda: jax.device_put(
+        jnp.asarray(rng.normal(size=(1, 128, 8, 16)), jnp.float32),
+        NamedSharding(mesh, P(None, "sp", None, None)))
+    q, k, v = mk(), mk(), mk()
+    with use_mesh(plan):
+        out_ring = attention(q, k, v)          # 128 >= 64 -> ring
+    assert calls["ring"] == 1
+    monkeypatch.setenv("MAGCACHE_RING_THRESHOLD", "100000")
+    with use_mesh(plan):
+        out_uly = attention(q, k, v)           # below threshold -> ulysses
+    assert calls["ulysses"] == 1
+    np.testing.assert_allclose(np.asarray(out_ring), np.asarray(out_uly),
+                               rtol=2e-4, atol=2e-4)
