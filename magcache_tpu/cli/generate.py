@@ -29,8 +29,11 @@ import numpy as np
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("magcache_tpu generate")
     p.add_argument("--task", default="t2v-1.3B",
-                   help="t2v-1.3B | t2v-14B | i2v-14B | ti2v-5B | flux-dev | "
-                        "flux-kontext-dev | qwen-image | hunyuan-720p | ...")
+                   help="t2v-1.3B | t2v-14B | i2v-14B | ti2v-5B | vace-1.3B | "
+                        "flux-dev | flux-kontext-dev | qwen-image | "
+                        "hunyuan-720p | framepack | open-sora | "
+                        "open-sora-plan | cogvideox | latte | vchitect | "
+                        "omnigen2 | ...")
     p.add_argument("--size", default="832*480", help="W*H pixels")
     p.add_argument("--frame_num", type=int, default=81)
     p.add_argument("--sample_steps", type=int, default=None)
@@ -42,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "boxing gear and bright gloves fight intensely on a "
                    "spotlighted stage.")
     p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--src_video", default=None,
+                   help="VACE conditioning video .npy [F, H, W, 3] in [0,1]")
+    p.add_argument("--src_mask", default=None,
+                   help="VACE mask .npy [F, H, W] in [0,1]")
     p.add_argument("--image", default=None,
                    help="input image for i2v / edit tasks (png/jpg via PIL, "
                         "or .npy [H, W, 3]) — the reference's --image flag")
@@ -82,6 +89,7 @@ def _wan_pipeline(args):
         "i2v-14B": "wan2.1-i2v-480p" if h <= 480 else "wan2.1-i2v-720p",
         "ti2v-5B": "wan2.2-ti2v-5B-t2v",
         "t2v-A14B": "wan2.2-t2v-A14B", "i2v-A14B": "wan2.2-i2v-A14B",
+        "vace-1.3B": "wan2.1-vace-1.3B", "vace-14B": "wan2.1-vace-14B",
     }[args.task]
     if args.tiny:
         w, h, args.frame_num = 64, 32, 9
@@ -89,7 +97,8 @@ def _wan_pipeline(args):
         args.frame_num = 1
     cfg = WanPipelineConfig(
         model=preset,
-        task="i2v" if args.task.startswith("i2v") else "t2v",
+        task=("i2v" if args.task.startswith("i2v")
+              else "vace" if args.task.startswith("vace") else "t2v"),
         size=(w, h), frame_num=args.frame_num,
         sample_steps=args.sample_steps or 50,
         sample_shift=args.sample_shift or (8.0 if h <= 480 else 5.0),
@@ -201,6 +210,100 @@ def _open_sora_pipeline(args):
     return OpenSoraPipeline(cfg), cfg
 
 
+def _cogvideox_pipeline(args):
+    from magcache_tpu.pipelines.cogvideox import (
+        CogVideoXPipeline, CogVideoXPipelineConfig)
+    kw = dict(num_inference_steps=args.sample_steps or 50,
+              guidance_scale=args.sample_guide_scale,
+              use_magcache=args.use_magcache, dtype=args.dtype,
+              tiny=args.tiny)
+    if args.magcache_thresh is not None:
+        kw["magcache_thresh"] = args.magcache_thresh
+    if args.magcache_K is not None:
+        kw["magcache_K"] = args.magcache_K
+    if args.retention_ratio is not None:
+        kw["retention_ratio"] = args.retention_ratio
+    if args.tiny:
+        kw.update(num_frames=5, height=32, width=32)
+    cfg = CogVideoXPipelineConfig(**kw)
+    return CogVideoXPipeline(cfg), cfg
+
+
+def _latte_pipeline(args):
+    from magcache_tpu.pipelines.latte import LattePipeline, LattePipelineConfig
+    kw = dict(num_sampling_steps=args.sample_steps or 50,
+              guidance_scale=args.sample_guide_scale,
+              use_magcache=args.use_magcache, dtype=args.dtype,
+              tiny=args.tiny)
+    if args.magcache_thresh is not None:
+        kw["magcache_thresh"] = args.magcache_thresh
+    if args.magcache_K is not None:
+        kw["magcache_K"] = args.magcache_K
+    if args.retention_ratio is not None:
+        kw["retention_ratio"] = args.retention_ratio
+    if args.tiny:
+        kw.update(num_frames=4, height=64, width=64, caption_len=6)
+    cfg = LattePipelineConfig(**kw)
+    return LattePipeline(cfg), cfg
+
+
+def _vchitect_pipeline(args):
+    from magcache_tpu.pipelines.vchitect import (
+        VchitectPipeline, VchitectPipelineConfig)
+    kw = dict(num_inference_steps=args.sample_steps or 100,
+              guidance_scale=args.sample_guide_scale,
+              use_magcache=args.use_magcache, dtype=args.dtype,
+              tiny=args.tiny)
+    if args.magcache_thresh is not None:
+        kw["magcache_thresh"] = args.magcache_thresh
+    if args.magcache_K is not None:
+        kw["magcache_K"] = args.magcache_K
+    if args.retention_ratio is not None:
+        kw["retention_ratio"] = args.retention_ratio
+    if args.tiny:
+        kw.update(num_frames=4, height=32, width=32, txt_len=6)
+    cfg = VchitectPipelineConfig(**kw)
+    return VchitectPipeline(cfg), cfg
+
+
+def _open_sora_plan_pipeline(args):
+    from magcache_tpu.pipelines.open_sora_plan import (
+        OpenSoraPlanPipeline, OpenSoraPlanPipelineConfig)
+    kw = dict(num_inference_steps=args.sample_steps or 150,
+              guidance_scale=args.sample_guide_scale,
+              use_magcache=args.use_magcache, dtype=args.dtype,
+              tiny=args.tiny)
+    if args.magcache_thresh is not None:
+        kw["magcache_thresh"] = args.magcache_thresh
+    if args.magcache_K is not None:
+        kw["magcache_K"] = args.magcache_K
+    if args.retention_ratio is not None:
+        kw["retention_ratio"] = args.retention_ratio
+    if args.tiny:
+        kw.update(num_frames=5, height=32, width=32, caption_len=6)
+    cfg = OpenSoraPlanPipelineConfig(**kw)
+    return OpenSoraPlanPipeline(cfg), cfg
+
+
+def _omnigen2_pipeline(args):
+    from magcache_tpu.pipelines.omnigen2 import (
+        OmniGen2Pipeline, OmniGen2PipelineConfig)
+    kw = dict(mode="t2i" if args.image is None else "edit",
+              num_inference_steps=args.sample_steps or 50,
+              use_magcache=args.use_magcache, dtype=args.dtype,
+              tiny=args.tiny)
+    if args.magcache_thresh is not None:
+        kw["magcache_thresh"] = args.magcache_thresh
+    if args.magcache_K is not None:
+        kw["magcache_K"] = args.magcache_K
+    if args.retention_ratio is not None:
+        kw["retention_ratio"] = args.retention_ratio
+    if args.tiny:
+        kw.update(height=32, width=32, txt_len=6)
+    cfg = OmniGen2PipelineConfig(**kw)
+    return OmniGen2Pipeline(cfg), cfg
+
+
 def _load_image(path: str) -> np.ndarray:
     """Load an input image as [H, W, 3] float [0, 1]."""
     if path.endswith(".npy"):
@@ -228,15 +331,34 @@ def main(argv=None):
     elif args.task.startswith("hunyuan") or args.task.startswith("framepack"):
         pipe, cfg = _hunyuan_pipeline(args)
         steps = cfg.steps
+    elif args.task.startswith("open-sora-plan"):
+        pipe, cfg = _open_sora_plan_pipeline(args)
+        steps = cfg.num_inference_steps
     elif args.task.startswith("open-sora"):
         pipe, cfg = _open_sora_pipeline(args)
         steps = cfg.num_sampling_steps
+    elif args.task.startswith("cogvideox"):
+        pipe, cfg = _cogvideox_pipeline(args)
+        steps = cfg.num_inference_steps
+    elif args.task.startswith("latte"):
+        pipe, cfg = _latte_pipeline(args)
+        steps = cfg.num_sampling_steps
+    elif args.task.startswith("vchitect"):
+        pipe, cfg = _vchitect_pipeline(args)
+        steps = cfg.num_inference_steps
+    elif args.task.startswith("omnigen2"):
+        pipe, cfg = _omnigen2_pipeline(args)
+        steps = cfg.num_inference_steps
     else:
         pipe, cfg = _wan_pipeline(args)
         steps = cfg.sample_steps
     gen_kwargs = {}
     if args.image:
         gen_kwargs["image"] = _load_image(args.image)
+    if args.src_video:
+        gen_kwargs["src_video"] = np.load(args.src_video)
+    if args.src_mask:
+        gen_kwargs["src_mask"] = np.load(args.src_mask)
     out = pipe.generate(args.prompt, seed=args.base_seed, **gen_kwargs)
     dt = time.time() - t0
 

@@ -250,10 +250,19 @@ def sample_euler(
     combine_fn: Optional[Callable] = None,
     skip_mask_override: Optional[jnp.ndarray] = None,
     x_coeffs: Optional[np.ndarray] = None,
+    in_scales: Optional[np.ndarray] = None,
+    noise_scales: Optional[np.ndarray] = None,
+    noise_key: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """Linear-update sampler: ``x <- cx_i * x + dt_i * v`` per step, with
-    MagCache. ``x_coeffs`` defaults to ones (plain Euler); CogVideoX's DDIM
-    passes its host-precomputed (c_x, c_v=dts) pair.
+    """Linear-update sampler: ``x <- cx_i * x + dt_i * v [+ ns_i * z_i]`` per
+    step, with MagCache. ``x_coeffs`` defaults to ones (plain Euler);
+    CogVideoX's DDIM passes its host-precomputed (c_x, c_v=dts) pair.
+
+    ``in_scales``: per-step scaling of the *model input only*
+    (``x_model = in_i * x`` — diffusers ``scale_model_input`` for k-sigma
+    schedules); ``noise_scales`` + ``noise_key``: ancestral noise injection
+    (EulerAncestral's sigma_up term), noise drawn per step via
+    ``fold_in(noise_key, step)``.
 
     ``skip_mask_override`` (bool[num_steps, lanes], may be a traced argument)
     replaces the host-precomputed schedule — lets one compiled program serve
@@ -276,14 +285,21 @@ def sample_euler(
     dts_a = jnp.asarray(np.asarray(dts, np.float32))
     cxs = jnp.asarray(np.ones(num_steps, np.float32) if x_coeffs is None
                       else np.asarray(x_coeffs, np.float32))
+    cins = jnp.asarray(np.ones(num_steps, np.float32) if in_scales is None
+                       else np.asarray(in_scales, np.float32))
+    nss = jnp.asarray(np.zeros(num_steps, np.float32) if noise_scales is None
+                      else np.asarray(noise_scales, np.float32))
+    ancestral = noise_scales is not None
+    if ancestral:
+        assert noise_key is not None, "noise_scales needs a noise_key"
     skips = (jnp.asarray(skip_mask) if skip_mask_override is None
              else skip_mask_override)
     state0 = _init_trunk_state(core, params, x_l0, jnp.asarray(timesteps[:1]), cond)
 
     def body(carry, step_in):
         x, cache, state = carry
-        t, dt, cx, skip_bits, idx = step_in
-        x2 = _stack_lanes(x, n_lanes)
+        t, dt, cx, cin, ns, skip_bits, idx = step_in
+        x2 = _stack_lanes(cin.astype(x.dtype) * x, n_lanes)
         tvec = jnp.full((x2.shape[0],), t, jnp.float32)
         hidden, ctx = core.prepare(params, x2, tvec, cond)
         h_out, cache, state = _cached_trunk(core, params, hidden, ctx, cache,
@@ -292,11 +308,15 @@ def sample_euler(
         out = core.head(params, h_out, ctx)
         v = _cfg_combine(out, guidance_scale, batch, combine_fn, n_lanes, idx)
         x = cx.astype(x.dtype) * x + dt.astype(x.dtype) * v.astype(x.dtype)
+        if ancestral:
+            z = jax.random.normal(jax.random.fold_in(noise_key, idx),
+                                  x.shape, x.dtype)
+            x = x + ns.astype(x.dtype) * z
         return (x, cache, state), None
 
     (x_fin, _, _), _ = jax.lax.scan(
         body, (x_init, cache0, state0),
-        (ts, dts_a, cxs, skips, jnp.arange(num_steps)))
+        (ts, dts_a, cxs, cins, nss, skips, jnp.arange(num_steps)))
     return x_fin
 
 

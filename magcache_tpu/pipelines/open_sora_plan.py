@@ -1,0 +1,130 @@
+"""Open-Sora-Plan v1.2 T2V pipeline (Euler-Ancestral sampling, joint CFG).
+
+Mirrors ``videosys/pipelines/open_sora_plan/pipeline_open_sora_plan.py``:
+T5 captions -> OSP full-3D-attention transformer -> EulerAncestralDiscrete
+denoising (v1.2 scheduler choice, :302-306; 150 steps / cfg 7.5 defaults,
+:164-165). CFG runs as a batched dual lane; MagCache caches each lane
+independently (lanes=2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magcache_tpu.core.magcache import MagCacheConfig
+from magcache_tpu.core.sampler import sample_euler
+from magcache_tpu.models.open_sora_plan import (
+    OpenSoraPlanConfig,
+    init_osp_params,
+    make_osp_core,
+)
+from magcache_tpu.models.text import MockTextEncoder, TextEncoder
+from magcache_tpu.pipelines.base import BasePipeline, PipelineOutput
+from magcache_tpu.schedulers.euler_ancestral import EulerAncestralSchedule
+from magcache_tpu.utils.misc import set_seed
+
+
+@dataclasses.dataclass
+class OpenSoraPlanPipelineConfig:
+    num_frames: int = 29
+    height: int = 480
+    width: int = 640
+    num_inference_steps: int = 150
+    guidance_scale: float = 7.5
+    caption_len: int = 512
+    use_magcache: bool = False
+    magcache_ratios: Optional[tuple] = None
+    magcache_thresh: float = 0.12
+    magcache_K: int = 3
+    retention_ratio: float = 0.2
+    dtype: str = "float32"
+    tiny: bool = False
+
+    def model_config(self) -> OpenSoraPlanConfig:
+        if self.tiny:
+            return OpenSoraPlanConfig.tiny(dtype=self.dtype)
+        return OpenSoraPlanConfig(dtype=self.dtype)
+
+    @property
+    def pipeline_cls(self):
+        return OpenSoraPlanPipeline
+
+
+class OpenSoraPlanPipeline(BasePipeline):
+    def __init__(self, config: OpenSoraPlanPipelineConfig,
+                 text_encoder: Optional[TextEncoder] = None, params=None,
+                 vae=None, key: Optional[jax.Array] = None):
+        self.config = config
+        self.model_cfg = config.model_config()
+        c = config
+        pt, ph, pw = self.model_cfg.patch
+        # OSP v1.2 CausalVAE: temporal stride 4, spatial 8
+        lf = (c.num_frames - 1) // 4 + 1
+        self.latent_shape = (lf, c.height // 8, c.width // 8,
+                             self.model_cfg.in_channels)
+        self.grid = (lf // pt, c.height // 8 // ph, c.width // 8 // pw)
+        self.vae = vae
+        self.core = make_osp_core(self.model_cfg, self.grid, c.caption_len)
+        self.text_encoder = text_encoder or MockTextEncoder(
+            c.caption_len, self.model_cfg.caption_dim, scale=0.5)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        self.params = params if params is not None else init_osp_params(
+            key, self.model_cfg)
+        self._fn = None
+
+    def _cache_cfg(self) -> Optional[MagCacheConfig]:
+        c = self.config
+        if not c.use_magcache:
+            return None
+        n = c.num_inference_steps * 2
+        ratios = c.magcache_ratios
+        if ratios is None:
+            ratios = tuple(np.ones(n))
+        else:
+            from magcache_tpu.core.magcache import prepare_mag_ratios
+            ratios = tuple(prepare_mag_ratios(np.asarray(ratios), n, lanes=2))
+        return MagCacheConfig(
+            num_steps=n, mag_ratios=ratios, thresh=c.magcache_thresh,
+            max_consecutive_skips=c.magcache_K,
+            retention_ratio=c.retention_ratio, lanes=2)
+
+    def _sample_fn(self):
+        if self._fn is not None:
+            return self._fn
+        c = self.config
+        sch = EulerAncestralSchedule.create(c.num_inference_steps)
+        core, g = self.core, c.guidance_scale
+        cache_cfg = self._cache_cfg()
+
+        def fn(params, z, cond, noise_key):
+            return sample_euler(
+                core, params, z, cond, timesteps=sch.timesteps, dts=sch.dts,
+                in_scales=sch.in_scales, noise_scales=sch.noise_scales,
+                noise_key=noise_key, cache_cfg=cache_cfg, guidance_scale=g)
+
+        self._fn = jax.jit(fn)
+        return self._fn
+
+    def generate(self, prompt: str, negative_prompt: str = "", seed: int = 0
+                 ) -> PipelineOutput:
+        t0 = time.time()
+        cond = {"y": self.text_encoder([prompt, negative_prompt])}
+        key = set_seed(seed)
+        k_init, k_anc = jax.random.split(key)
+        sch_sigma = EulerAncestralSchedule.create(
+            self.config.num_inference_steps).init_noise_sigma
+        z = jax.random.normal(k_init, (1,) + self.latent_shape,
+                              jnp.float32) * sch_sigma
+        latents = self._sample_fn()(self.params, z, cond, k_anc)
+        latents.block_until_ready()
+        video = None
+        if self.vae is not None:
+            video = np.asarray(self.vae.decode(latents))
+        return PipelineOutput(latents=latents, video=video,
+                              timings={"total_s": time.time() - t0})

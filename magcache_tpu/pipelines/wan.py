@@ -94,14 +94,22 @@ class WanPipelineConfig:
             if self.task == "i2v":
                 base = dataclasses.replace(base, model_type="i2v",
                                            in_channels=36)
+            if self.task == "vace":
+                base = dataclasses.replace(
+                    base, vace_layers=tuple(range(0, base.layers, 5)))
             return base
         base = WAN_14B if "14B" in self.model else WAN_1_3B
-        return dataclasses.replace(
+        base = dataclasses.replace(
             base,
             model_type="i2v" if self.task == "i2v" else "t2v",
             in_channels=36 if self.task == "i2v" else 16,
             dtype=self.dtype,
         )
+        if self.task == "vace":
+            # hint blocks every 5th layer (VACE-1.3B: 6 of 30; 14B: 8 of 40)
+            base = dataclasses.replace(
+                base, vace_layers=tuple(range(0, base.layers, 5)))
+        return base
 
     def latent_grid(self) -> Tuple[int, int, int]:
         w, h = self.size
@@ -352,10 +360,49 @@ class WanPipeline(BasePipeline):
         y = jnp.concatenate([msk, mean.astype(jnp.float32)], axis=-1)
         return y, clip_fea
 
+    def encode_vace(self, src_video=None, src_mask=None) -> jnp.ndarray:
+        """Build the 96-channel VACE conditioning context
+        (reference: wan.WanVace.prepare_source + vace_encode_frames/
+        vace_latent, driven from ``magcache_generate.py:1091-1155``):
+        VAE latents of the *inactive* (mask-erased) and *reactive* (masked)
+        video halves (16 + 16 ch) + the 8x8 space-to-depth mask (64 ch).
+
+        src_video: [F, H, W, 3] in [0, 1] (None -> zeros: pure generation);
+        src_mask:  [F, H, W] in [0, 1] (None -> ones: edit everywhere).
+        """
+        lf, lh, lw, _ = self.latent_shape
+        if src_video is None:
+            return jnp.zeros((1, lf, lh, lw, 96), jnp.float32)
+        import numpy as _np
+
+        _, vae = self._i2v_encoders()
+        w, h = self.config.size
+        vid = jnp.asarray(_np.asarray(src_video, _np.float32))[None]
+        vid = jax.image.resize(vid, (1, self.config.frame_num, h, w, 3),
+                               method="bicubic")
+        vid = jnp.clip(vid, 0.0, 1.0) * 2.0 - 1.0
+        if src_mask is None:
+            m = jnp.ones((1, self.config.frame_num, h, w, 1), jnp.float32)
+        else:
+            m = jnp.asarray(_np.asarray(src_mask, _np.float32))[None, ..., None]
+            m = jax.image.resize(m, (1, self.config.frame_num, h, w, 1),
+                                 method="nearest")
+        inactive, _ = vae.encode(vid * (1.0 - m))
+        reactive, _ = vae.encode(vid * m)
+        # mask -> latent frames (nearest temporal), 8x8 space-to-depth
+        m_lat = jax.image.resize(m[..., 0], (1, lf, lh * 8, lw * 8), "nearest")
+        m_lat = m_lat.reshape(1, lf, lh, 8, lw, 8)
+        m_lat = m_lat.transpose(0, 1, 2, 4, 3, 5).reshape(1, lf, lh, lw, 64)
+        return jnp.concatenate(
+            [inactive.astype(jnp.float32), reactive.astype(jnp.float32),
+             m_lat], axis=-1)
+
     def generate(self, prompt: str, negative_prompt: str = DEFAULT_NEGATIVE,
                  seed: int = 0, image=None,
                  image_latents: Optional[jnp.ndarray] = None,
-                 clip_features: Optional[jnp.ndarray] = None) -> PipelineOutput:
+                 clip_features: Optional[jnp.ndarray] = None,
+                 src_video=None, src_mask=None,
+                 vace_context: Optional[jnp.ndarray] = None) -> PipelineOutput:
         t0 = time.time()
         ctx = self.text_encoder([prompt, negative_prompt])  # [2, L, 4096]
         cond = {"context": ctx}
@@ -365,6 +412,10 @@ class WanPipeline(BasePipeline):
                 image_latents, clip_features = self.encode_image(image)
             cond["y"] = jnp.concatenate([image_latents] * 2, axis=0)
             cond["clip_fea"] = jnp.concatenate([clip_features] * 2, axis=0)
+        if self.config.task == "vace":
+            if vace_context is None:
+                vace_context = self.encode_vace(src_video, src_mask)
+            cond["vace_context"] = jnp.concatenate([vace_context] * 2, axis=0)
 
         noise_key = set_seed(seed)
         x0 = jax.random.normal(noise_key, (1,) + self.latent_shape, jnp.float32)

@@ -58,3 +58,90 @@ def test_osp_forward_and_sampling():
     s = sample_euler(core, params, x, cond, timesteps=sch.timesteps,
                      dts=np.diff(sch.sigmas), guidance_scale=5.0)
     assert np.isfinite(np.asarray(s)).all()
+
+
+# ---------------------------------------------------------------------------
+# Round 2: the B11/B12 models become reachable products (pipelines + CLI)
+# ---------------------------------------------------------------------------
+
+def test_vchitect_pipeline_generates():
+    from magcache_tpu.pipelines.vchitect import (
+        VchitectPipeline, VchitectPipelineConfig)
+
+    cfg = VchitectPipelineConfig(tiny=True, num_frames=4, height=32, width=32,
+                                 num_inference_steps=3, txt_len=6,
+                                 use_magcache=True, retention_ratio=0.3)
+    out = VchitectPipeline(cfg).generate("a red panda drumming", seed=1)
+    assert np.isfinite(np.asarray(out.latents)).all()
+
+
+def test_open_sora_plan_pipeline_generates_and_is_seeded():
+    from magcache_tpu.pipelines.open_sora_plan import (
+        OpenSoraPlanPipeline, OpenSoraPlanPipelineConfig)
+
+    cfg = OpenSoraPlanPipelineConfig(tiny=True, num_frames=5, height=32,
+                                     width=32, num_inference_steps=4,
+                                     caption_len=6)
+    pipe = OpenSoraPlanPipeline(cfg)
+    a = np.asarray(pipe.generate("a glass orb", seed=3).latents)
+    b = np.asarray(pipe.generate("a glass orb", seed=3).latents)
+    c = np.asarray(pipe.generate("a glass orb", seed=4).latents)
+    assert np.isfinite(a).all()
+    np.testing.assert_array_equal(a, b)          # ancestral noise is seeded
+    assert np.abs(a - c).max() > 1e-6
+
+
+def test_euler_ancestral_schedule_matches_diffusers_semantics():
+    """Verbatim numpy oracle of diffusers EulerAncestralDiscreteScheduler
+    (linspace spacing, epsilon prediction) stepping a linear model — the
+    scan-sampler arrays must reproduce the trajectory exactly."""
+    from magcache_tpu.core.sampler import DiTCore, sample_euler
+    from magcache_tpu.schedulers.euler_ancestral import EulerAncestralSchedule
+
+    steps, train = 6, 1000
+    sch = EulerAncestralSchedule.create(steps, train_steps=train)
+
+    # oracle: diffusers semantics with the same per-step gaussian draws
+    betas = np.linspace(0.0001, 0.02, train)
+    abar = np.cumprod(1 - betas)
+    sig_all = np.sqrt((1 - abar) / abar)
+    ts = np.linspace(0, train - 1, steps)[::-1]
+    sigmas = np.concatenate([np.interp(ts, np.arange(train), sig_all), [0.0]])
+
+    A = np.asarray(np.random.default_rng(0).normal(size=(1, 8)), np.float32)
+    W = np.asarray(np.random.default_rng(1).normal(size=(8, 8)) * 0.1, np.float32)
+
+    def model_eps(x_scaled, t):
+        return np.tanh(x_scaled @ W) + 0.01 * t / train
+
+    import jax
+    key = jax.random.PRNGKey(5)
+    zs = [np.asarray(jax.random.normal(jax.random.fold_in(key, i), (1, 8),
+                                       jnp.float32)) for i in range(steps)]
+
+    x = A * sigmas[0]
+    for i in range(steps):
+        s1, s2 = sigmas[i], sigmas[i + 1]
+        eps = model_eps(x / np.sqrt(s1 ** 2 + 1), ts[i])
+        sigma_up = np.sqrt(max(s2 ** 2 * (s1 ** 2 - s2 ** 2) / s1 ** 2, 0.0))
+        sigma_down = np.sqrt(max(s2 ** 2 - sigma_up ** 2, 0.0))
+        x = x + (sigma_down - s1) * eps
+        x = x + sigma_up * zs[i]
+
+    # The sampler's v is head(trunk(prepare(x*cin))); with trunk = input + eps
+    # (a nonzero residual for the cache boundary) the update becomes
+    #   x <- cx*x + dt*(x*cin + eps);  choosing cx_i = 1 - dt_i*cin_i
+    # reproduces the oracle's x + dt*eps exactly.
+    core = DiTCore(
+        prepare=lambda p, xx, t, c: (xx, t),
+        trunk=lambda p, h, ctx: h + (jnp.tanh(h @ jnp.asarray(W))
+                                     + 0.01 * ctx[:, None] / train),
+        head=lambda p, h, ctx: h,
+    )
+    cx = 1.0 - sch.dts * sch.in_scales
+    out = sample_euler(
+        core, None, jnp.asarray(A * sigmas[0], jnp.float32), None,
+        timesteps=sch.timesteps, dts=sch.dts, x_coeffs=cx,
+        in_scales=sch.in_scales, noise_scales=sch.noise_scales,
+        noise_key=key)
+    np.testing.assert_allclose(np.asarray(out), x, rtol=2e-4, atol=2e-4)

@@ -158,3 +158,28 @@ def test_vace_variant():
     hidden3, ctx3 = core.prepare(params, x, t, cond3)
     out3 = core.head(params, core.trunk(params, hidden3, ctx3), ctx3)
     assert np.abs(np.asarray(out) - np.asarray(out3)).max() > 1e-4
+
+
+def test_vace_pipeline_generate_with_src_video():
+    """task=vace: the pipeline packs [inactive; reactive; 8x8 mask] into the
+    96-channel vace_context (wan.WanVace.prepare_source semantics) and the
+    hints change the output."""
+    from magcache_tpu.pipelines.wan import WanPipeline, WanPipelineConfig
+
+    cfg = WanPipelineConfig(task="vace", tiny=True, size=(64, 32), frame_num=9,
+                            sample_steps=2, sample_solver="euler",
+                            dtype="float32")
+    pipe = WanPipeline(cfg)
+    rng = np.random.default_rng(0)
+    vid = rng.random((9, 24, 40, 3)).astype(np.float32)
+    mask = (rng.random((9, 24, 40)) > 0.5).astype(np.float32)
+
+    vc = pipe.encode_vace(vid, mask)
+    lf, lh, lw, _ = pipe.latent_shape
+    assert vc.shape == (1, lf, lh, lw, 96)
+
+    out1 = np.asarray(pipe.generate("edit the sky", seed=0, src_video=vid,
+                                    src_mask=mask).latents)
+    out2 = np.asarray(pipe.generate("edit the sky", seed=0).latents)  # zeros ctx
+    assert np.isfinite(out1).all()
+    assert np.abs(out1 - out2).max() > 1e-6
