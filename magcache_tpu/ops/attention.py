@@ -79,8 +79,14 @@ def _flash_kernel_aux(q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref,
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
-                  scale: float, kv_len: int, block_k: int):
-    """One (batch*head, q_block, kv_block) grid cell of online-softmax attention."""
+                  kv_len: int, block_k: int, mask_kv: bool):
+    """One (batch*head, q_block, kv_block) grid cell of online-softmax attention.
+
+    q arrives PRE-SCALED by ``scale * log2(e)`` (one cheap [S, d] pass outside
+    the kernel instead of a [block_q, block_k] pass per grid cell), and the
+    trailing-key mask is compiled in only when the padded kv length actually
+    exceeds ``kv_len`` — both save full VPU sweeps over the score block.
+    """
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -90,17 +96,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # [block_q, d]
+    q = q_ref[0]  # [block_q, d], pre-scaled
     k = k_ref[0]  # [block_k, d]
     v = v_ref[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (scale * _LOG2E)  # [block_q, block_k]; base-2 softmax (VPU-native exp2)
+    )  # [block_q, block_k]; base-2 softmax (VPU-native exp2)
 
-    # Mask keys past the true kv length (handles wrapper padding).
-    key_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(key_pos < kv_len, s, _NEG_INF)
+    if mask_kv:
+        # Mask keys past the true kv length (handles wrapper padding).
+        key_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_pos < kv_len, s, _NEG_INF)
 
     m_prev = m_ref[:, :1]                                   # [block_q, 1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -160,9 +167,11 @@ def flash_attention_bhsd(
     kr = k.reshape(bh, skv_p, d)
     vr = v.reshape(bh, skv_p, d)
 
+    qr = qr * jnp.asarray(scale * _LOG2E, qr.dtype)  # fold scale into q once
     grid = (bh, sq_p // block_q, skv_p // block_k)
     kernel = functools.partial(
-        _flash_kernel, scale=scale, kv_len=kv_len, block_k=block_k
+        _flash_kernel, kv_len=kv_len, block_k=block_k,
+        mask_kv=(kv_len < skv_p),
     )
     out = pl.pallas_call(
         kernel,

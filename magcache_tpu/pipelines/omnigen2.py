@@ -14,9 +14,14 @@ ratio arrays interleaved into one `MagCacheConfig`, and the guidance combine is
     pred = uncond + image_scale * (ref - uncond) + text_scale * (cond - ref)
 
 (the OmniGen2 predict combine for edit; t2i degenerates to standard 2-branch
-CFG). The denoiser itself is an MMDiT (OmniGen2's decoder is transformer-based;
-the block math reuses `models.flux` — checkpoint ingestion maps real weights
-onto it).
+CFG). The denoiser is the true OmniGen2 decoder (`models.omnigen2`): a
+Lumina2-lineage single-stream transformer with context/noise/ref refiners,
+GQA attention and sandwich-norm tanh-gated modulation. One batching
+divergence from the reference: its uncond predict drops the ref tokens from
+the sequence entirely (``magcache_utils.py:489-500``); the batched-lane
+design keeps the layout static and zeroes the uncond lane's ref latents
+instead (documented approximation — lane-separate execution would restore
+exact parity at the cost of a second compiled program).
 """
 
 from __future__ import annotations
@@ -32,10 +37,10 @@ import numpy as np
 from magcache_tpu.core.magcache import MagCacheConfig, prepare_mag_ratios
 from magcache_tpu.core.sampler import sample_euler
 from magcache_tpu.data import get_calibrated_ratios
-from magcache_tpu.models.qwen_image import (
-    QwenImageConfig,
-    init_qwen_image_params,
-    make_qwen_image_core,
+from magcache_tpu.models.omnigen2 import (
+    OmniGen2Config,
+    init_omnigen2_params,
+    make_omnigen2_core,
 )
 from magcache_tpu.models.text import MockTextEncoder, TextEncoder
 from magcache_tpu.pipelines.base import BasePipeline, PipelineOutput
@@ -89,10 +94,12 @@ class OmniGen2PipelineConfig:
     dtype: str = "float32"
     tiny: bool = False
 
-    def model_config(self) -> QwenImageConfig:
+    ref_images: int = 1                # edit mode: number of reference images
+
+    def model_config(self) -> OmniGen2Config:
         if self.tiny:
-            return QwenImageConfig.tiny(dtype=self.dtype)
-        return QwenImageConfig(dtype=self.dtype)
+            return OmniGen2Config.tiny(dtype=self.dtype)
+        return OmniGen2Config(dtype=self.dtype)
 
 
 class OmniGen2Pipeline(BasePipeline):
@@ -101,13 +108,15 @@ class OmniGen2Pipeline(BasePipeline):
                  key: Optional[jax.Array] = None):
         self.config = config
         self.model_cfg = config.model_config()
-        self.grid = (config.height // 16, config.width // 16)
-        self.core = make_qwen_image_core(self.model_cfg, config.txt_len,
-                                         *self.grid)
+        p = self.model_cfg.patch
+        self.grid = (config.height // 8 // p, config.width // 8 // p)
+        self.n_refs = config.ref_images if config.mode == "edit" else 0
+        self.core = make_omnigen2_core(self.model_cfg, config.txt_len,
+                                       self.grid, ref_images=self.n_refs)
         self.text_encoder = text_encoder or MockTextEncoder(
             config.txt_len, self.model_cfg.text_dim, scale=0.5)
         key = key if key is not None else jax.random.PRNGKey(0)
-        self.params = params if params is not None else init_qwen_image_params(
+        self.params = params if params is not None else init_omnigen2_params(
             key, self.model_cfg)
         self._jit_cache = {}
 
@@ -164,16 +173,26 @@ class OmniGen2Pipeline(BasePipeline):
         return jitted
 
     def generate(self, prompt: str, negative_prompt: str = "",
-                 seed: int = 0) -> PipelineOutput:
+                 seed: int = 0, ref_latents=None) -> PipelineOutput:
         t0 = time.time()
         gh, gw = self.grid
+        pp = self.model_cfg.patch
+        c_in = self.model_cfg.in_channels
         # branch conds: cond = full prompt; uncond = negative; ref = image-only
         prompts = {"t2i": [prompt, negative_prompt],
                    "edit": [prompt, negative_prompt, "<ref-image-only>"]}[self.config.mode]
         cond = {"txt": self.text_encoder(prompts)}
+        if self.n_refs:
+            if ref_latents is None:
+                ref_latents = jnp.zeros(
+                    (1, self.n_refs, gh * pp, gw * pp, c_in), jnp.float32)
+            # lanes (cond, uncond, ref): the uncond lane sees zeroed refs
+            # (see module docstring on this approximation)
+            refs = jnp.concatenate(
+                [ref_latents, jnp.zeros_like(ref_latents), ref_latents], axis=0)
+            cond["ref"] = refs
         x0 = jax.random.normal(set_seed(seed),
-                               (1, gh * gw, self.model_cfg.in_channels),
-                               jnp.float32)
+                               (1, gh * pp, gw * pp, c_in), jnp.float32)
         latents = self._sample_fn()(self.params, x0, cond)
         latents.block_until_ready()
         return PipelineOutput(latents=latents,

@@ -51,8 +51,16 @@ def test_omnigen2_pipeline_3branch():
                                  use_magcache=True, dtype="float32")
     pipe = OmniGen2Pipeline(cfg)
     out = pipe.generate("make the cat orange", seed=0)
-    assert out.latents.shape == (1, 16, 16)
+    # true decoder emits the latent image [B, H/8, W/8, C] (FLUX-VAE layout)
+    assert out.latents.shape == (1, 8, 8, 16)
     assert np.isfinite(np.asarray(out.latents)).all()
+
+    # a reference image must influence the edit output through the ref branch
+    import jax.numpy as jnp
+    ref = jnp.ones((1, 1, 8, 8, 16), jnp.float32) * 0.3
+    out_ref = pipe.generate("make the cat orange", seed=0, ref_latents=ref)
+    assert np.abs(np.asarray(out_ref.latents)
+                  - np.asarray(out.latents)).max() > 1e-6
 
 
 def test_omnigen2_t2i_two_lane():
