@@ -113,6 +113,11 @@ class CogVideoXPipeline(BasePipeline):
         latents.block_until_ready()
         video = None
         if self.vae is not None:
-            video = np.asarray(self.vae.decode(latents))
+            z = latents
+            sf = getattr(getattr(self.vae, "cfg", None), "scaling_factor", None)
+            if sf:
+                z = z / sf
+            dec = getattr(self.vae, "decode_tiled", None) or self.vae.decode
+            video = np.asarray(dec(z))
         return PipelineOutput(latents=latents, video=video,
                               timings={"total_s": time.time() - t0})
