@@ -170,14 +170,16 @@ def _hunyuan_pipeline(args):
         FramePackPipelineConfig,
     )
     w, h = (int(v) for v in args.size.split("*"))
+    is_fp = args.task.startswith("framepack")
     if args.tiny:
-        w = h = 32
+        w = h = 64 if is_fp else 32     # pyramid needs 64-divisible sizes
     preset = "hunyuanvideo-720p" if h >= 700 else "hunyuanvideo-544p"
     cfg = FramePackPipelineConfig(
-        model=preset if not args.task.startswith("framepack") else args.task,
+        model=preset if not is_fp else args.task,
         height=h, width=w,
+        pyramid=is_fp,                   # plain Hunyuan has no clean pyramid
         latent_window_size=2 if args.tiny else (args.frame_num - 1) // 4 + 1,
-        total_sections=1 if not args.task.startswith("framepack") else 5,
+        total_sections=1 if not is_fp else 5,
         steps=args.sample_steps or 50,
         guidance=args.sample_guide_scale,
         txt_len=8 if args.tiny else 256,

@@ -245,6 +245,12 @@ def make_flux_core(cfg: FluxConfig, txt_len: int, grid_h: int, grid_w: int,
     def prepare(params, x, t, cond):
         dt_ = cfg.jdtype
         img = linear(params["img_in"], x.astype(dt_))
+        if "img_pre_tokens" in cond:
+            # already-embedded conditioning tokens (FramePack clean-latent
+            # pyramid) join the image stream ahead of the noise window
+            img = jnp.concatenate(
+                [jnp.concatenate([p.astype(dt_) for p in cond["img_pre_tokens"]],
+                                 axis=1), img], axis=1)
         txt = linear(params["txt_in"], cond["txt"].astype(dt_))
         # f32 modulation vector: timestep(*1000) + guidance + pooled text
         vec = apply_mlp_embedder(

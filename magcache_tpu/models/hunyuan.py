@@ -60,6 +60,8 @@ class HunyuanConfig:
     rope_theta: float = 256.0
     time_embed_dim: int = 256
     guidance_embed: bool = True
+    framepack: bool = False       # FramePack packed variant: clean-latent
+                                  # pyramid input projections (1x/2x/4x)
     dtype: str = "float32"
     remat: bool = False
 
@@ -102,7 +104,7 @@ def init_hunyuan_params(key: jax.Array, cfg: HunyuanConfig):
     kf, kr, kp = jax.random.split(key, 3)
     params = F.init_flux_params(kf, cfg.to_flux())
     d = cfg.hidden
-    ks = iter(jax.random.split(kr, 8))
+    ks = iter(jax.random.split(kr, 12))
     nxt = lambda: next(ks)
     L = cfg.refiner_depth
     params["refiner"] = {
@@ -121,7 +123,75 @@ def init_hunyuan_params(key: jax.Array, cfg: HunyuanConfig):
             "norm2_b": jnp.zeros((L, d), jnp.float32),
         },
     }
+    if cfg.framepack:
+        # clean-latent pyramid projections (FramePack packed model's
+        # clean_x_embedder: kernels (1,2,2)/(2,4,4)/(4,8,8) over 16 latent ch)
+        c = cfg.in_channels
+        params["clean_proj"] = linear_params(nxt(), c * 1 * 2 * 2, d)
+        params["clean_proj_2x"] = linear_params(nxt(), c * 2 * 4 * 4, d)
+        params["clean_proj_4x"] = linear_params(nxt(), c * 4 * 8 * 8, d)
     return params
+
+
+def _patchify_k(lat, pt, ph, pw):
+    """Patchify with an arbitrary (pt, ph, pw) kernel (pyramid levels)."""
+    b, f, h, w, c = lat.shape
+    lat = lat.reshape(b, f // pt, pt, h // ph, ph, w // pw, pw, c)
+    lat = lat.transpose(0, 1, 3, 5, 7, 2, 4, 6)
+    return lat.reshape(b, (f // pt) * (h // ph) * (w // pw), c * pt * ph * pw)
+
+
+def framepack_rope_tables(cfg: "HunyuanConfig", txt_len: int,
+                          grid: Tuple[int, int, int], pad: int):
+    """(cos, sin) over [txt; clean(2); 2x(1); 4x(4); window] for one section.
+
+    Timeline indices follow the reference's split
+    (``magcache_demo_gradio.py:516-518``): pre=0, blank=pad*window…,
+    window, post, 2x(2), 4x(16). Pyramid groups compress (2, 4, 4)/(4, 8, 8)
+    latents into single token-frames at coarser spatial grids; their rope
+    positions use each group's first timeline index and stride-scaled
+    spatial coordinates (the packed model's multi-scale rope, approximated
+    on a shared frequency table)."""
+    gt, gh, gw = grid                  # window token grid (patch 1,2,2)
+    win0 = 1 + pad * gt                # first window timeline index... (pad is
+    # given in latent frames already scaled by window outside)
+
+    def coords_for(times, hh, ww, stride):
+        ys, xs = np.meshgrid(np.arange(hh) * stride, np.arange(ww) * stride,
+                             indexing="ij")
+        out = []
+        for t in times:
+            out.append(np.stack([np.full(hh * ww, t), ys.reshape(-1),
+                                 xs.reshape(-1)], axis=-1))
+        return np.concatenate(out, axis=0)
+
+    # timeline layout (latent frames): [pre 1][blank pad][window gt][post 1][2x 2][4x 16]
+    idx_pre = [0]
+    idx_window = list(range(1 + pad, 1 + pad + gt))
+    idx_post = [1 + pad + gt]
+    idx_2x = [1 + pad + gt + 1]                      # 2 frames -> 1 token-frame
+    idx_4x = list(range(1 + pad + gt + 3, 1 + pad + gt + 19, 4))  # 16 -> 4
+
+    rows = [
+        np.stack([np.arange(txt_len) * 0, np.zeros(txt_len), np.zeros(txt_len)],
+                 axis=-1),             # identity rotation rows handled below
+        coords_for(idx_pre + idx_post, gh, gw, 1),
+        coords_for(idx_2x, gh // 2, gw // 2, 2),
+        coords_for(idx_4x, gh // 4, gw // 4, 4),
+        coords_for(idx_window, gh, gw, 1),
+    ]
+    coords = np.concatenate(rows[1:], axis=0)
+    cos_p, sin_p = [], []
+    for ax, dim_a in enumerate(cfg.axes_dims):
+        c_, s_ = rope_freqs_1d(coords[:, ax], dim_a, cfg.rope_theta)
+        cos_p.append(c_)
+        sin_p.append(s_)
+    img_cos = np.concatenate(cos_p, -1)
+    img_sin = np.concatenate(sin_p, -1)
+    txt_cos = np.ones((txt_len, cfg.head_dim // 2), np.float32)
+    txt_sin = np.zeros((txt_len, cfg.head_dim // 2), np.float32)
+    return (np.concatenate([txt_cos, img_cos], 0),
+            np.concatenate([txt_sin, img_sin], 0))
 
 
 def hunyuan_rope_tables(cfg: HunyuanConfig, txt_len: int,
@@ -174,7 +244,8 @@ def _refine_text(cfg: HunyuanConfig, params, txt_raw, t):
 
 def make_hunyuan_core(cfg: HunyuanConfig, txt_len: int,
                       grid: Tuple[int, int, int],
-                      history_frames: int = 0) -> DiTCore:
+                      history_frames: int = 0,
+                      framepack_pad: Optional[int] = None) -> DiTCore:
     """(prepare, trunk, head) for a static latent patch grid (T, H, W).
 
     cond = {"txt": f[B, txt_len, text_dim] (LLM states),
@@ -192,14 +263,27 @@ def make_hunyuan_core(cfg: HunyuanConfig, txt_len: int,
     """
     fcfg = cfg.to_flux()
     gt, gh, gw = grid
-    full_grid = (gt + history_frames, gh, gw)
-    rope = hunyuan_rope_tables(cfg, txt_len, full_grid)
+    if framepack_pad is not None:
+        # FramePack pyramid section: [clean(2f); 2x(1f@/2); 4x(4f@/4); window]
+        rope = framepack_rope_tables(cfg, txt_len, grid, framepack_pad)
+    else:
+        full_grid = (gt + history_frames, gh, gw)
+        rope = hunyuan_rope_tables(cfg, txt_len, full_grid)
     mmdit = F.make_flux_core(fcfg, txt_len, gh, gw, rope_tables=rope)
     cur_tokens = gt * gh * gw
 
     def prepare(params, x, t, cond):
         tokens = patchify_video(cfg, x)
-        if history_frames:
+        if framepack_pad is not None:
+            pre_tokens = [
+                linear(params["clean_proj"],
+                       patchify_video(cfg, cond["clean"].astype(x.dtype))),
+                linear(params["clean_proj_2x"],
+                       _patchify_k(cond["clean_2x"].astype(x.dtype), 2, 4, 4)),
+                linear(params["clean_proj_4x"],
+                       _patchify_k(cond["clean_4x"].astype(x.dtype), 4, 8, 8)),
+            ]
+        elif history_frames:
             hist = cond["history"]
             tokens = jnp.concatenate(
                 [patchify_video(cfg, hist), tokens], axis=1)
@@ -207,6 +291,8 @@ def make_hunyuan_core(cfg: HunyuanConfig, txt_len: int,
         flux_cond = {"txt": refined, "vec": cond["vec"]}
         if cfg.guidance_embed and "guidance" in cond:
             flux_cond["guidance"] = cond["guidance"]
+        if framepack_pad is not None:
+            flux_cond["img_pre_tokens"] = pre_tokens
         return mmdit.prepare(params, tokens, t, flux_cond)
 
     def head(params, img, ctx):

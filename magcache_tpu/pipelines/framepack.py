@@ -54,7 +54,8 @@ class FramePackPipelineConfig:
     height: int = 512
     width: int = 512
     latent_window_size: int = 9           # latents per section
-    history_frames: int = 2               # clean-latent conditioning window
+    history_frames: int = 2               # flat-history mode conditioning
+    pyramid: bool = True                  # clean-latent pyramid (reference)
     total_sections: int = 5
     steps: int = 25
     guidance: float = 10.0
@@ -68,8 +69,9 @@ class FramePackPipelineConfig:
 
     def model_config(self) -> HunyuanConfig:
         if self.tiny:
-            return HunyuanConfig.tiny(dtype=self.dtype)
-        return HunyuanConfig(dtype=self.dtype)
+            return HunyuanConfig.tiny(dtype=self.dtype,
+                                      framepack=self.pyramid)
+        return HunyuanConfig(dtype=self.dtype, framepack=self.pyramid)
 
 
 class FramePackPipeline(BasePipeline):
@@ -83,8 +85,14 @@ class FramePackPipeline(BasePipeline):
         self.lat_shape = (c.latent_window_size,
                           (c.height // 16) * 2, (c.width // 16) * 2,
                           self.model_cfg.in_channels)
-        self.core = make_hunyuan_core(self.model_cfg, c.txt_len, self.grid,
-                                      history_frames=c.history_frames)
+        if not c.pyramid:
+            self.core = make_hunyuan_core(self.model_cfg, c.txt_len, self.grid,
+                                          history_frames=c.history_frames)
+        else:
+            assert c.height % 64 == 0 and c.width % 64 == 0, (
+                "pyramid mode needs height/width divisible by 64 (the 4x "
+                "clean-latent level patchifies (4, 8, 8) over the latent grid)")
+            self.core = None  # built per distinct section padding
         self.text_encoder = text_encoder or MockTextEncoder(
             c.txt_len, self.model_cfg.text_dim, scale=0.5)
         self.pooled_encoder = MockPooledEncoder(self.model_cfg.vec_dim)
@@ -93,11 +101,15 @@ class FramePackPipeline(BasePipeline):
             key, self.model_cfg)
         self._section_fn = None
 
-    def _sample_section(self):
-        """One jitted per-section sampler; reused by every section (fresh cache
-        carry each call == the reference's per-section reset)."""
-        if self._section_fn is not None:
-            return self._section_fn
+    def _sample_section(self, pad: Optional[int] = None):
+        """One jitted per-section sampler; reused across sections with the
+        same timeline padding (fresh cache carry each call == the reference's
+        per-section reset). In pyramid mode each distinct ``pad`` value gets
+        its own compiled program (the padding schedule uses at most 4)."""
+        if self._section_fn is None:
+            self._section_fn = {}
+        if pad in self._section_fn:
+            return self._section_fn[pad]
         c = self.config
         sch = FlowMatchSchedule.create(c.steps, shift=7.0)
         dts = np.diff(sch.sigmas)
@@ -106,15 +118,19 @@ class FramePackPipeline(BasePipeline):
             cache_cfg = make_config(c.model, c.steps,
                                     thresh=c.magcache_thresh, K=c.magcache_K,
                                     retention_ratio=c.retention_ratio)
-        core = self.core
+        if pad is None:
+            core = self.core
+        else:
+            core = make_hunyuan_core(self.model_cfg, c.txt_len, self.grid,
+                                     framepack_pad=pad)
 
         def fn(params, x, cond):
             return sample_euler(core, params, x, cond,
                                 timesteps=sch.timesteps, dts=dts,
                                 cache_cfg=cache_cfg)
 
-        self._section_fn = jax.jit(fn)
-        return self._section_fn
+        self._section_fn[pad] = jax.jit(fn)
+        return self._section_fn[pad]
 
     def generate(self, prompt: str, seed: int = 31337, on_section=None,
                  start_latent=None) -> PipelineOutput:
@@ -131,29 +147,60 @@ class FramePackPipeline(BasePipeline):
             "vec": self.pooled_encoder([prompt]),
             "guidance": jnp.full((1,), c.guidance, jnp.float32),
         }
-        fn = self._sample_section()
         history: List[np.ndarray] = []
         key = set_seed(seed)
-        hf = c.history_frames
-        hist_shape = (1, hf) + self.lat_shape[1:]
-        if start_latent is not None:
-            hbuf = jnp.broadcast_to(start_latent[:, None], hist_shape)
+        hw = self.lat_shape[1:]
+        if c.pyramid:
+            # reference buffer + padding schedule (magcache_demo_gradio.py:
+            # 493-522): history = [post(1); 2x(2); 4x(16); ...generated],
+            # sections run back-to-front with paddings reversed(range(n))
+            # (or the >4-section repetition trick).
+            n = c.total_sections
+            paddings = (list(reversed(range(n))) if n <= 4
+                        else [3] + [2] * (n - 3) + [1, 0])
+            start = (start_latent[:, None] if start_latent is not None
+                     else jnp.zeros((1, 1) + hw, jnp.float32))
+            hbuf = jnp.zeros((1, 1 + 2 + 16) + hw, jnp.float32)
+            for s, pad in enumerate(paddings):
+                fn = self._sample_section(pad)
+                key, sub = jax.random.split(key)
+                x0 = jax.random.normal(sub, (1,) + self.lat_shape, jnp.float32)
+                post, c2x, c4x = hbuf[:, :1], hbuf[:, 1:3], hbuf[:, 3:19]
+                cond = dict(base_cond)
+                cond["clean"] = jnp.concatenate([start, post], axis=1)
+                cond["clean_2x"] = c2x
+                cond["clean_4x"] = c4x
+                lat = fn(self.params, x0, cond)
+                lat.block_until_ready()
+                if pad == 0:  # last section: prepend the start latent
+                    lat = jnp.concatenate([start, lat], axis=1)
+                hbuf = jnp.concatenate([lat, hbuf], axis=1)
+                sec = np.asarray(lat)
+                history.insert(0, sec)   # sections generate back-to-front
+                if on_section is not None:
+                    on_section(s, sec)
         else:
-            hbuf = jnp.zeros(hist_shape, jnp.float32)
-        for s in range(c.total_sections):
-            key, sub = jax.random.split(key)
-            x0 = jax.random.normal(sub, (1,) + self.lat_shape, jnp.float32)
-            cond = dict(base_cond)
-            if hf:
-                cond["history"] = hbuf
-            lat = fn(self.params, x0, cond)
-            lat.block_until_ready()
-            if hf:
-                hbuf = lat[:, -hf:]
-            sec = np.asarray(lat)
-            history.append(sec)
-            if on_section is not None:
-                on_section(s, sec)
+            fn = self._sample_section()
+            hf = c.history_frames
+            hist_shape = (1, hf) + hw
+            if start_latent is not None:
+                hbuf = jnp.broadcast_to(start_latent[:, None], hist_shape)
+            else:
+                hbuf = jnp.zeros(hist_shape, jnp.float32)
+            for s in range(c.total_sections):
+                key, sub = jax.random.split(key)
+                x0 = jax.random.normal(sub, (1,) + self.lat_shape, jnp.float32)
+                cond = dict(base_cond)
+                if hf:
+                    cond["history"] = hbuf
+                lat = fn(self.params, x0, cond)
+                lat.block_until_ready()
+                if hf:
+                    hbuf = lat[:, -hf:]
+                sec = np.asarray(lat)
+                history.append(sec)
+                if on_section is not None:
+                    on_section(s, sec)
         full = jnp.asarray(np.concatenate(history, axis=1))
         return PipelineOutput(latents=full,
                               timings={"total_s": time.time() - t0,

@@ -75,7 +75,7 @@ def test_framepack_sections_and_streaming():
     cfg = FramePackPipelineConfig(tiny=True, height=32, width=32,
                                   latent_window_size=2, total_sections=3,
                                   steps=4, txt_len=8, use_magcache=True,
-                                  dtype="float32")
+                                  pyramid=False, dtype="float32")
     pipe = FramePackPipeline(cfg)
     seen = []
     out = pipe.generate("a river", seed=0, on_section=lambda i, lat: seen.append(i))
@@ -93,6 +93,29 @@ def test_framepack_magcache_schedule_has_guard():
     assert compute_skip_schedule(cfg).sum() > 0
 
 
+def test_framepack_pyramid_sections():
+    """Pyramid mode: reference buffer layout [post(1); 2x(2); 4x(16)],
+    back-to-front sections with the reversed padding schedule, start latent
+    prepended on the final section (magcache_demo_gradio.py:493-522)."""
+    cfg = FramePackPipelineConfig(tiny=True, height=64, width=64,
+                                  latent_window_size=2, total_sections=3,
+                                  steps=2, txt_len=8, use_magcache=True,
+                                  dtype="float32")
+    pipe = FramePackPipeline(cfg)
+    import jax.numpy as jnp
+    start = jnp.ones((1,) + pipe.lat_shape[1:], jnp.float32) * 0.2
+    seen = []
+    out = pipe.generate("a river", seed=0, start_latent=start,
+                        on_section=lambda i, lat: seen.append(lat.shape[1]))
+    assert seen == [2, 2, 3]            # last section prepends start latent
+    assert out.latents.shape[1] == 2 + 2 + 3
+    assert np.isfinite(np.asarray(out.latents)).all()
+
+    # start latent must influence the output through the clean branch
+    out2 = pipe.generate("a river", seed=0, start_latent=start * 5.0)
+    assert np.abs(np.asarray(out2.latents) - np.asarray(out.latents)).max() > 1e-6
+
+
 def test_framepack_history_conditions_output():
     """Changing the clean-latent history must change the section output
     (proves the conditioning tokens reach attention)."""
@@ -100,7 +123,7 @@ def test_framepack_history_conditions_output():
     cfg = FramePackPipelineConfig(tiny=True, height=32, width=32,
                                   latent_window_size=2, history_frames=2,
                                   total_sections=1, steps=2, txt_len=8,
-                                  dtype="float32")
+                                  pyramid=False, dtype="float32")
     pipe = FramePackPipeline(cfg)
     a = pipe.generate("a river", seed=0)
     start = jnp.ones((1,) + pipe.lat_shape[1:], jnp.float32) * 3.0
