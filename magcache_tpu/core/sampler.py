@@ -37,8 +37,8 @@ from magcache_tpu.core.calibration import calibration_stats
 from magcache_tpu.core.magcache import MagCacheConfig, compute_skip_schedule
 from magcache_tpu.schedulers.unipc import UniPCSchedule
 
-__all__ = ["DiTCore", "sample_euler", "sample_unipc", "calibrate_euler",
-           "calibrate_unipc"]
+__all__ = ["DiTCore", "sample_euler", "sample_unipc", "sample_pndm",
+           "calibrate_euler", "calibrate_unipc"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -594,4 +594,57 @@ def sample_dpm_cogvideo(
 
     (x_fin, _, _), _ = jax.lax.scan(
         body, (x_init, jnp.zeros_like(x_init), cache0), step_in)
+    return x_fin
+
+
+def sample_pndm(
+    core: DiTCore,
+    params,
+    x_init: jnp.ndarray,
+    cond,
+    schedule,                       # PNDMSchedule
+    *,
+    cache_cfg: Optional[MagCacheConfig] = None,
+    guidance_scale: Optional[float] = None,
+    lanes: Optional[int] = None,
+    combine_fn: Optional[Callable] = None,
+) -> jnp.ndarray:
+    """PNDM/PLMS sampler (Open-Sora-Plan v1.1's scheduler) with MagCache:
+    Adams-Bashforth epsilon history + host-precomputed (c_x, c_e) transfer,
+    as one `lax.scan` (schedulers/pndm.py documents the math)."""
+    n = schedule.num_steps
+    batch = x_init.shape[0]
+    skip_mask, n_lanes, lane_of_row, partial_lanes = _lane_setup(
+        cache_cfg, n, guidance_scale, lanes, combine_fn, batch)
+
+    x_l0 = _stack_lanes(x_init, n_lanes)
+    ts0 = jnp.asarray(schedule.timesteps[:1])
+    cache0 = _init_cache(core, params, x_l0, ts0, cond)
+    e_hist0 = jnp.stack([jnp.zeros_like(x_init)] * 4)
+
+    step_in = (
+        jnp.asarray(schedule.timesteps),
+        jnp.asarray(skip_mask),
+        jnp.asarray(schedule.c_x), jnp.asarray(schedule.c_e),
+        jnp.asarray(schedule.eps_weights),
+    )
+
+    def body(carry, inp):
+        x, e_hist, cache = carry
+        t, skip_bits, cx, ce, wts = inp
+        x2 = _stack_lanes(x, n_lanes)
+        tvec = jnp.full((x2.shape[0],), t, jnp.float32)
+        hidden, ctx = core.prepare(params, x2, tvec, cond)
+        h_out, cache, _ = _cached_trunk(core, params, hidden, ctx, cache,
+                                        skip_bits, lane_of_row,
+                                        partial_lanes=partial_lanes)
+        out = core.head(params, h_out, ctx)
+        e = _cfg_combine(out, guidance_scale, batch, combine_fn,
+                         n_lanes).astype(x.dtype)
+        e_hist = jnp.concatenate([e[None], e_hist[:-1]], axis=0)
+        e_prime = jnp.tensordot(wts, e_hist, axes=1)
+        x = cx.astype(x.dtype) * x + ce.astype(x.dtype) * e_prime
+        return (x, e_hist, cache), None
+
+    (x_fin, _, _), _ = jax.lax.scan(body, (x_init, e_hist0, cache0), step_in)
     return x_fin

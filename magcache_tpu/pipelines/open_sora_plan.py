@@ -1,10 +1,11 @@
-"""Open-Sora-Plan v1.2 T2V pipeline (Euler-Ancestral sampling, joint CFG).
+"""Open-Sora-Plan T2V pipeline (v110 and v120 variants).
 
-Mirrors ``videosys/pipelines/open_sora_plan/pipeline_open_sora_plan.py``:
-T5 captions -> OSP full-3D-attention transformer -> EulerAncestralDiscrete
-denoising (v1.2 scheduler choice, :302-306; 150 steps / cfg 7.5 defaults,
-:164-165). CFG runs as a batched dual lane; MagCache caches each lane
-independently (lanes=2).
+Mirrors ``videosys/pipelines/open_sora_plan/pipeline_open_sora_plan.py``
+(version switch :173-206): v120 = OpenSoraT2V full-3D-attention transformer +
+EulerAncestralDiscrete (:302-306; 150 steps / cfg 7.5 defaults, :164-165);
+v110 = LatteT2V interleaved spatial/temporal transformer + PNDM (PLMS).
+CFG runs as a batched dual lane; MagCache caches each lane independently
+(lanes=2).
 """
 
 from __future__ import annotations
@@ -18,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from magcache_tpu.core.magcache import MagCacheConfig
-from magcache_tpu.core.sampler import sample_euler
+from magcache_tpu.core.sampler import sample_euler, sample_pndm
 from magcache_tpu.models.open_sora_plan import (
     OpenSoraPlanConfig,
     init_osp_params,
@@ -27,11 +28,13 @@ from magcache_tpu.models.open_sora_plan import (
 from magcache_tpu.models.text import MockTextEncoder, TextEncoder
 from magcache_tpu.pipelines.base import BasePipeline, PipelineOutput
 from magcache_tpu.schedulers.euler_ancestral import EulerAncestralSchedule
+from magcache_tpu.schedulers.pndm import PNDMSchedule
 from magcache_tpu.utils.misc import set_seed
 
 
 @dataclasses.dataclass
 class OpenSoraPlanPipelineConfig:
+    version: str = "v120"                 # v110 (LatteT2V+PNDM) | v120 (3D+EA)
     num_frames: int = 29
     height: int = 480
     width: int = 640
@@ -46,7 +49,12 @@ class OpenSoraPlanPipelineConfig:
     dtype: str = "float32"
     tiny: bool = False
 
-    def model_config(self) -> OpenSoraPlanConfig:
+    def model_config(self):
+        if self.version == "v110":
+            from magcache_tpu.models.latte import LatteConfig
+            if self.tiny:
+                return LatteConfig.tiny(dtype=self.dtype)
+            return LatteConfig(dtype=self.dtype)
         if self.tiny:
             return OpenSoraPlanConfig.tiny(dtype=self.dtype)
         return OpenSoraPlanConfig(dtype=self.dtype)
@@ -63,18 +71,31 @@ class OpenSoraPlanPipeline(BasePipeline):
         self.config = config
         self.model_cfg = config.model_config()
         c = config
-        pt, ph, pw = self.model_cfg.patch
-        # OSP v1.2 CausalVAE: temporal stride 4, spatial 8
-        lf = (c.num_frames - 1) // 4 + 1
-        self.latent_shape = (lf, c.height // 8, c.width // 8,
-                             self.model_cfg.in_channels)
-        self.grid = (lf // pt, c.height // 8 // ph, c.width // 8 // pw)
         self.vae = vae
-        self.core = make_osp_core(self.model_cfg, self.grid, c.caption_len)
+        if c.version == "v110":
+            # v1.1 VAE: temporal stride 4, spatial 8; LatteT2V patch 2
+            from magcache_tpu.models.latte import init_latte_params, make_latte_core
+            p = self.model_cfg.patch
+            lf = (c.num_frames - 1) // 4 + 1
+            self.latent_shape = (lf, c.height // 8, c.width // 8,
+                                 self.model_cfg.in_channels)
+            self.grid = (lf, c.height // 8 // p, c.width // 8 // p)
+            self.core = make_latte_core(self.model_cfg, self.grid,
+                                        c.caption_len)
+            self._init_params = init_latte_params
+        else:
+            pt, ph, pw = self.model_cfg.patch
+            # OSP v1.2 CausalVAE: temporal stride 4, spatial 8
+            lf = (c.num_frames - 1) // 4 + 1
+            self.latent_shape = (lf, c.height // 8, c.width // 8,
+                                 self.model_cfg.in_channels)
+            self.grid = (lf // pt, c.height // 8 // ph, c.width // 8 // pw)
+            self.core = make_osp_core(self.model_cfg, self.grid, c.caption_len)
+            self._init_params = init_osp_params
         self.text_encoder = text_encoder or MockTextEncoder(
             c.caption_len, self.model_cfg.caption_dim, scale=0.5)
         key = key if key is not None else jax.random.PRNGKey(0)
-        self.params = params if params is not None else init_osp_params(
+        self.params = params if params is not None else self._init_params(
             key, self.model_cfg)
         self._fn = None
 
@@ -98,15 +119,24 @@ class OpenSoraPlanPipeline(BasePipeline):
         if self._fn is not None:
             return self._fn
         c = self.config
-        sch = EulerAncestralSchedule.create(c.num_inference_steps)
         core, g = self.core, c.guidance_scale
         cache_cfg = self._cache_cfg()
 
-        def fn(params, z, cond, noise_key):
-            return sample_euler(
-                core, params, z, cond, timesteps=sch.timesteps, dts=sch.dts,
-                in_scales=sch.in_scales, noise_scales=sch.noise_scales,
-                noise_key=noise_key, cache_cfg=cache_cfg, guidance_scale=g)
+        if c.version == "v110":
+            sch = PNDMSchedule.create(c.num_inference_steps)
+
+            def fn(params, z, cond, noise_key):
+                return sample_pndm(core, params, z, cond, sch,
+                                   cache_cfg=cache_cfg, guidance_scale=g)
+        else:
+            sch = EulerAncestralSchedule.create(c.num_inference_steps)
+
+            def fn(params, z, cond, noise_key):
+                return sample_euler(
+                    core, params, z, cond, timesteps=sch.timesteps,
+                    dts=sch.dts, in_scales=sch.in_scales,
+                    noise_scales=sch.noise_scales, noise_key=noise_key,
+                    cache_cfg=cache_cfg, guidance_scale=g)
 
         self._fn = jax.jit(fn)
         return self._fn
@@ -117,10 +147,11 @@ class OpenSoraPlanPipeline(BasePipeline):
         cond = {"y": self.text_encoder([prompt, negative_prompt])}
         key = set_seed(seed)
         k_init, k_anc = jax.random.split(key)
-        sch_sigma = EulerAncestralSchedule.create(
-            self.config.num_inference_steps).init_noise_sigma
+        sigma0 = (1.0 if self.config.version == "v110" else
+                  EulerAncestralSchedule.create(
+                      self.config.num_inference_steps).init_noise_sigma)
         z = jax.random.normal(k_init, (1,) + self.latent_shape,
-                              jnp.float32) * sch_sigma
+                              jnp.float32) * sigma0
         latents = self._sample_fn()(self.params, z, cond, k_anc)
         latents.block_until_ready()
         video = None

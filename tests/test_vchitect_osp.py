@@ -145,3 +145,69 @@ def test_euler_ancestral_schedule_matches_diffusers_semantics():
         in_scales=sch.in_scales, noise_scales=sch.noise_scales,
         noise_key=key)
     np.testing.assert_allclose(np.asarray(out), x, rtol=2e-4, atol=2e-4)
+
+
+def test_pndm_schedule_matches_diffusers_semantics():
+    """Numpy oracle of diffusers PNDMScheduler (skip_prk, plms, leading
+    spacing, scaled_linear betas) stepping a linear eps model."""
+    from magcache_tpu.core.sampler import DiTCore, sample_pndm
+    from magcache_tpu.schedulers.pndm import PNDMSchedule
+
+    steps, train = 6, 1000
+    sch = PNDMSchedule.create(steps, train_steps=train)
+
+    betas = np.linspace(0.0001 ** 0.5, 0.02 ** 0.5, train) ** 2
+    abar = np.cumprod(1 - betas)
+    ratio = train // steps
+    ts = (np.arange(steps) * ratio)[::-1]
+
+    W = np.asarray(np.random.default_rng(1).normal(size=(8, 8)) * 0.1,
+                   np.float32)
+
+    def model_eps(x, t):
+        return np.tanh(x @ W) + 0.001 * t
+
+    x = np.asarray(np.random.default_rng(0).normal(size=(1, 8)), np.float32)
+    x0 = x.copy()
+    ets = []
+    for i, t in enumerate(ts):
+        e = model_eps(x, t)
+        ets.append(e)
+        if i == 0:
+            e_p = e
+        elif i == 1:
+            e_p = (3 * ets[-1] - ets[-2]) / 2
+        elif i == 2:
+            e_p = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12
+        else:
+            e_p = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3] - 9 * ets[-4]) / 24
+        t_prev = t - ratio
+        a_t, a_prev = abar[t], (abar[t_prev] if t_prev >= 0 else 1.0)
+        x_coef = np.sqrt(a_prev / a_t)
+        e_coef = -(a_prev - a_t) / (np.sqrt(a_t) * (
+            np.sqrt(1 - a_prev) + np.sqrt(a_prev * (1 - a_t) / a_t)))
+        x = x_coef * x + e_coef * e_p
+
+    # the trunk must carry a nonzero residual (cache boundary), so it adds
+    # eps on top of its input and the head subtracts the input back out
+    # (prepare threads x through ctx)
+    core = DiTCore(
+        prepare=lambda p, xx, t, c: (xx, (t, xx)),
+        trunk=lambda p, h, ctx: h + (jnp.tanh(h @ jnp.asarray(W))
+                                     + 0.001 * ctx[0][:, None]),
+        head=lambda p, h, ctx: h - ctx[1],
+    )
+    out = sample_pndm(core, None, jnp.asarray(x0), None, sch)
+    np.testing.assert_allclose(np.asarray(out), x, rtol=2e-4, atol=2e-4)
+
+
+def test_open_sora_plan_v110_pipeline():
+    from magcache_tpu.pipelines.open_sora_plan import (
+        OpenSoraPlanPipeline, OpenSoraPlanPipelineConfig)
+
+    cfg = OpenSoraPlanPipelineConfig(version="v110", tiny=True, num_frames=5,
+                                     height=32, width=32,
+                                     num_inference_steps=5, caption_len=6,
+                                     use_magcache=True, retention_ratio=0.4)
+    out = OpenSoraPlanPipeline(cfg).generate("a lighthouse at dusk", seed=2)
+    assert np.isfinite(np.asarray(out.latents)).all()
