@@ -66,7 +66,10 @@ def channel_rms_norm(x, weight, bias, eps=1e-6):
     x = x.astype(jnp.float32)
     ms = jnp.mean(x * x, axis=-1, keepdims=True)
     x = x * jax.lax.rsqrt(ms + eps)
-    return (x * weight + bias).astype(orig)
+    x = x * weight
+    if bias is not None:
+        x = x + bias
+    return x.astype(orig)
 
 
 def conv3d(x, w, b=None, stride=(1, 1, 1)):

@@ -1,0 +1,370 @@
+"""Wan2.1 video VAE, weight-mappable, TPU-native (channel-last).
+
+The Wan checkpoints (``--ckpt_dir``'s ``Wan2.1_VAE.pth``) come from the
+official ``wan`` package's 3-D causal VAE (the reference repo drives it via
+``wan.WanT2V``/``WanI2V`` from ``MagCache4Wan2.1/magcache_generate.py`` but
+does not vendor the module). Architecture, transcribed from the public
+Wan2.1 design:
+
+- base 96, mults (1, 2, 4, 4), 2 residual blocks per level, z = 16;
+  spatial /8, temporal /4 (3-D resamples on the middle two transitions);
+- ResidualBlock: RMS-norm -> SiLU -> causal conv3d, twice, + 1x1x1 shortcut
+  when channels change (sequential indices 0/2/3/6 in the state dict);
+- middle: residual, single-head per-frame spatial attention
+  (RMS-norm + 1x1 qkv/proj convs), residual;
+- Resample down: ZeroPad(0,1,0,1)+Conv2d stride 2 (+ causal (3,1,1)
+  stride-2 time conv for 3-D); up: nearest x2 + Conv2d halving channels
+  (+ time conv doubling channels reshaped into 2x frames for 3-D);
+- head: RMS-norm -> SiLU -> causal conv3d.
+
+Provenance note: the zero-egress build image contains neither the ``wan``
+package nor its checkpoints; the converter's key layout
+(``encoder.downsamples.{k}.residual.{0,3}.gamma`` / ``.{2,6}.weight`` …) is
+validated against synthetic state dicts here and should be spot-checked
+against a real ``Wan2.1_VAE.pth`` on first availability.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magcache_tpu.models.vae import causal_conv3d, channel_rms_norm
+
+__all__ = ["WanVAEConfig", "init_wan_vae_params", "WanVAE",
+           "convert_wan_vae_state_dict"]
+
+
+@dataclasses.dataclass(frozen=True)
+class WanVAEConfig:
+    base: int = 96
+    z_channels: int = 16
+    dim_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    temporal_down: Tuple[bool, ...] = (False, True, True)  # per transition
+    eps: float = 1e-6
+    # latent normalization (the published per-channel mean/std live in the
+    # checkpoint loader; identity by default)
+    latent_scale: float = 1.0
+
+    def tiny(**kw):
+        d = dict(base=8, dim_mult=(1, 2), num_res_blocks=1,
+                 temporal_down=(True,), z_channels=4)
+        d.update(kw)
+        return WanVAEConfig(**d)
+
+    tiny = staticmethod(tiny)
+
+
+def _c3(key, kt, kh, kw, cin, cout):
+    w = jax.random.normal(key, (kt, kh, kw, cin, cout), jnp.float32)
+    return {"w": w / np.sqrt(kt * kh * kw * cin),
+            "b": jnp.zeros((cout,), jnp.float32)}
+
+
+def _c2(key, kh, kw, cin, cout):
+    w = jax.random.normal(key, (kh, kw, cin, cout), jnp.float32)
+    return {"w": w / np.sqrt(kh * kw * cin),
+            "b": jnp.zeros((cout,), jnp.float32)}
+
+
+def _res_p(key, cin, cout):
+    ks = jax.random.split(key, 3)
+    p = {"norm1": jnp.ones((cin,), jnp.float32),
+         "conv1": _c3(ks[0], 3, 3, 3, cin, cout),
+         "norm2": jnp.ones((cout,), jnp.float32),
+         "conv2": _c3(ks[1], 3, 3, 3, cout, cout)}
+    if cin != cout:
+        p["shortcut"] = _c3(ks[2], 1, 1, 1, cin, cout)
+    return p
+
+
+def _attn_p(key, c):
+    ks = jax.random.split(key, 2)
+    return {"norm": jnp.ones((c,), jnp.float32),
+            "qkv": _c2(ks[0], 1, 1, c, 3 * c),
+            "proj": _c2(ks[1], 1, 1, c, c)}
+
+
+def init_wan_vae_params(key: jax.Array, cfg: WanVAEConfig):
+    dims = [cfg.base * m for m in cfg.dim_mult]
+    ks = iter(jax.random.split(key, 96))
+    nxt = lambda: next(ks)
+
+    def stage(dims_seq, temporal, nblocks, down):
+        """List of level dicts: blocks + optional resample conv(s)."""
+        levels = []
+        cin = dims_seq[0]
+        for i, cout in enumerate(dims_seq):
+            lv = {"blocks": [], "resample": None, "time_conv": None}
+            for j in range(nblocks):
+                lv["blocks"].append(_res_p(nxt(), cin if j == 0 else cout, cout))
+            if i < len(dims_seq) - 1:
+                c_out_rs = cout if down else cout // 2
+                lv["resample"] = _c2(nxt(), 3, 3, cout, c_out_rs)
+                if temporal[i]:
+                    tc_out = cout * (1 if down else 2)
+                    lv["time_conv"] = _c3(nxt(), 3, 1, 1, cout, tc_out)
+                cin = c_out_rs
+            levels.append(lv)
+        return levels
+
+    enc = {
+        "conv1": _c3(nxt(), 3, 3, 3, 3, dims[0]),
+        "levels": stage(dims, cfg.temporal_down, cfg.num_res_blocks, True),
+        "mid": [_res_p(nxt(), dims[-1], dims[-1]),
+                _res_p(nxt(), dims[-1], dims[-1])],
+        "mid_attn": _attn_p(nxt(), dims[-1]),
+        "head_norm": jnp.ones((dims[-1],), jnp.float32),
+        "head": _c3(nxt(), 3, 3, 3, dims[-1], 2 * cfg.z_channels),
+    }
+    rdims = list(reversed(dims))
+    # decoder channel flow: resample halves channels on 2-D/3-D up
+    dec_levels = []
+    cin = rdims[0]
+    tups = list(reversed(cfg.temporal_down))
+    for i, cout in enumerate(rdims):
+        lv = {"blocks": [], "resample": None, "time_conv": None}
+        for j in range(cfg.num_res_blocks + 1):
+            lv["blocks"].append(_res_p(nxt(), cin if j == 0 else cout, cout))
+        if i < len(rdims) - 1:
+            lv["resample"] = _c2(nxt(), 3, 3, cout, cout // 2)
+            if tups[i]:
+                lv["time_conv"] = _c3(nxt(), 3, 1, 1, cout, cout * 2)
+            cin = cout // 2
+        dec_levels.append(lv)
+    dec = {
+        "conv1": _c3(nxt(), 3, 3, 3, cfg.z_channels, rdims[0]),
+        "mid": [_res_p(nxt(), rdims[0], rdims[0]),
+                _res_p(nxt(), rdims[0], rdims[0])],
+        "mid_attn": _attn_p(nxt(), rdims[0]),
+        "levels": dec_levels,
+        "head_norm": jnp.ones((rdims[-1],), jnp.float32),
+        "head": _c3(nxt(), 3, 3, 3, rdims[-1], 3),
+    }
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        # WanVAE_'s 1x1x1 pre/post-quant convs
+        "quant": _c3(nxt(), 1, 1, 1, 2 * cfg.z_channels, 2 * cfg.z_channels),
+        "post_quant": _c3(nxt(), 1, 1, 1, cfg.z_channels, cfg.z_channels),
+    }
+
+
+def _conv2d_frames(x, p, *, stride=1, asym_pad=False):
+    b, t, h, w, c = x.shape
+    x2 = x.reshape(b * t, h, w, c)
+    if asym_pad:
+        x2 = jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        pad = "VALID"
+    else:
+        pad = "SAME"
+    y = jax.lax.conv_general_dilated(
+        x2, p["w"], (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["b"]
+    return y.reshape(b, t, y.shape[1], y.shape[2], y.shape[3])
+
+
+class WanVAE:
+    """encode: [B, F, H, W, 3] -> (mean, logvar); decode: latents -> pixels."""
+
+    def __init__(self, cfg: WanVAEConfig, params):
+        self.cfg = cfg
+        self.params = params
+        self._jit_enc = jax.jit(self._encode_core)
+        self._jit_dec = jax.jit(self._decode_core)
+
+    def _res(self, p, x):
+        eps = self.cfg.eps
+        h = jax.nn.silu(channel_rms_norm(x, p["norm1"], None, eps=eps))
+        h, _ = causal_conv3d(h, p["conv1"]["w"], p["conv1"]["b"])
+        h = jax.nn.silu(channel_rms_norm(h, p["norm2"], None, eps=eps))
+        h, _ = causal_conv3d(h, p["conv2"]["w"], p["conv2"]["b"])
+        if "shortcut" in p:
+            x, _ = causal_conv3d(x, p["shortcut"]["w"], p["shortcut"]["b"])
+        return x + h
+
+    def _attn(self, p, x):
+        """Single-head per-frame spatial self-attention (1x1 qkv/proj)."""
+        b, t, h, w, c = x.shape
+        n = channel_rms_norm(x, p["norm"], None, eps=self.cfg.eps)
+        qkv = _conv2d_frames(n, p["qkv"])
+        q, k, v = jnp.split(qkv.reshape(b * t, h * w, 3 * c), 3, axis=-1)
+        s = jnp.einsum("bqc,bkc->bqk", q, k) / np.sqrt(c)
+        a = jnp.einsum("bqk,bkc->bqc", jax.nn.softmax(s, axis=-1), v)
+        a = a.reshape(b, t, h, w, c)
+        return x + _conv2d_frames(a, p["proj"])
+
+    def _encode_core(self, params, x):
+        cfg, p = self.cfg, params["encoder"]
+        h, _ = causal_conv3d(x, p["conv1"]["w"], p["conv1"]["b"])
+        for lv in p["levels"]:
+            for bp in lv["blocks"]:
+                h = self._res(bp, h)
+            if lv["resample"] is not None:
+                h = _conv2d_frames(h, lv["resample"], stride=2, asym_pad=True)
+                if lv["time_conv"] is not None:
+                    tc = lv["time_conv"]
+                    h, _ = causal_conv3d(h, tc["w"], tc["b"], stride=(2, 1, 1))
+        h = self._res(p["mid"][0], h)
+        h = self._attn(p["mid_attn"], h)
+        h = self._res(p["mid"][1], h)
+        h = jax.nn.silu(channel_rms_norm(h, p["head_norm"], None, eps=cfg.eps))
+        h, _ = causal_conv3d(h, p["head"]["w"], p["head"]["b"])
+        q = params["quant"]
+        h, _ = causal_conv3d(h, q["w"], q["b"])
+        mean, logvar = jnp.split(h, 2, axis=-1)
+        return mean, logvar
+
+    def encode(self, x):
+        return self._jit_enc(self.params, x)
+
+    def _decode_core(self, params, z):
+        cfg, p = self.cfg, params["decoder"]
+        pq = params["post_quant"]
+        z, _ = causal_conv3d(z, pq["w"], pq["b"])
+        h, _ = causal_conv3d(z, p["conv1"]["w"], p["conv1"]["b"])
+        h = self._res(p["mid"][0], h)
+        h = self._attn(p["mid_attn"], h)
+        h = self._res(p["mid"][1], h)
+        for lv in p["levels"]:
+            for bp in lv["blocks"]:
+                h = self._res(bp, h)
+            if lv["resample"] is not None:
+                if lv["time_conv"] is not None:
+                    # time conv doubles channels; reshape into 2x frames.
+                    # The FIRST latent frame stays a single pixel frame (the
+                    # causal T -> 2T-1 convention that yields the published
+                    # (F_pix - 1)/4 + 1 latent frame count), so the leading
+                    # duplicate is dropped.
+                    tc = lv["time_conv"]
+                    y, _ = causal_conv3d(h, tc["w"], tc["b"])
+                    b, t, hh, ww, c2 = y.shape
+                    y = y.reshape(b, t, hh, ww, 2, c2 // 2)
+                    h = y.transpose(0, 1, 4, 2, 3, 5).reshape(
+                        b, 2 * t, hh, ww, c2 // 2)[:, 1:]
+                # nearest x2 spatial + channel-halving conv
+                h = jnp.repeat(jnp.repeat(h, 2, axis=2), 2, axis=3)
+                h = _conv2d_frames(h, lv["resample"])
+        h = jax.nn.silu(channel_rms_norm(h, p["head_norm"], None, eps=cfg.eps))
+        h, _ = causal_conv3d(h, p["head"]["w"], p["head"]["b"])
+        return h
+
+    def decode(self, z):
+        return self._jit_dec(self.params, z)
+
+
+# --------------------------------------------------------------------------
+# converter (official wan/modules/vae.py naming)
+# --------------------------------------------------------------------------
+
+def convert_wan_vae_state_dict(sd: Dict[str, np.ndarray],
+                               cfg: WanVAEConfig) -> dict:
+    """Map a ``Wan2.1_VAE.pth`` state dict onto `init_wan_vae_params`.
+
+    Keys are consumed structurally: ``{encoder|decoder}.{downsamples|
+    upsamples}.{k}.…`` entries are bucketed by their flat sequential index
+    and classified by leaf signature (``residual.*`` = ResidualBlock,
+    ``resample.1`` / ``time_conv`` = Resample) — robust to the exact flat
+    numbering. Torch conv3d [O, I, kt, kh, kw] -> [kt, kh, kw, I, O]."""
+    def c3(name):
+        w = np.asarray(sd[f"{name}.weight"], np.float32)
+        return {"w": jnp.asarray(w.transpose(2, 3, 4, 1, 0)),
+                "b": jnp.asarray(np.asarray(sd[f"{name}.bias"], np.float32))}
+
+    def c2(name):
+        w = np.asarray(sd[f"{name}.weight"], np.float32)
+        if w.ndim == 5:  # some exports keep 1-frame conv3d for qkv/proj
+            w = w[:, :, 0]
+        return {"w": jnp.asarray(w.transpose(2, 3, 1, 0)),
+                "b": jnp.asarray(np.asarray(sd[f"{name}.bias"], np.float32))}
+
+    def gamma(name):
+        g = np.asarray(sd[f"{name}.gamma"], np.float32)
+        return jnp.asarray(g.reshape(-1))
+
+    def res(prefix):
+        p = {"norm1": gamma(f"{prefix}.residual.0"),
+             "conv1": c3(f"{prefix}.residual.2"),
+             "norm2": gamma(f"{prefix}.residual.3"),
+             "conv2": c3(f"{prefix}.residual.6")}
+        if f"{prefix}.shortcut.weight" in sd:
+            p["shortcut"] = c3(f"{prefix}.shortcut")
+        return p
+
+    def seq_units(side, seq):
+        """Ordered unit list from encoder.downsamples.* / decoder.upsamples.*:
+        each unit is ('res', prefix) or ('resample', prefix)."""
+        idxs = sorted({int(k.split(".")[2]) for k in sd
+                       if k.startswith(f"{side}.{seq}.")})
+        units = []
+        for i in idxs:
+            pre = f"{side}.{seq}.{i}"
+            if f"{pre}.residual.2.weight" in sd:
+                units.append(("res", pre))
+            else:
+                units.append(("resample", pre))
+        return units
+
+    def stage(side, seq, nblocks, nlevels):
+        units = seq_units(side, seq)
+        levels = []
+        u = 0
+        for i in range(nlevels):
+            lv = {"blocks": [], "resample": None, "time_conv": None}
+            for _ in range(nblocks):
+                kind, pre = units[u]; u += 1
+                assert kind == "res", (side, seq, pre)
+                lv["blocks"].append(res(pre))
+            if i < nlevels - 1:
+                kind, pre = units[u]; u += 1
+                assert kind == "resample", (side, seq, pre)
+                lv["resample"] = c2(f"{pre}.resample.1")
+                if f"{pre}.time_conv.weight" in sd:
+                    lv["time_conv"] = c3(f"{pre}.time_conv")
+            levels.append(lv)
+        assert u == len(units), f"unconsumed {seq} units: {units[u:]}"
+        return levels
+
+    n = len(cfg.dim_mult)
+    enc = {
+        "conv1": c3("encoder.conv1"),
+        "levels": stage("encoder", "downsamples", cfg.num_res_blocks, n),
+        "mid": [res("encoder.middle.0"), res("encoder.middle.2")],
+        "mid_attn": {"norm": gamma("encoder.middle.1.norm"),
+                     "qkv": c2("encoder.middle.1.to_qkv"),
+                     "proj": c2("encoder.middle.1.proj")},
+        "head_norm": gamma("encoder.head.0"),
+        "head": c3("encoder.head.2"),
+    }
+    dec = {
+        "conv1": c3("decoder.conv1"),
+        "mid": [res("decoder.middle.0"), res("decoder.middle.2")],
+        "mid_attn": {"norm": gamma("decoder.middle.1.norm"),
+                     "qkv": c2("decoder.middle.1.to_qkv"),
+                     "proj": c2("decoder.middle.1.proj")},
+        "levels": stage("decoder", "upsamples", cfg.num_res_blocks + 1, n),
+        "head_norm": gamma("decoder.head.0"),
+        "head": c3("decoder.head.2"),
+    }
+    return {"encoder": enc, "decoder": dec,
+            "quant": c3("conv1"), "post_quant": c3("conv2")}
+
+
+def load_wan_vae_checkpoint(path: str, cfg: Optional[WanVAEConfig] = None
+                            ) -> WanVAE:
+    """Build a WanVAE from a ``Wan2.1_VAE.pth`` torch checkpoint (or a
+    .safetensors export)."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        sd = load_file(path)
+    else:
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        sd = {k: np.asarray(v) for k, v in sd.items()}
+    cfg = cfg or WanVAEConfig()
+    return WanVAE(cfg, convert_wan_vae_state_dict(sd, cfg))

@@ -49,6 +49,11 @@ class CogVideoXPipelineConfig:
             return CogVideoXConfig.tiny(dtype=self.dtype)
         return CogVideoXConfig(dtype=self.dtype)
 
+    @property
+    def pipeline_cls(self):
+        return CogVideoXPipeline
+
+
 
 class CogVideoXPipeline(BasePipeline):
     def __init__(self, config: CogVideoXPipelineConfig,

@@ -66,6 +66,11 @@ class FluxPipelineConfig:
         # pixels -> vae/8 latents -> 2x2 packed tokens
         return (self.height // 16, self.width // 16)
 
+    @property
+    def pipeline_cls(self):
+        return FluxPipeline
+
+
 
 class FluxPipeline(BasePipeline):
     def __init__(self, config: FluxPipelineConfig,

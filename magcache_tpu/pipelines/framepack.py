@@ -73,6 +73,11 @@ class FramePackPipelineConfig:
                                       framepack=self.pyramid)
         return HunyuanConfig(dtype=self.dtype, framepack=self.pyramid)
 
+    @property
+    def pipeline_cls(self):
+        return FramePackPipeline
+
+
 
 class FramePackPipeline(BasePipeline):
     def __init__(self, config: FramePackPipelineConfig,

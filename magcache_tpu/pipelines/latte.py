@@ -44,6 +44,11 @@ class LattePipelineConfig:
             return LatteConfig.tiny(dtype=self.dtype)
         return LatteConfig(dtype=self.dtype)
 
+    @property
+    def pipeline_cls(self):
+        return LattePipeline
+
+
 
 class LattePipeline(BasePipeline):
     def __init__(self, config: LattePipelineConfig,

@@ -101,6 +101,11 @@ class OmniGen2PipelineConfig:
             return OmniGen2Config.tiny(dtype=self.dtype)
         return OmniGen2Config(dtype=self.dtype)
 
+    @property
+    def pipeline_cls(self):
+        return OmniGen2Pipeline
+
+
 
 class OmniGen2Pipeline(BasePipeline):
     def __init__(self, config: OmniGen2PipelineConfig,

@@ -60,8 +60,13 @@ class OpenSoraPipelineConfig:
             return STDiT3Config.tiny(dtype=self.dtype)
         return STDiT3Config(dtype=self.dtype)
 
+    @property
+    def pipeline_cls(self):
+        return OpenSoraPipeline
+
 
 VAE_STRIDE = (17, 8, 8)  # OpenSora: micro-frame 17 -> 5 latents? handled below
+
 
 
 class OpenSoraPipeline(BasePipeline):

@@ -51,6 +51,11 @@ class QwenImagePipelineConfig:
             return QwenImageConfig.tiny(dtype=self.dtype)
         return QwenImageConfig(dtype=self.dtype)
 
+    @property
+    def pipeline_cls(self):
+        return QwenImagePipeline
+
+
 
 class QwenImagePipeline(BasePipeline):
     def __init__(self, config: QwenImagePipelineConfig,

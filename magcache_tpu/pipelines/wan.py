@@ -116,6 +116,11 @@ class WanPipelineConfig:
         f = (self.frame_num - 1) // VAE_STRIDE[0] + 1
         return (f, h // VAE_STRIDE[1], w // VAE_STRIDE[2])
 
+    @property
+    def pipeline_cls(self):
+        return WanPipeline
+
+
 
 class WanPipeline(BasePipeline):
     """Wan 2.1/2.2 pipeline.

@@ -1,0 +1,123 @@
+"""Wan2.1 VAE (weight-mappable variant) tests: geometry, converter layout.
+
+See models/vae_wan.py's provenance note: architecture transcribed from the
+public Wan2.1 VAE; converter validated against synthetic state dicts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magcache_tpu.models.vae_wan import (
+    WanVAE,
+    WanVAEConfig,
+    convert_wan_vae_state_dict,
+    init_wan_vae_params,
+)
+
+
+def test_shapes_tiny():
+    cfg = WanVAEConfig.tiny()
+    vae = WanVAE(cfg, init_wan_vae_params(jax.random.PRNGKey(0), cfg))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 5, 16, 16, 3)),
+                    jnp.float32)
+    mean, logvar = vae.encode(x)
+    # one 3-D transition in tiny: temporal (5-1)/2+1 = 3, spatial /2
+    assert mean.shape == (1, 3, 8, 8, cfg.z_channels)
+    y = vae.decode(mean)
+    assert y.shape == (1, 5, 16, 16, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_full_geometry_stride():
+    """Full config reproduces the Wan latent geometry: stride (4, 8, 8),
+    16 channels (pipelines/wan.py VAE_STRIDE)."""
+    cfg = WanVAEConfig(base=8, num_res_blocks=1)   # full mults, small width
+    vae = WanVAE(cfg, init_wan_vae_params(jax.random.PRNGKey(0), cfg))
+    x = jnp.zeros((1, 9, 32, 32, 3), jnp.float32)
+    mean, _ = vae.encode(x)
+    assert mean.shape == (1, 3, 4, 4, 16)
+    y = vae.decode(mean)
+    assert y.shape == (1, 9, 32, 32, 3)
+
+
+def test_converter_key_layout():
+    cfg = WanVAEConfig.tiny()
+    dims = [cfg.base * m for m in cfg.dim_mult]
+    rng = np.random.default_rng(1)
+    sd = {}
+
+    def c3(name, cin, cout, k=(3, 3, 3)):
+        sd[f"{name}.weight"] = rng.normal(0, .05, (cout, cin) + k).astype(np.float32)
+        sd[f"{name}.bias"] = np.zeros(cout, np.float32)
+
+    def c2(name, cin, cout, k=3):
+        sd[f"{name}.weight"] = rng.normal(0, .05, (cout, cin, k, k)).astype(np.float32)
+        sd[f"{name}.bias"] = np.zeros(cout, np.float32)
+
+    def res(prefix, cin, cout):
+        sd[f"{prefix}.residual.0.gamma"] = np.ones((cin, 1, 1), np.float32)
+        c3(f"{prefix}.residual.2", cin, cout)
+        sd[f"{prefix}.residual.3.gamma"] = np.ones((cout, 1, 1), np.float32)
+        c3(f"{prefix}.residual.6", cout, cout)
+        if cin != cout:
+            c3(f"{prefix}.shortcut", cin, cout, k=(1, 1, 1))
+
+    def attn(prefix, c):
+        sd[f"{prefix}.norm.gamma"] = np.ones((c, 1, 1), np.float32)
+        c2(f"{prefix}.to_qkv", c, 3 * c, k=1)
+        c2(f"{prefix}.proj", c, c, k=1)
+
+    # encoder: flat downsamples sequence
+    c3("encoder.conv1", 3, dims[0])
+    k = 0
+    cin = dims[0]
+    for i, cout in enumerate(dims):
+        for j in range(cfg.num_res_blocks):
+            res(f"encoder.downsamples.{k}", cin if j == 0 else cout, cout)
+            k += 1
+        if i < len(dims) - 1:
+            c2(f"encoder.downsamples.{k}.resample.1", cout, cout)
+            if cfg.temporal_down[i]:
+                c3(f"encoder.downsamples.{k}.time_conv", cout, cout, k=(3, 1, 1))
+            k += 1
+            cin = cout
+    res("encoder.middle.0", dims[-1], dims[-1])
+    attn("encoder.middle.1", dims[-1])
+    res("encoder.middle.2", dims[-1], dims[-1])
+    sd["encoder.head.0.gamma"] = np.ones((dims[-1], 1, 1), np.float32)
+    c3("encoder.head.2", dims[-1], 2 * cfg.z_channels)
+
+    rdims = list(reversed(dims))
+    tups = list(reversed(cfg.temporal_down))
+    c3("decoder.conv1", cfg.z_channels, rdims[0])
+    res("decoder.middle.0", rdims[0], rdims[0])
+    attn("decoder.middle.1", rdims[0])
+    res("decoder.middle.2", rdims[0], rdims[0])
+    k = 0
+    cin = rdims[0]
+    for i, cout in enumerate(rdims):
+        for j in range(cfg.num_res_blocks + 1):
+            res(f"decoder.upsamples.{k}", cin if j == 0 else cout, cout)
+            k += 1
+        if i < len(rdims) - 1:
+            c2(f"decoder.upsamples.{k}.resample.1", cout, cout // 2)
+            if tups[i]:
+                c3(f"decoder.upsamples.{k}.time_conv", cout, 2 * cout, k=(3, 1, 1))
+            k += 1
+            cin = cout // 2
+    sd["decoder.head.0.gamma"] = np.ones((rdims[-1], 1, 1), np.float32)
+    c3("decoder.head.2", rdims[-1], 3)
+    c3("conv1", 2 * cfg.z_channels, 2 * cfg.z_channels, k=(1, 1, 1))
+    c3("conv2", cfg.z_channels, cfg.z_channels, k=(1, 1, 1))
+
+    params = convert_wan_vae_state_dict(sd, cfg)
+    ref = init_wan_vae_params(jax.random.PRNGKey(0), cfg)
+    jax.tree.map(lambda a, b: None if a.shape == b.shape else (_ for _ in ()).throw(
+        AssertionError((a.shape, b.shape))), params, ref)
+
+    vae = WanVAE(cfg, params)
+    x = jnp.ones((1, 3, 8, 8, 3), jnp.float32) * 0.2
+    mean, _ = vae.encode(x)
+    y = vae.decode(mean)
+    assert np.isfinite(np.asarray(y)).all()
