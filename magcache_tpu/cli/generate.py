@@ -68,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
+    # reference xfuser flag aliases (magcache_generate.py:637-641): both map
+    # onto the sp mesh axis; --ring_size additionally selects the ring
+    # attention implementation (ppermute K/V rotation)
+    p.add_argument("--ulysses_size", type=int, default=None,
+                   help="alias: sp with Ulysses attention (default impl)")
+    p.add_argument("--ring_size", type=int, default=None,
+                   help="alias: sp with ring attention")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--tiny", action="store_true",
                    help="toy-size model for checkpoint-free smoke runs")
@@ -320,6 +327,12 @@ def _load_image(path: str) -> np.ndarray:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.ulysses_size:
+        args.sp = args.ulysses_size
+    if args.ring_size:
+        import os
+        args.sp = args.ring_size
+        os.environ.setdefault("MAGCACHE_ATTN_IMPL", "ring")
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")

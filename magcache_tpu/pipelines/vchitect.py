@@ -44,6 +44,12 @@ class VchitectPipelineConfig:
     magcache_thresh: float = 0.12
     magcache_K: int = 3
     retention_ratio: float = 0.2
+    # PAB (reference VchitectPABConfig defaults, pipeline_vchitect.py:32-44;
+    # the cross segment rides the joint attention in this factorization)
+    enable_pab: bool = False
+    pab_spatial_range: int = 2
+    pab_temporal_range: int = 4
+    pab_threshold: tuple = (100, 800)
     dtype: str = "float32"
     tiny: bool = False
 
@@ -70,7 +76,19 @@ class VchitectPipeline(BasePipeline):
                              self.model_cfg.in_channels)
         self.grid = (c.num_frames, c.height // 8 // p, c.width // 8 // p)
         self.vae = vae
-        self.core = make_vchitect_core(self.model_cfg, self.grid, c.txt_len)
+        pab = None
+        ts = None
+        if c.enable_pab:
+            from magcache_tpu.core.pab import PABConfig
+            pab = PABConfig(
+                spatial_broadcast=True, spatial_threshold=c.pab_threshold,
+                spatial_range=c.pab_spatial_range,
+                temporal_broadcast=True, temporal_threshold=c.pab_threshold,
+                temporal_range=c.pab_temporal_range)
+            ts = FlowMatchSchedule.create(c.num_inference_steps,
+                                          shift=c.sample_shift).timesteps
+        self.core = make_vchitect_core(self.model_cfg, self.grid, c.txt_len,
+                                       pab=pab, timesteps=ts)
         self.text_encoder = text_encoder or MockTextEncoder(
             c.txt_len, self.model_cfg.text_dim, scale=0.5)
         self.pooled_encoder = pooled_encoder or MockPooledEncoder(

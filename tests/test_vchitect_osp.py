@@ -211,3 +211,46 @@ def test_open_sora_plan_v110_pipeline():
                                      use_magcache=True, retention_ratio=0.4)
     out = OpenSoraPlanPipeline(cfg).generate("a lighthouse at dusk", seed=2)
     assert np.isfinite(np.asarray(out.latents)).all()
+
+
+def test_vchitect_pab_refresh_matches_plain_and_sampler_runs():
+    """Vchitect PAB (reference: VchitectPABConfig, pipeline_vchitect.py:32-44):
+    a refresh step equals the plain trunk; broadcast steps reuse caches
+    through a full sampled run."""
+    import jax.numpy as jnp
+
+    from magcache_tpu.core.pab import PABConfig
+    from magcache_tpu.core.sampler import sample_euler
+    from magcache_tpu.models.vchitect import (
+        VchitectConfig, init_vchitect_params, make_vchitect_core)
+    from magcache_tpu.schedulers.flow_match import FlowMatchSchedule
+
+    cfg = VchitectConfig.tiny()
+    params = init_vchitect_params(jax.random.PRNGKey(0), cfg)
+    grid, txt_len = (2, 2, 2), 4
+    # FlowMatch timesteps are in [0, 1000); window covers the middle
+    ts = FlowMatchSchedule.create(4, shift=1.0).timesteps
+    pab = PABConfig(spatial_broadcast=True, spatial_threshold=(100, 800),
+                    spatial_range=2, temporal_broadcast=True,
+                    temporal_threshold=(100, 800), temporal_range=2,
+                    mlp_broadcast=True, mlp_threshold=(100, 800), mlp_range=2)
+    core_p = make_vchitect_core(cfg, grid, txt_len, pab=pab, timesteps=ts)
+    core_n = make_vchitect_core(cfg, grid, txt_len)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 2, 4, 4, cfg.in_channels)), jnp.float32)
+    cond = {"txt": jnp.asarray(rng.normal(size=(1, txt_len, cfg.text_dim)),
+                               jnp.float32),
+            "vec": jnp.asarray(rng.normal(size=(1, cfg.vec_dim)), jnp.float32)}
+    t = jnp.full((1,), float(ts[0]), jnp.float32)
+    hidden, ctx = core_p.prepare(params, x, t, cond)
+    state = core_p.init_state(params, jax.eval_shape(lambda: hidden),
+                              jax.eval_shape(lambda: ctx))
+    h_p, st2 = core_p.trunk(params, hidden, ctx, state, jnp.asarray(0))
+    h_n = core_n.trunk(params, hidden, ctx)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_n), atol=1e-5)
+    assert float(jnp.abs(st2["temporal"]).max()) > 0
+
+    out = sample_euler(core_p, params, x, cond, timesteps=ts,
+                       dts=np.diff(FlowMatchSchedule.create(4, shift=1.0).sigmas))
+    assert np.isfinite(np.asarray(out)).all()
