@@ -142,19 +142,20 @@ def _patchify_k(lat, pt, ph, pw):
 
 
 def framepack_rope_tables(cfg: "HunyuanConfig", txt_len: int,
-                          grid: Tuple[int, int, int], pad: int):
+                          grid: Tuple[int, int, int], pad: int,
+                          order: str = "padded"):
     """(cos, sin) over [txt; clean(2); 2x(1); 4x(4); window] for one section.
 
-    Timeline indices follow the reference's split
-    (``magcache_demo_gradio.py:516-518``): pre=0, blank=pad*window…,
-    window, post, 2x(2), 4x(16). Pyramid groups compress (2, 4, 4)/(4, 8, 8)
-    latents into single token-frames at coarser spatial grids; their rope
-    positions use each group's first timeline index and stride-scaled
-    spatial coordinates (the packed model's multi-scale rope, approximated
-    on a shared frequency table)."""
+    ``order="padded"`` (FramePack, back-to-front): timeline split
+    [pre 1][blank pad][window][post 1][2x 2][4x 16]
+    (``magcache_demo_gradio.py:516-518``). ``order="f1"`` (FramePack-F1,
+    forward): [start 1][4x 16][2x 2][1x 1][window]
+    (``magcache_demo_gradio_f1.py:543-547``); ``pad`` is ignored. Pyramid
+    groups compress (2, 4, 4)/(4, 8, 8) latents into single token-frames at
+    coarser spatial grids; their rope positions use each group's first
+    timeline index and stride-scaled spatial coordinates (the packed model's
+    multi-scale rope, approximated on a shared frequency table)."""
     gt, gh, gw = grid                  # window token grid (patch 1,2,2)
-    win0 = 1 + pad * gt                # first window timeline index... (pad is
-    # given in latent frames already scaled by window outside)
 
     def coords_for(times, hh, ww, stride):
         ys, xs = np.meshgrid(np.arange(hh) * stride, np.arange(ww) * stride,
@@ -165,17 +166,22 @@ def framepack_rope_tables(cfg: "HunyuanConfig", txt_len: int,
                                  xs.reshape(-1)], axis=-1))
         return np.concatenate(out, axis=0)
 
-    # timeline layout (latent frames): [pre 1][blank pad][window gt][post 1][2x 2][4x 16]
-    idx_pre = [0]
-    idx_window = list(range(1 + pad, 1 + pad + gt))
-    idx_post = [1 + pad + gt]
-    idx_2x = [1 + pad + gt + 1]                      # 2 frames -> 1 token-frame
-    idx_4x = list(range(1 + pad + gt + 3, 1 + pad + gt + 19, 4))  # 16 -> 4
+    if order == "f1":
+        # [start 1][4x 16][2x 2][1x 1][window gt]
+        idx_clean = [0, 19]                            # start + 1x tail
+        idx_2x = [17]                                  # 2 frames -> 1 token
+        idx_4x = list(range(1, 17, 4))                 # 16 -> 4 tokens
+        idx_window = list(range(20, 20 + gt))
+    else:
+        # [pre 1][blank pad][window gt][post 1][2x 2][4x 16]
+        idx_clean = [0, 1 + pad + gt]                  # pre + post
+        idx_2x = [1 + pad + gt + 1]
+        idx_4x = list(range(1 + pad + gt + 3, 1 + pad + gt + 19, 4))
+        idx_window = list(range(1 + pad, 1 + pad + gt))
 
     rows = [
-        np.stack([np.arange(txt_len) * 0, np.zeros(txt_len), np.zeros(txt_len)],
-                 axis=-1),             # identity rotation rows handled below
-        coords_for(idx_pre + idx_post, gh, gw, 1),
+        None,
+        coords_for(idx_clean, gh, gw, 1),
         coords_for(idx_2x, gh // 2, gw // 2, 2),
         coords_for(idx_4x, gh // 4, gw // 4, 4),
         coords_for(idx_window, gh, gw, 1),
@@ -245,7 +251,8 @@ def _refine_text(cfg: HunyuanConfig, params, txt_raw, t):
 def make_hunyuan_core(cfg: HunyuanConfig, txt_len: int,
                       grid: Tuple[int, int, int],
                       history_frames: int = 0,
-                      framepack_pad: Optional[int] = None) -> DiTCore:
+                      framepack_pad: Optional[int] = None,
+                      framepack_order: str = "padded") -> DiTCore:
     """(prepare, trunk, head) for a static latent patch grid (T, H, W).
 
     cond = {"txt": f[B, txt_len, text_dim] (LLM states),
@@ -265,7 +272,8 @@ def make_hunyuan_core(cfg: HunyuanConfig, txt_len: int,
     gt, gh, gw = grid
     if framepack_pad is not None:
         # FramePack pyramid section: [clean(2f); 2x(1f@/2); 4x(4f@/4); window]
-        rope = framepack_rope_tables(cfg, txt_len, grid, framepack_pad)
+        rope = framepack_rope_tables(cfg, txt_len, grid, framepack_pad,
+                                     order=framepack_order)
     else:
         full_grid = (gt + history_frames, gh, gw)
         rope = hunyuan_rope_tables(cfg, txt_len, full_grid)

@@ -126,8 +126,9 @@ class FramePackPipeline(BasePipeline):
         if pad is None:
             core = self.core
         else:
-            core = make_hunyuan_core(self.model_cfg, c.txt_len, self.grid,
-                                     framepack_pad=pad)
+            core = make_hunyuan_core(
+                self.model_cfg, c.txt_len, self.grid, framepack_pad=pad,
+                framepack_order="f1" if c.model.endswith("f1") else "padded")
 
         def fn(params, x, cond):
             return sample_euler(core, params, x, cond,
@@ -155,7 +156,33 @@ class FramePackPipeline(BasePipeline):
         history: List[np.ndarray] = []
         key = set_seed(seed)
         hw = self.lat_shape[1:]
-        if c.pyramid:
+        if c.pyramid and c.model.endswith("f1"):
+            # FramePack-F1 (magcache_demo_gradio_f1.py:493-547): forward
+            # generation; history = [zeros(16+2+1); start; ...generated],
+            # each section conditions on the TAIL [4x(16); 2x(2); 1x(1)] and
+            # appends. One layout -> one compiled program.
+            start = (start_latent[:, None] if start_latent is not None
+                     else jnp.zeros((1, 1) + hw, jnp.float32))
+            hbuf = jnp.concatenate(
+                [jnp.zeros((1, 16 + 2 + 1) + hw, jnp.float32), start], axis=1)
+            fn = self._sample_section(0)
+            for s in range(c.total_sections):
+                key, sub = jax.random.split(key)
+                x0 = jax.random.normal(sub, (1,) + self.lat_shape, jnp.float32)
+                tail = hbuf[:, -19:]
+                c4x, c2x, c1x = tail[:, :16], tail[:, 16:18], tail[:, 18:19]
+                cond = dict(base_cond)
+                cond["clean"] = jnp.concatenate([start, c1x], axis=1)
+                cond["clean_2x"] = c2x
+                cond["clean_4x"] = c4x
+                lat = fn(self.params, x0, cond)
+                lat.block_until_ready()
+                hbuf = jnp.concatenate([hbuf, lat], axis=1)
+                sec = np.asarray(lat)
+                history.append(sec)
+                if on_section is not None:
+                    on_section(s, sec)
+        elif c.pyramid:
             # reference buffer + padding schedule (magcache_demo_gradio.py:
             # 493-522): history = [post(1); 2x(2); 4x(16); ...generated],
             # sections run back-to-front with paddings reversed(range(n))

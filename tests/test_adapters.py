@@ -144,3 +144,21 @@ def test_qwen_image_edit_ref_tokens():
     b = pipe.generate("remove the hat", seed=0, ref_latents=ref)
     assert a.latents.shape == (1, 16, pipe.model_cfg.in_channels)
     assert np.abs(np.asarray(a.latents) - np.asarray(b.latents)).max() > 1e-4
+
+
+def test_framepack_f1_forward_sections():
+    """F1 variant: forward generation, tail-conditioned [4x;2x;1x] buffer,
+    start latent in the clean pair (magcache_demo_gradio_f1.py:493-547)."""
+    import jax.numpy as jnp
+    cfg = FramePackPipelineConfig(model="framepack-f1", tiny=True, height=64,
+                                  width=64, latent_window_size=2,
+                                  total_sections=3, steps=2, txt_len=8,
+                                  use_magcache=True, dtype="float32")
+    pipe = FramePackPipeline(cfg)
+    start = jnp.ones((1,) + pipe.lat_shape[1:], jnp.float32) * 0.1
+    seen = []
+    out = pipe.generate("waves", seed=0, start_latent=start,
+                        on_section=lambda i, lat: seen.append(lat.shape[1]))
+    assert seen == [2, 2, 2]
+    assert out.latents.shape[1] == 6
+    assert np.isfinite(np.asarray(out.latents)).all()
