@@ -43,6 +43,7 @@ __all__ = [
     "convert_cogvideox_state_dict", "load_cogvideox_checkpoint",
     "convert_stdit3_state_dict", "load_stdit3_checkpoint",
     "convert_t5_encoder_state_dict", "load_t5_encoder_checkpoint",
+    "convert_latte_state_dict", "load_latte_checkpoint",
 ]
 
 
@@ -620,3 +621,96 @@ def convert_t5_encoder_state_dict(sd: Dict[str, np.ndarray]) -> dict:
 
 def load_t5_encoder_checkpoint(path: str):
     return convert_t5_encoder_state_dict(load_safetensors_dir(path))
+
+# --------------------------------------------------------------------------
+# Latte T2V (published maxin-cn/Latte-1 `transformer/` naming — PixArt-style
+# ada_norm_single blocks; ref videosys/models/transformers/latte_transformer_3d.py:895)
+# --------------------------------------------------------------------------
+
+def convert_latte_state_dict(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """Map a Latte-1 transformer state dict onto `init_latte_params`' tree.
+
+    Key layout (diffusers PixArt lineage):
+      pos_embed.proj.{weight,bias}                 conv2d patchify [d, c, p, p]
+      caption_projection.linear_{1,2}.{weight,bias}
+      adaln_single.emb.timestep_embedder.linear_{1,2}.{weight,bias}
+      adaln_single.linear.{weight,bias}            -> 6-way global modulation
+      transformer_blocks.{i}.scale_shift_table     [6, d]
+      transformer_blocks.{i}.attn1.to_{q,k,v}/to_out.0
+      transformer_blocks.{i}.attn2.to_{q,k,v}/to_out.0   (cross; spatial only)
+      transformer_blocks.{i}.ff.net.0.proj / ff.net.2    (gelu-approximate)
+      temporal_transformer_blocks.{i}.*            (same minus attn2)
+      scale_shift_table                            [2, d] (final head)
+      proj_out.{weight,bias}
+    `temp_pos_embed` is a non-persistent buffer (rebuilt, not loaded).
+    """
+    dt = cfg.jdtype
+    L = cfg.depth
+
+    pw = np.asarray(sd["pos_embed.proj.weight"], np.float32)  # [d, c, p, p]
+    d_, c, p, _ = pw.shape
+    patch_w = pw.transpose(1, 2, 3, 0).reshape(c * p * p, d_)
+
+    def qkv(base):
+        w = np.concatenate([np.asarray(sd[f"{base}.to_{n}.weight"], np.float32).T
+                            for n in "qkv"], axis=1)
+        out = {"w": jnp.asarray(w, dt)}
+        if f"{base}.to_q.bias" in sd:
+            out["b"] = jnp.asarray(np.concatenate(
+                [np.asarray(sd[f"{base}.to_{n}.bias"], np.float32)
+                 for n in "qkv"]), dt)
+        return out
+
+    def kv(base):
+        w = np.concatenate([np.asarray(sd[f"{base}.to_{n}.weight"], np.float32).T
+                            for n in "kv"], axis=1)
+        out = {"w": jnp.asarray(w, dt)}
+        if f"{base}.to_k.bias" in sd:
+            out["b"] = jnp.asarray(np.concatenate(
+                [np.asarray(sd[f"{base}.to_{n}.bias"], np.float32)
+                 for n in "kv"]), dt)
+        return out
+
+    def group(prefix, cross):
+        g = {
+            "scale_shift": jnp.asarray(np.stack(
+                [np.asarray(sd[f"{prefix}.{i}.scale_shift_table"], np.float32)
+                 for i in range(L)])),
+            "qkv": _stack([qkv(f"{prefix}.{i}.attn1") for i in range(L)]),
+            "proj": _stack([_lin(sd, f"{prefix}.{i}.attn1.to_out.0", dt)
+                            for i in range(L)]),
+            "ff1": _stack([_lin(sd, f"{prefix}.{i}.ff.net.0.proj", dt)
+                           for i in range(L)]),
+            "ff2": _stack([_lin(sd, f"{prefix}.{i}.ff.net.2", dt)
+                           for i in range(L)]),
+        }
+        if cross:
+            g["cross_q"] = _stack([_lin(sd, f"{prefix}.{i}.attn2.to_q", dt)
+                                   for i in range(L)])
+            g["cross_kv"] = _stack([kv(f"{prefix}.{i}.attn2") for i in range(L)])
+            g["cross_o"] = _stack([_lin(sd, f"{prefix}.{i}.attn2.to_out.0", dt)
+                                   for i in range(L)])
+        return g
+
+    return {
+        "patch_embed": {
+            "w": jnp.asarray(patch_w, dt),
+            "b": jnp.asarray(np.asarray(sd["pos_embed.proj.bias"], np.float32), dt),
+        },
+        "caption": {"in": _lin(sd, "caption_projection.linear_1", jnp.float32),
+                    "out": _lin(sd, "caption_projection.linear_2", jnp.float32)},
+        "time": {"in": _lin(sd, "adaln_single.emb.timestep_embedder.linear_1",
+                            jnp.float32),
+                 "out": _lin(sd, "adaln_single.emb.timestep_embedder.linear_2",
+                             jnp.float32)},
+        "adaln_single": _lin(sd, "adaln_single.linear", jnp.float32),
+        "temp_pos": None,
+        "spatial": group("transformer_blocks", cross=True),
+        "temporal": group("temporal_transformer_blocks", cross=False),
+        "final_mod": jnp.asarray(np.asarray(sd["scale_shift_table"], np.float32)),
+        "final_out": _lin(sd, "proj_out", jnp.float32),
+    }
+
+
+def load_latte_checkpoint(ckpt_dir: str, cfg):
+    return convert_latte_state_dict(load_safetensors_dir(ckpt_dir), cfg)

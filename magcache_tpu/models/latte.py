@@ -38,6 +38,9 @@ class LatteConfig:
     depth: int = 28                 # pairs (spatial, temporal)
     mlp_ratio: int = 4
     in_channels: int = 4
+    # published Latte-1 predicts epsilon+variance (out=8); the variance half is
+    # dropped after CFG, as in the reference pipeline (pipeline_latte.py:870-871)
+    out_channels: int = 0            # 0 -> same as in_channels
     caption_dim: int = 4096
     patch: int = 2                  # spatial patch
     time_embed_dim: int = 256
@@ -47,6 +50,10 @@ class LatteConfig:
     @property
     def head_dim(self):
         return self.hidden // self.heads
+
+    @property
+    def c_out(self):
+        return self.out_channels or self.in_channels
 
     @property
     def jdtype(self):
@@ -91,7 +98,7 @@ def init_latte_params(key: jax.Array, cfg: LatteConfig):
         "spatial": group(cross=True),
         "temporal": group(cross=False),
         "final_mod": jax.random.normal(nxt(), (2, d), jnp.float32) / np.sqrt(d),
-        "final_out": linear_params(nxt(), d, cfg.in_channels * p2),
+        "final_out": linear_params(nxt(), d, cfg.c_out * p2),
     }
 
 
@@ -111,9 +118,11 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
     d = cfg.hidden
     pos2d = jnp.asarray(_pos_embed_2d(d, H, W))
     tcos, tsin = rope_freqs_1d(np.arange(T), d, 10000.0)
-    # Latte uses absolute temporal sincos embedding added before temporal blocks
+    # Latte adds an absolute temporal sincos embedding before temporal blocks;
+    # [sin | cos] channel order per diffusers get_1d_sincos_pos_embed_from_grid
+    # (ref latte_transformer_3d.py:1468-1471) — matters for real checkpoints.
     temp_pos = jnp.asarray(
-        np.concatenate([tcos, tsin], axis=-1)[:, :d].astype(np.float32))
+        np.concatenate([tsin, tcos], axis=-1)[:, :d].astype(np.float32))
 
     def _patchify(x):
         b, t, hh, ww, c = x.shape
@@ -250,10 +259,14 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
         out = layer_norm(h, eps=cfg.eps) * (1 + scale) + shift
         out = linear(params["final_out"], out.astype(h.dtype)).astype(jnp.float32)
         b = out.shape[0]
-        p, c = cfg.patch, cfg.in_channels
-        out = out.reshape(b, T, H, W, c, p, p)
-        out = out.transpose(0, 1, 2, 5, 3, 6, 4)
-        return out.reshape(b, T, H * p, W * p, c)
+        p, c = cfg.patch, cfg.c_out
+        # proj_out features are ordered [p, q, c] ("nhwpqc", ref
+        # latte_transformer_3d.py:1450-1453) — keep that layout for checkpoints
+        out = out.reshape(b, T, H, W, p, p, c)
+        out = out.transpose(0, 1, 2, 4, 3, 5, 6)
+        out = out.reshape(b, T, H * p, W * p, c)
+        # drop the learned-variance half (ref pipeline_latte.py:870-871)
+        return out[..., :cfg.in_channels]
 
     if pab is not None:
         return DiTCore(prepare, trunk_pab, head, init_state=init_state)

@@ -401,3 +401,59 @@ def test_t5_convert_numeric_parity_vs_torch():
         f_out = fm(input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask),
                    params=params).last_hidden_state
     np.testing.assert_allclose(np.asarray(f_out), t_out, rtol=2e-4, atol=2e-4)
+
+
+def test_latte_convert_and_forward():
+    from magcache_tpu.models.convert import convert_latte_state_dict
+    from magcache_tpu.models.latte import (
+        LatteConfig, init_latte_params, make_latte_core)
+
+    cfg = LatteConfig.tiny(out_channels=8)  # published Latte-1 predicts eps+var
+    d = cfg.hidden
+    mlp_d = cfg.mlp_ratio * d
+    rng = np.random.default_rng(5)
+    sd = {}
+    sd["pos_embed.proj.weight"] = rng.normal(
+        0, 0.05, (d, cfg.in_channels, cfg.patch, cfg.patch)).astype(np.float32)
+    sd["pos_embed.proj.bias"] = rng.normal(0, 0.01, (d,)).astype(np.float32)
+    _rlin(rng, sd, "caption_projection.linear_1", cfg.caption_dim, d)
+    _rlin(rng, sd, "caption_projection.linear_2", d, d)
+    _rlin(rng, sd, "adaln_single.emb.timestep_embedder.linear_1",
+          cfg.time_embed_dim, d)
+    _rlin(rng, sd, "adaln_single.emb.timestep_embedder.linear_2", d, d)
+    _rlin(rng, sd, "adaln_single.linear", d, 6 * d)
+    for pre, cross in (("transformer_blocks", True),
+                       ("temporal_transformer_blocks", False)):
+        for i in range(cfg.depth):
+            b = f"{pre}.{i}"
+            sd[f"{b}.scale_shift_table"] = rng.normal(0, 0.02, (6, d)).astype(np.float32)
+            for n in "qkv":
+                _rlin(rng, sd, f"{b}.attn1.to_{n}", d, d)
+            _rlin(rng, sd, f"{b}.attn1.to_out.0", d, d)
+            if cross:
+                for n in "qkv":
+                    _rlin(rng, sd, f"{b}.attn2.to_{n}", d, d)
+                _rlin(rng, sd, f"{b}.attn2.to_out.0", d, d)
+            _rlin(rng, sd, f"{b}.ff.net.0.proj", d, mlp_d)
+            _rlin(rng, sd, f"{b}.ff.net.2", mlp_d, d)
+    sd["scale_shift_table"] = rng.normal(0, 0.02, (2, d)).astype(np.float32)
+    _rlin(rng, sd, "proj_out", d, cfg.patch * cfg.patch * cfg.c_out)
+
+    params = convert_latte_state_dict(sd, cfg)
+    ref = init_latte_params(jax.random.PRNGKey(0), cfg)
+    _tree_shapes_match(params, ref)
+
+    # qkv concat must preserve per-projection semantics: converted qkv split
+    # back into thirds == the individual to_q/to_k/to_v transposes
+    wq = np.asarray(sd["transformer_blocks.0.attn1.to_q.weight"]).T
+    got = np.asarray(params["spatial"]["qkv"]["w"][0][:, :d])
+    np.testing.assert_allclose(got, wq, rtol=0, atol=0)
+
+    core = make_latte_core(cfg, grid=(2, 2, 2), caption_len=4)
+    x = jnp.ones((1, 2, 4, 4, cfg.in_channels))
+    cond = {"y": jnp.ones((1, 4, cfg.caption_dim))}
+    t = jnp.full((1,), 500.0)
+    h, ctx = core.prepare(params, x, t, cond)
+    out = core.head(params, core.trunk(params, h, ctx), ctx)
+    assert out.shape == (1, 2, 4, 4, cfg.in_channels)  # variance half dropped
+    assert np.isfinite(np.asarray(out)).all()
