@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image", default=None,
                    help="input image for i2v / edit tasks (png/jpg via PIL, "
                         "or .npy [H, W, 3]) — the reference's --image flag")
+    p.add_argument("--vae_ckpt", default=None,
+                   help="VAE checkpoint (safetensors): Wan VAE for wan tasks, "
+                        "diffusers AutoencoderKL for image-family tasks")
     p.add_argument("--clip_ckpt", default=None,
                    help="CLIP vision tower safetensors for i2v conditioning")
     p.add_argument("--save_file", default=None)
@@ -367,6 +370,17 @@ def main(argv=None):
     else:
         pipe, cfg = _wan_pipeline(args)
         steps = cfg.sample_steps
+    if args.vae_ckpt:
+        if not hasattr(pipe, "vae"):
+            raise SystemExit(f"--vae_ckpt: task {args.task} has no VAE slot")
+        if args.task.startswith(("t2v", "t2i", "i2v", "ti2v", "vace")):
+            from magcache_tpu.models.vae_wan import load_wan_vae_checkpoint
+            pipe.vae = load_wan_vae_checkpoint(args.vae_ckpt)
+        else:
+            from magcache_tpu.models.vae_sd import (
+                SDVAE, load_sd_vae_checkpoint)
+            vcfg, vparams = load_sd_vae_checkpoint(args.vae_ckpt)
+            pipe.vae = SDVAE(vcfg, vparams)
     gen_kwargs = {}
     if args.image:
         gen_kwargs["image"] = _load_image(args.image)
