@@ -169,7 +169,7 @@ def _qwen_pipeline(args):
         magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
         retention_ratio=args.retention_ratio,
         magcache_calibration=args.magcache_calibration,
-        dtype=args.dtype, tiny=args.tiny)
+        dtype=args.dtype, tiny=args.tiny, ckpt_dir=args.ckpt_dir)
     return QwenImagePipeline(cfg), cfg
 
 
@@ -196,7 +196,7 @@ def _hunyuan_pipeline(args):
         use_magcache=args.use_magcache,
         magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
         retention_ratio=args.retention_ratio,
-        dtype=args.dtype, tiny=args.tiny)
+        dtype=args.dtype, tiny=args.tiny, ckpt_dir=args.ckpt_dir)
     return FramePackPipeline(cfg), cfg
 
 
@@ -218,7 +218,7 @@ def _open_sora_pipeline(args):
         magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
         retention_ratio=args.retention_ratio,
         enable_pab=getattr(args, "enable_pab", False),
-        dtype=args.dtype, tiny=args.tiny)
+        dtype=args.dtype, tiny=args.tiny, ckpt_dir=args.ckpt_dir)
     return OpenSoraPipeline(cfg), cfg
 
 
@@ -237,6 +237,7 @@ def _cogvideox_pipeline(args):
         kw["retention_ratio"] = args.retention_ratio
     if args.tiny:
         kw.update(num_frames=5, height=32, width=32)
+    kw["ckpt_dir"] = args.ckpt_dir
     cfg = CogVideoXPipelineConfig(**kw)
     return CogVideoXPipeline(cfg), cfg
 
@@ -255,6 +256,7 @@ def _latte_pipeline(args):
         kw["retention_ratio"] = args.retention_ratio
     if args.tiny:
         kw.update(num_frames=4, height=64, width=64, caption_len=6)
+    kw["ckpt_dir"] = args.ckpt_dir
     cfg = LattePipelineConfig(**kw)
     return LattePipeline(cfg), cfg
 
@@ -274,6 +276,7 @@ def _vchitect_pipeline(args):
         kw["retention_ratio"] = args.retention_ratio
     if args.tiny:
         kw.update(num_frames=4, height=32, width=32, txt_len=6)
+    kw["ckpt_dir"] = args.ckpt_dir
     cfg = VchitectPipelineConfig(**kw)
     return VchitectPipeline(cfg), cfg
 

@@ -31,6 +31,7 @@ import glob
 import os
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,6 +45,7 @@ __all__ = [
     "convert_stdit3_state_dict", "load_stdit3_checkpoint",
     "convert_t5_encoder_state_dict", "load_t5_encoder_checkpoint",
     "convert_latte_state_dict", "load_latte_checkpoint",
+    "convert_vchitect_state_dict", "load_vchitect_checkpoint",
 ]
 
 
@@ -714,3 +716,77 @@ def convert_latte_state_dict(sd: Dict[str, np.ndarray], cfg) -> dict:
 
 def load_latte_checkpoint(ckpt_dir: str, cfg):
     return convert_latte_state_dict(load_safetensors_dir(ckpt_dir), cfg)
+
+# --------------------------------------------------------------------------
+# Vchitect-XL (published Vchitect-XL-2B `diffusion_pytorch_model.safetensors`
+# naming; ref videosys/models/transformers/vchitect_transformer_3d.py:260 and
+# attentions.py:373-416 for the attention projection set)
+# --------------------------------------------------------------------------
+
+def convert_vchitect_state_dict(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """Map a VchitectXLTransformerModel state dict onto
+    `init_vchitect_params`' tree.
+
+    Blocks 0..L-2 stack for `lax.scan`; the final block is `context_pre_only`
+    (AdaLN-Continuous context norm, no context output) and converts separately.
+    ``pos_embed.pos_embed`` (deterministic sincos buffer) and the last block's
+    ``to_add_out_temporal`` (computed-but-discarded in the reference) are
+    intentionally not loaded.
+    """
+    dt = cfg.jdtype
+    L = cfg.depth
+
+    pw = np.asarray(sd["pos_embed.proj.weight"], np.float32)  # [d, c, p, p]
+    d_, c, p, _ = pw.shape
+    patch_w = pw.transpose(1, 2, 3, 0).reshape(c * p * p, d_)
+
+    ATTN = {"q": "to_q", "k": "to_k", "v": "to_v", "o": "to_out.0",
+            "qt": "to_q_temp", "kt": "to_k_temp", "vt": "to_v_temp",
+            "ot": "to_out_temporal", "qc": "to_q_cross", "oc": "to_out_context",
+            "add_q": "add_q_proj", "add_k": "add_k_proj", "add_v": "add_v_proj"}
+
+    def block(i, pre_only):
+        b = f"transformer_blocks.{i}"
+        out = {"mod_x": _lin(sd, f"{b}.norm1.linear", dt)}
+        for ours, theirs in ATTN.items():
+            out[ours] = _lin(sd, f"{b}.attn.{theirs}", dt)
+        out["ff1"] = _lin(sd, f"{b}.ff.net.0.proj", dt)
+        out["ff2"] = _lin(sd, f"{b}.ff.net.2", dt)
+        if pre_only:
+            out["mod_c2"] = _lin(sd, f"{b}.norm1_context.linear", dt)
+        else:
+            out["mod_c"] = _lin(sd, f"{b}.norm1_context.linear", dt)
+            out["add_out"] = _lin(sd, f"{b}.attn.to_add_out", dt)
+            out["add_out_t"] = _lin(sd, f"{b}.attn.to_add_out_temporal", dt)
+            out["ffc1"] = _lin(sd, f"{b}.ff_context.net.0.proj", dt)
+            out["ffc2"] = _lin(sd, f"{b}.ff_context.net.2", dt)
+        return out
+
+    return {
+        "patch_embed": {
+            "w": jnp.asarray(patch_w, dt),
+            "b": jnp.asarray(np.asarray(sd["pos_embed.proj.bias"], np.float32), dt),
+        },
+        "context_in": _lin(sd, "context_embedder", dt),
+        "time_in": {
+            "in": _lin(sd, "time_text_embed.timestep_embedder.linear_1",
+                       jnp.float32),
+            "out": _lin(sd, "time_text_embed.timestep_embedder.linear_2",
+                        jnp.float32),
+        },
+        "pooled_in": {
+            "in": _lin(sd, "time_text_embed.text_embedder.linear_1",
+                       jnp.float32),
+            "out": _lin(sd, "time_text_embed.text_embedder.linear_2",
+                        jnp.float32),
+        },
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *[block(i, False) for i in range(L - 1)]),
+        "last": block(L - 1, True),
+        "norm_out_mod": _lin(sd, "norm_out.linear", jnp.float32),
+        "proj_out": _lin(sd, "proj_out", jnp.float32),
+    }
+
+
+def load_vchitect_checkpoint(ckpt_dir: str, cfg):
+    return convert_vchitect_state_dict(load_safetensors_dir(ckpt_dir), cfg)

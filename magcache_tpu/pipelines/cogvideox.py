@@ -43,6 +43,7 @@ class CogVideoXPipelineConfig:
     retention_ratio: float = 0.2
     dtype: str = "float32"
     tiny: bool = False
+    ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
 
     def model_config(self) -> CogVideoXConfig:
         if self.tiny:
@@ -72,6 +73,9 @@ class CogVideoXPipeline(BasePipeline):
         self.text_encoder = text_encoder or MockTextEncoder(
             c.txt_len, self.model_cfg.text_dim, scale=0.5)
         key = key if key is not None else jax.random.PRNGKey(0)
+        if params is None and getattr(c, 'ckpt_dir', None):
+            from magcache_tpu.models.convert import load_cogvideox_checkpoint
+            params = load_cogvideox_checkpoint(c.ckpt_dir, self.model_cfg)
         self.params = params if params is not None else init_cogvideox_params(
             key, self.model_cfg)
         self._fn = None

@@ -66,6 +66,7 @@ class FramePackPipelineConfig:
     retention_ratio: Optional[float] = None
     dtype: str = "float32"
     tiny: bool = False
+    ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
 
     def model_config(self) -> HunyuanConfig:
         if self.tiny:
@@ -102,6 +103,9 @@ class FramePackPipeline(BasePipeline):
             c.txt_len, self.model_cfg.text_dim, scale=0.5)
         self.pooled_encoder = MockPooledEncoder(self.model_cfg.vec_dim)
         key = key if key is not None else jax.random.PRNGKey(0)
+        if params is None and getattr(c, 'ckpt_dir', None):
+            from magcache_tpu.models.convert import load_hunyuan_checkpoint
+            params = load_hunyuan_checkpoint(c.ckpt_dir, self.model_cfg)
         self.params = params if params is not None else init_hunyuan_params(
             key, self.model_cfg)
         self._section_fn = None

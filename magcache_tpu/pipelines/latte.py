@@ -38,6 +38,7 @@ class LattePipelineConfig:
     retention_ratio: float = 0.2
     dtype: str = "float32"
     tiny: bool = False
+    ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
 
     def model_config(self) -> LatteConfig:
         if self.tiny:
@@ -66,6 +67,9 @@ class LattePipeline(BasePipeline):
         self.text_encoder = text_encoder or MockTextEncoder(
             c.caption_len, self.model_cfg.caption_dim, scale=0.5)
         key = key if key is not None else jax.random.PRNGKey(0)
+        if params is None and getattr(c, 'ckpt_dir', None):
+            from magcache_tpu.models.convert import load_latte_checkpoint
+            params = load_latte_checkpoint(c.ckpt_dir, self.model_cfg)
         self.params = params if params is not None else init_latte_params(
             key, self.model_cfg)
         self._fn = None

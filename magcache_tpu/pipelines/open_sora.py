@@ -54,6 +54,7 @@ class OpenSoraPipelineConfig:
     pab_config: PABConfig = OPEN_SORA_PAB
     dtype: str = "float32"
     tiny: bool = False
+    ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
 
     def model_config(self) -> STDiT3Config:
         if self.tiny:
@@ -96,6 +97,9 @@ class OpenSoraPipeline(BasePipeline):
         self.text_encoder = text_encoder or MockTextEncoder(
             c.caption_len, self.model_cfg.caption_dim, scale=0.5)
         key = key if key is not None else jax.random.PRNGKey(0)
+        if params is None and getattr(c, 'ckpt_dir', None):
+            from magcache_tpu.models.convert import load_stdit3_checkpoint
+            params = load_stdit3_checkpoint(c.ckpt_dir, self.model_cfg)
         self.params = params if params is not None else init_stdit3_params(
             key, self.model_cfg)
         self._fn = None

@@ -45,6 +45,7 @@ class QwenImagePipelineConfig:
     magcache_calibration: bool = False
     dtype: str = "float32"
     tiny: bool = False
+    ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
 
     def model_config(self) -> QwenImageConfig:
         if self.tiny:
@@ -71,6 +72,9 @@ class QwenImagePipeline(BasePipeline):
         self.text_encoder = text_encoder or MockTextEncoder(
             config.txt_len, self.model_cfg.text_dim, scale=0.5)
         key = key if key is not None else jax.random.PRNGKey(0)
+        if params is None and config.ckpt_dir:
+            from magcache_tpu.models.convert import load_qwen_image_checkpoint
+            params = load_qwen_image_checkpoint(config.ckpt_dir, self.model_cfg)
         self.params = params if params is not None else init_qwen_image_params(
             key, self.model_cfg)
         self._jit_cache = {}

@@ -52,6 +52,7 @@ class VchitectPipelineConfig:
     pab_threshold: tuple = (100, 800)
     dtype: str = "float32"
     tiny: bool = False
+    ckpt_dir: Optional[str] = None       # Vchitect-XL-2B transformer dir
 
     def model_config(self) -> VchitectConfig:
         if self.tiny:
@@ -94,6 +95,9 @@ class VchitectPipeline(BasePipeline):
         self.pooled_encoder = pooled_encoder or MockPooledEncoder(
             self.model_cfg.vec_dim)
         key = key if key is not None else jax.random.PRNGKey(0)
+        if params is None and c.ckpt_dir:
+            from magcache_tpu.models.convert import load_vchitect_checkpoint
+            params = load_vchitect_checkpoint(c.ckpt_dir, self.model_cfg)
         self.params = params if params is not None else init_vchitect_params(
             key, self.model_cfg)
         self._fn = None

@@ -457,3 +457,56 @@ def test_latte_convert_and_forward():
     out = core.head(params, core.trunk(params, h, ctx), ctx)
     assert out.shape == (1, 2, 4, 4, cfg.in_channels)  # variance half dropped
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vchitect_convert_and_forward():
+    from magcache_tpu.models.convert import convert_vchitect_state_dict
+    from magcache_tpu.models.vchitect import (
+        VchitectConfig, init_vchitect_params, make_vchitect_core)
+
+    cfg = VchitectConfig.tiny()
+    d = cfg.hidden
+    mlp_d = cfg.mlp_ratio * d
+    rng = np.random.default_rng(6)
+    sd = {}
+    sd["pos_embed.proj.weight"] = rng.normal(
+        0, 0.05, (d, cfg.in_channels, cfg.patch, cfg.patch)).astype(np.float32)
+    sd["pos_embed.proj.bias"] = rng.normal(0, 0.01, (d,)).astype(np.float32)
+    _rlin(rng, sd, "context_embedder", cfg.text_dim, d)
+    _rlin(rng, sd, "time_text_embed.timestep_embedder.linear_1",
+          cfg.time_embed_dim, d)
+    _rlin(rng, sd, "time_text_embed.timestep_embedder.linear_2", d, d)
+    _rlin(rng, sd, "time_text_embed.text_embedder.linear_1", cfg.vec_dim, d)
+    _rlin(rng, sd, "time_text_embed.text_embedder.linear_2", d, d)
+    for i in range(cfg.depth):
+        b = f"transformer_blocks.{i}"
+        last = i == cfg.depth - 1
+        _rlin(rng, sd, f"{b}.norm1.linear", d, 6 * d)
+        _rlin(rng, sd, f"{b}.norm1_context.linear", d, 2 * d if last else 6 * d)
+        for n in ("to_q", "to_k", "to_v", "to_out.0", "to_q_temp", "to_k_temp",
+                  "to_v_temp", "to_out_temporal", "to_q_cross",
+                  "to_out_context", "add_q_proj", "add_k_proj", "add_v_proj",
+                  "to_add_out_temporal"):
+            _rlin(rng, sd, f"{b}.attn.{n}", d, d)
+        _rlin(rng, sd, f"{b}.ff.net.0.proj", d, mlp_d)
+        _rlin(rng, sd, f"{b}.ff.net.2", mlp_d, d)
+        if not last:
+            _rlin(rng, sd, f"{b}.attn.to_add_out", d, d)
+            _rlin(rng, sd, f"{b}.ff_context.net.0.proj", d, mlp_d)
+            _rlin(rng, sd, f"{b}.ff_context.net.2", mlp_d, d)
+    _rlin(rng, sd, "norm_out.linear", d, 2 * d)
+    _rlin(rng, sd, "proj_out", d, cfg.patch * cfg.patch * cfg.in_channels)
+
+    params = convert_vchitect_state_dict(sd, cfg)
+    ref = init_vchitect_params(jax.random.PRNGKey(0), cfg)
+    _tree_shapes_match(params, ref)
+
+    core = make_vchitect_core(cfg, grid=(2, 2, 2), txt_len=4)
+    x = jnp.ones((1, 2, 4, 4, cfg.in_channels))
+    cond = {"txt": jnp.ones((1, 4, cfg.text_dim)),
+            "vec": jnp.ones((1, cfg.vec_dim))}
+    t = jnp.full((1,), 500.0)
+    h, ctx = core.prepare(params, x, t, cond)
+    out = core.head(params, core.trunk(params, h, ctx), ctx)
+    assert out.shape == (1, 2, 4, 4, cfg.in_channels)
+    assert np.isfinite(np.asarray(out)).all()
