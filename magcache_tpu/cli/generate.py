@@ -296,6 +296,7 @@ def _open_sora_plan_pipeline(args):
         kw["retention_ratio"] = args.retention_ratio
     if args.tiny:
         kw.update(num_frames=5, height=32, width=32, caption_len=6)
+    kw["ckpt_dir"] = args.ckpt_dir
     cfg = OpenSoraPlanPipelineConfig(**kw)
     return OpenSoraPlanPipeline(cfg), cfg
 

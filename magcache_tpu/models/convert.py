@@ -46,6 +46,7 @@ __all__ = [
     "convert_t5_encoder_state_dict", "load_t5_encoder_checkpoint",
     "convert_latte_state_dict", "load_latte_checkpoint",
     "convert_vchitect_state_dict", "load_vchitect_checkpoint",
+    "convert_osp_state_dict", "load_osp_checkpoint",
 ]
 
 
@@ -790,3 +791,71 @@ def convert_vchitect_state_dict(sd: Dict[str, np.ndarray], cfg) -> dict:
 
 def load_vchitect_checkpoint(ckpt_dir: str, cfg):
     return convert_vchitect_state_dict(load_safetensors_dir(ckpt_dir), cfg)
+
+# --------------------------------------------------------------------------
+# Open-Sora-Plan v1.2 (published LanguageBind/Open-Sora-Plan-v1.2.0
+# `93x720p/` naming; ref open_sora_plan_v120_transformer_3d.py:1505)
+# --------------------------------------------------------------------------
+
+def convert_osp_state_dict(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """Map an OpenSoraT2V (v1.2) state dict onto `init_osp_params`' tree.
+
+    PixArt-lineage naming: pos_embed.proj (conv2d patchify), adaln_single,
+    caption_projection, per-block scale_shift_table + attn1/attn2 + ff, final
+    scale_shift_table [2, d] + proj_out. RoPE has no parameters.
+    """
+    dt = cfg.jdtype
+    L = cfg.depth
+
+    pw = np.asarray(sd["pos_embed.proj.weight"], np.float32)
+    if pw.ndim == 5:                     # conv3d variant (patch_size_t > 1)
+        d_, c, kt, kh, kw = pw.shape
+        patch_w = pw.transpose(1, 2, 3, 4, 0).reshape(c * kt * kh * kw, d_)
+    else:                                # conv2d (patch_size_t == 1)
+        d_, c, kh, kw = pw.shape
+        patch_w = pw.transpose(1, 2, 3, 0).reshape(c * kh * kw, d_)
+
+    def cat_lin(names, dtype):
+        w = np.concatenate([np.asarray(sd[f"{n}.weight"], np.float32).T
+                            for n in names], axis=1)
+        out = {"w": jnp.asarray(w, dtype)}
+        if f"{names[0]}.bias" in sd:
+            out["b"] = jnp.asarray(np.concatenate(
+                [np.asarray(sd[f"{n}.bias"], np.float32) for n in names]), dtype)
+        return out
+
+    def blk(i):
+        b = f"transformer_blocks.{i}"
+        return {
+            "scale_shift": jnp.asarray(
+                np.asarray(sd[f"{b}.scale_shift_table"], np.float32)),
+            "qkv": cat_lin([f"{b}.attn1.to_{n}" for n in "qkv"], dt),
+            "proj": _lin(sd, f"{b}.attn1.to_out.0", dt),
+            "cross_q": _lin(sd, f"{b}.attn2.to_q", dt),
+            "cross_kv": cat_lin([f"{b}.attn2.to_{n}" for n in "kv"], dt),
+            "cross_o": _lin(sd, f"{b}.attn2.to_out.0", dt),
+            "ff1": _lin(sd, f"{b}.ff.net.0.proj", dt),
+            "ff2": _lin(sd, f"{b}.ff.net.2", dt),
+        }
+
+    return {
+        "patch_embed": {
+            "w": jnp.asarray(patch_w, dt),
+            "b": jnp.asarray(np.asarray(sd["pos_embed.proj.bias"], np.float32), dt),
+        },
+        "caption": {"in": _lin(sd, "caption_projection.linear_1", jnp.float32),
+                    "out": _lin(sd, "caption_projection.linear_2", jnp.float32)},
+        "time": {"in": _lin(sd, "adaln_single.emb.timestep_embedder.linear_1",
+                            jnp.float32),
+                 "out": _lin(sd, "adaln_single.emb.timestep_embedder.linear_2",
+                             jnp.float32)},
+        "adaln_single": _lin(sd, "adaln_single.linear", jnp.float32),
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *[blk(i) for i in range(L)]),
+        "final_mod": jnp.asarray(np.asarray(sd["scale_shift_table"], np.float32)),
+        "final_out": _lin(sd, "proj_out", jnp.float32),
+    }
+
+
+def load_osp_checkpoint(ckpt_dir: str, cfg):
+    return convert_osp_state_dict(load_safetensors_dir(ckpt_dir), cfg)

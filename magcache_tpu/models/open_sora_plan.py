@@ -1,13 +1,23 @@
-"""Open-Sora-Plan T2V DiT, TPU-native.
+"""Open-Sora-Plan v1.2 T2V DiT, TPU-native and weight-mappable.
 
 The reference ships three versions (``videosys/models/transformers/
 open_sora_plan_transformer_3d.py`` and ``…_v110/_v120``, ~7.8k LoC combined):
-v1.0/v1.1 are Latte-style factorized spatial/temporal stacks (covered
-architecturally by `models.latte`), and **v1.2 switches to full 3-D joint
-attention** over all T*H*W tokens with 3-D RoPE (``…_v120…:39-120``) — this
-module implements the v1.2 design: single-stream DiT, full 3-D self-attention
-with RoPE3D, cross-attention to T5 captions, PixArt-style AdaLN-single
-(global timestep modulation + per-block tables).
+v1.0/v1.1 are Latte-style factorized spatial/temporal stacks (the v110 product
+rides `models.latte` — see `pipelines/open_sora_plan.py`), and **v1.2 switches
+to full 3-D joint attention** over all T*H*W tokens
+(``open_sora_plan_v120_transformer_3d.py``, OpenSoraT2V :1505): single-stream
+PixArt-style blocks (ada_norm_single: global 6-way modulation + per-block
+``scale_shift_table``), full 3-D self-attention with **RoPE3D** — head_dim
+split into three equal parts for (t, y, x), half-split rotation
+(``rotate_half``, :85-96) with per-axis position interpolation scaling
+(:73-82) — cross-attention to T5 captions on the un-normed stream (PixArt
+convention, :1400-1403), gelu-tanh FFN, and a 2-chunk final modulation
+(:2077-2081). With ``use_rope`` the published config disables absolute
+position embeddings (:1629). Unpatchify feature order is [pt, ph, pw, c]
+("nthwopqc->nctohpwq", :2087-2098).
+
+PAB gates the self/cross/mlp outputs per block exactly like the reference's
+``if_broadcast_spatial/cross`` + ``if_skip_mlp`` hooks (:1353, :1390, :1447).
 """
 
 from __future__ import annotations
@@ -23,9 +33,9 @@ from magcache_tpu.core.sampler import DiTCore
 from magcache_tpu.models.common import linear, linear_params, timestep_embedding
 from magcache_tpu.ops.attention import attention
 from magcache_tpu.ops.norms import layer_norm
-from magcache_tpu.ops.rope import apply_rope, rope_freqs_1d
 
-__all__ = ["OpenSoraPlanConfig", "init_osp_params", "make_osp_core"]
+__all__ = ["OpenSoraPlanConfig", "init_osp_params", "make_osp_core",
+           "osp_rope_tables"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -35,15 +45,22 @@ class OpenSoraPlanConfig:
     depth: int = 28
     mlp_ratio: int = 4
     in_channels: int = 4
+    out_channels: int = 0            # 0 -> same as in_channels
     caption_dim: int = 4096
     patch: Tuple[int, int, int] = (1, 2, 2)
     time_embed_dim: int = 256
+    interpolation_scale: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    rope_theta: float = 10000.0
     eps: float = 1e-6
     dtype: str = "float32"
 
     @property
     def head_dim(self):
         return self.hidden // self.heads
+
+    @property
+    def c_out(self):
+        return self.out_channels or self.in_channels
 
     @property
     def jdtype(self):
@@ -81,36 +98,66 @@ def init_osp_params(key: jax.Array, cfg: OpenSoraPlanConfig):
             "ff1": st(d, cfg.mlp_ratio * d), "ff2": st(cfg.mlp_ratio * d, d),
         },
         "final_mod": jax.random.normal(nxt(), (2, d), jnp.float32) / np.sqrt(d),
-        "final_out": linear_params(nxt(), d, cfg.in_channels * pt * ph * pw),
+        "final_out": linear_params(nxt(), d, cfg.c_out * pt * ph * pw),
     }
 
 
 def osp_rope_tables(cfg: OpenSoraPlanConfig, grid: Tuple[int, int, int]):
-    """RoPE3D: head_dim split (t, h, w) = (d-4*d6, 2*d6, 2*d6)."""
-    d = cfg.head_dim
-    d6 = d // 6
-    dims = (d - 4 * d6, 2 * d6, 2 * d6)
-    gt, gh, gw = grid
-    coords = np.stack(np.meshgrid(np.arange(gt), np.arange(gh), np.arange(gw),
+    """RoPE3D tables, reference convention (``RoPE3D.get_cos_sin``): head_dim
+    in three equal (t, y, x) parts, each with ``cat(freqs, freqs)`` half-split
+    layout; positions divided by the per-axis interpolation scale."""
+    hd = cfg.head_dim
+    assert hd % 3 == 0 and (hd // 3) % 2 == 0, f"head_dim {hd} not RoPE3D-able"
+    D = hd // 3
+    coords = np.stack(np.meshgrid(*[np.arange(g) for g in grid],
                                   indexing="ij"), -1).reshape(-1, 3)
     cos_p, sin_p = [], []
-    for ax, dim_a in enumerate(dims):
-        c, s = rope_freqs_1d(coords[:, ax], dim_a)
-        cos_p.append(c)
-        sin_p.append(s)
-    return np.concatenate(cos_p, -1), np.concatenate(sin_p, -1)
+    for ax in range(3):
+        inv_freq = 1.0 / cfg.rope_theta ** (
+            np.arange(0, D, 2, dtype=np.float64) / D)
+        pos = coords[:, ax] / cfg.interpolation_scale[ax]
+        f = pos[:, None] * inv_freq[None]
+        f = np.concatenate([f, f], axis=-1)        # half-split layout
+        cos_p.append(np.cos(f))
+        sin_p.append(np.sin(f))
+    return (np.concatenate(cos_p, -1).astype(np.float32),
+            np.concatenate(sin_p, -1).astype(np.float32))
+
+
+def _rope_half(x, cos, sin, D):
+    """Per-third half-split rotation: x*cos + rotate_half(x)*sin, applied to
+    each of the three D-wide segments (cos/sin are pre-concatenated)."""
+    x32 = x.astype(jnp.float32)
+    parts = []
+    for i in range(3):
+        seg = x32[..., i * D:(i + 1) * D]
+        c = cos[:, None, i * D:(i + 1) * D]
+        s = sin[:, None, i * D:(i + 1) * D]
+        half = D // 2
+        rot = jnp.concatenate([-seg[..., half:], seg[..., :half]], axis=-1)
+        parts.append(seg * c + rot * s)
+    return jnp.concatenate(parts, axis=-1).astype(x.dtype)
 
 
 def make_osp_core(cfg: OpenSoraPlanConfig, grid: Tuple[int, int, int],
-                  caption_len: int) -> DiTCore:
+                  caption_len: int, *, pab=None, timesteps=None) -> DiTCore:
     """cond = {"y": f[B, caption_len, caption_dim]}; x = latent video
     f[B, T*pt, H*ph, W*pw, C]."""
-    from magcache_tpu.models.wan import patchify, unpatchify
+    from magcache_tpu.models.wan import patchify
 
     T, H, W = grid
+    N = T * H * W
     d = cfg.hidden
+    D3 = cfg.head_dim // 3
     rope_np = osp_rope_tables(cfg, grid)
     rope = (jnp.asarray(rope_np[0]), jnp.asarray(rope_np[1]))
+
+    masks = None
+    if pab is not None:
+        from magcache_tpu.core.pab import broadcast_masks
+        assert timesteps is not None, "PAB needs the sampling timesteps"
+        masks = {k: jnp.asarray(v) for k, v in
+                 broadcast_masks(pab, timesteps).items()}
 
     @dataclasses.dataclass(frozen=True)
     class _Shim:
@@ -128,43 +175,100 @@ def make_osp_core(cfg: OpenSoraPlanConfig, grid: Tuple[int, int, int],
         y = linear(params["caption"]["out"], y).astype(cfg.jdtype)
         return h, {"t6": t6, "te": te, "y": y}
 
-    def _block(p, carry, ctx):
-        h = carry
+    def _block(p, h, ctx, cached=None, flags=None):
         e = (p["scale_shift"][None] + ctx["t6"]).astype(jnp.float32)
         sh_a, sc_a, g_a, sh_m, sc_m, g_m = [e[:, i][:, None] for i in range(6)]
-
-        # full 3-D self-attention over all T*H*W tokens, RoPE3D
-        xn = (layer_norm(h, eps=cfg.eps) * (1 + sc_a) + sh_a).astype(h.dtype)
-        q, k, v = jnp.split(linear(p["qkv"], xn), 3, axis=-1)
         rs = lambda x: x.reshape(x.shape[0], x.shape[1], cfg.heads, -1)
-        q = apply_rope(rs(q), *rope)
-        k = apply_rope(rs(k), *rope)
-        a = attention(q, k, rs(v)).reshape(h.shape)
-        h = h + (g_a * linear(p["proj"], a).astype(jnp.float32)).astype(h.dtype)
 
-        # cross-attention to captions
-        cq = rs(linear(p["cross_q"], h))
-        ck, cv = jnp.split(linear(p["cross_kv"], ctx["y"]), 2, axis=-1)
-        c = attention(cq, rs(ck), rs(cv)).reshape(h.shape)
-        h = h + linear(p["cross_o"], c)
+        def compute_attn(h):
+            # full 3-D self-attention over all T*H*W tokens, RoPE3D
+            xn = (layer_norm(h, eps=cfg.eps) * (1 + sc_a) + sh_a).astype(h.dtype)
+            q, k, v = jnp.split(linear(p["qkv"], xn), 3, axis=-1)
+            q = _rope_half(rs(q), *rope, D3)
+            k = _rope_half(rs(k), *rope, D3)
+            a = attention(q, k, rs(v)).reshape(h.shape)
+            return linear(p["proj"], a)
 
-        xm = (layer_norm(h, eps=cfg.eps) * (1 + sc_m) + sh_m).astype(h.dtype)
-        ff = linear(p["ff2"], jax.nn.gelu(linear(p["ff1"], xm), approximate=True))
-        return h + (g_m * ff.astype(jnp.float32)).astype(h.dtype)
+        def compute_cross(h):
+            # PixArt convention: cross-attention on the un-normed stream
+            cq = rs(linear(p["cross_q"], h))
+            ck, cv = jnp.split(linear(p["cross_kv"], ctx["y"]), 2, axis=-1)
+            c = attention(cq, rs(ck), rs(cv)).reshape(h.shape)
+            return linear(p["cross_o"], c)
+
+        def compute_mlp(h):
+            xm = (layer_norm(h, eps=cfg.eps) * (1 + sc_m) + sh_m).astype(h.dtype)
+            return linear(p["ff2"], jax.nn.gelu(linear(p["ff1"], xm),
+                                                approximate=True))
+
+        new_cached = {}
+        if cached is not None:
+            a = jax.lax.cond(flags["spatial"], lambda _: cached["attn"],
+                             compute_attn, h)
+            new_cached["attn"] = a
+        else:
+            a = compute_attn(h)
+        h = h + (g_a * a.astype(jnp.float32)).astype(h.dtype)
+
+        if cached is not None:
+            c = jax.lax.cond(flags["cross"], lambda _: cached["cross"],
+                             compute_cross, h)
+            new_cached["cross"] = c
+        else:
+            c = compute_cross(h)
+        h = h + c
+
+        if cached is not None:
+            m = jax.lax.cond(flags["mlp"], lambda _: cached["mlp"],
+                             compute_mlp, h)
+            new_cached["mlp"] = m
+        else:
+            m = compute_mlp(h)
+        h = h + (g_m * m.astype(jnp.float32)).astype(h.dtype)
+        return h, new_cached
 
     def trunk(params, h, ctx):
         def body(carry, p):
-            return _block(p, carry, ctx), None
+            out, _ = _block(p, carry, ctx)
+            return out, None
 
         h, _ = jax.lax.scan(body, h, params["blocks"])
         return h
+
+    def init_state(params, hidden_shape, ctx_shape):
+        rows = hidden_shape.shape[0]
+        z = lambda: jnp.zeros((cfg.depth, rows, N, d), hidden_shape.dtype)
+        return {"attn": z(), "cross": z(), "mlp": z()}
+
+    def trunk_pab(params, h, ctx, state, step_idx):
+        flags = {k: masks[k][step_idx] for k in masks}
+
+        def body(carry, ps):
+            p, c_a, c_c, c_m = ps
+            out, nc = _block(p, carry, ctx,
+                             cached={"attn": c_a, "cross": c_c, "mlp": c_m},
+                             flags=flags)
+            return out, (nc["attn"], nc["cross"], nc["mlp"])
+
+        h, ys = jax.lax.scan(body, h, (params["blocks"], state["attn"],
+                                       state["cross"], state["mlp"]))
+        return h, {"attn": ys[0], "cross": ys[1], "mlp": ys[2]}
 
     def head(params, h, ctx):
         mod = params["final_mod"][None] + ctx["te"][:, None]
         shift, scale = mod[:, 0][:, None], mod[:, 1][:, None]
         out = layer_norm(h, eps=cfg.eps) * (1 + scale) + shift
-        out = linear(params["final_out"], out.astype(h.dtype))
-        return unpatchify(_Shim(cfg.patch, cfg.in_channels),
-                          out.astype(jnp.float32), grid)
+        out = linear(params["final_out"], out.astype(h.dtype)).astype(jnp.float32)
+        b = out.shape[0]
+        pt, ph, pw = cfg.patch
+        c = cfg.c_out
+        # proj_out features ordered [pt, ph, pw, c] ("nthwopqc->nctohpwq",
+        # ref v120 :2087-2098) — matters for real checkpoints
+        out = out.reshape(b, T, H, W, pt, ph, pw, c)
+        out = out.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+        out = out.reshape(b, T * pt, H * ph, W * pw, c)
+        return out[..., :cfg.in_channels]
 
+    if pab is not None:
+        return DiTCore(prepare, trunk_pab, head, init_state=init_state)
     return DiTCore(prepare, trunk, head)

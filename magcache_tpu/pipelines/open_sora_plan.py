@@ -48,6 +48,7 @@ class OpenSoraPlanPipelineConfig:
     retention_ratio: float = 0.2
     dtype: str = "float32"
     tiny: bool = False
+    ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
 
     def model_config(self):
         if self.version == "v110":
@@ -95,6 +96,12 @@ class OpenSoraPlanPipeline(BasePipeline):
         self.text_encoder = text_encoder or MockTextEncoder(
             c.caption_len, self.model_cfg.caption_dim, scale=0.5)
         key = key if key is not None else jax.random.PRNGKey(0)
+        if params is None and getattr(c, "ckpt_dir", None):
+            from magcache_tpu.models.convert import (
+                load_latte_checkpoint, load_osp_checkpoint)
+            loader = (load_latte_checkpoint if c.version == "v110"
+                      else load_osp_checkpoint)
+            params = loader(c.ckpt_dir, self.model_cfg)
         self.params = params if params is not None else self._init_params(
             key, self.model_cfg)
         self._fn = None

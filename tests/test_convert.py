@@ -510,3 +510,82 @@ def test_vchitect_convert_and_forward():
     out = core.head(params, core.trunk(params, h, ctx), ctx)
     assert out.shape == (1, 2, 4, 4, cfg.in_channels)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_osp_convert_and_forward():
+    from magcache_tpu.models.convert import convert_osp_state_dict
+    from magcache_tpu.models.open_sora_plan import (
+        OpenSoraPlanConfig, init_osp_params, make_osp_core)
+
+    cfg = OpenSoraPlanConfig.tiny(out_channels=8)
+    d = cfg.hidden
+    mlp_d = cfg.mlp_ratio * d
+    pt, ph, pw = cfg.patch
+    rng = np.random.default_rng(7)
+    sd = {}
+    sd["pos_embed.proj.weight"] = rng.normal(
+        0, 0.05, (d, cfg.in_channels, ph, pw)).astype(np.float32)
+    sd["pos_embed.proj.bias"] = rng.normal(0, 0.01, (d,)).astype(np.float32)
+    _rlin(rng, sd, "caption_projection.linear_1", cfg.caption_dim, d)
+    _rlin(rng, sd, "caption_projection.linear_2", d, d)
+    _rlin(rng, sd, "adaln_single.emb.timestep_embedder.linear_1",
+          cfg.time_embed_dim, d)
+    _rlin(rng, sd, "adaln_single.emb.timestep_embedder.linear_2", d, d)
+    _rlin(rng, sd, "adaln_single.linear", d, 6 * d)
+    for i in range(cfg.depth):
+        b = f"transformer_blocks.{i}"
+        sd[f"{b}.scale_shift_table"] = rng.normal(0, 0.02, (6, d)).astype(np.float32)
+        for n in "qkv":
+            _rlin(rng, sd, f"{b}.attn1.to_{n}", d, d)
+            _rlin(rng, sd, f"{b}.attn2.to_{n}", d, d)
+        _rlin(rng, sd, f"{b}.attn1.to_out.0", d, d)
+        _rlin(rng, sd, f"{b}.attn2.to_out.0", d, d)
+        _rlin(rng, sd, f"{b}.ff.net.0.proj", d, mlp_d)
+        _rlin(rng, sd, f"{b}.ff.net.2", mlp_d, d)
+    sd["scale_shift_table"] = rng.normal(0, 0.02, (2, d)).astype(np.float32)
+    _rlin(rng, sd, "proj_out", d, pt * ph * pw * cfg.c_out)
+
+    params = convert_osp_state_dict(sd, cfg)
+    ref = init_osp_params(jax.random.PRNGKey(0), cfg)
+    _tree_shapes_match(params, ref)
+
+    core = make_osp_core(cfg, grid=(2, 2, 2), caption_len=4)
+    x = jnp.ones((1, 2, 4, 4, cfg.in_channels))
+    cond = {"y": jnp.ones((1, 4, cfg.caption_dim))}
+    t = jnp.full((1,), 500.0)
+    h, ctx = core.prepare(params, x, t, cond)
+    out = core.head(params, core.trunk(params, h, ctx), ctx)
+    assert out.shape == (1, 2, 4, 4, cfg.in_channels)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_osp_rope3d_matches_reference_convention():
+    """Oracle transcription of the reference RoPE3D (v120 :63-120): equal
+    thirds, cat(freqs,freqs) half-split, rotate_half, interpolation scaling."""
+    from magcache_tpu.models.open_sora_plan import (
+        OpenSoraPlanConfig, _rope_half, osp_rope_tables)
+
+    cfg = OpenSoraPlanConfig.tiny(interpolation_scale=(1.0, 2.0, 2.0))
+    grid = (2, 3, 2)
+    hd = cfg.head_dim
+    D = hd // 3
+    cos, sin = osp_rope_tables(cfg, grid)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 2 * 3 * 2, 2, hd)).astype(np.float32)  # B,N,h,hd
+
+    # reference math, numpy transcription
+    coords = np.stack(np.meshgrid(*[np.arange(g) for g in grid],
+                                  indexing="ij"), -1).reshape(-1, 3)
+    exp = np.zeros_like(x)
+    for ax in range(3):
+        inv = 1.0 / 10000.0 ** (np.arange(0, D, 2) / D)
+        pos = coords[:, ax] / cfg.interpolation_scale[ax]
+        f = np.concatenate([pos[:, None] * inv[None]] * 2, axis=-1)
+        c, s = np.cos(f), np.sin(f)
+        seg = x[..., ax * D:(ax + 1) * D]
+        rot = np.concatenate([-seg[..., D // 2:], seg[..., :D // 2]], -1)
+        exp[..., ax * D:(ax + 1) * D] = (seg * c[None, :, None, :]
+                                         + rot * s[None, :, None, :])
+    got = np.asarray(_rope_half(jnp.asarray(x), jnp.asarray(cos),
+                                jnp.asarray(sin), D))
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
