@@ -316,6 +316,7 @@ def _omnigen2_pipeline(args):
         kw["retention_ratio"] = args.retention_ratio
     if args.tiny:
         kw.update(height=32, width=32, txt_len=6)
+    kw["ckpt_dir"] = args.ckpt_dir
     cfg = OmniGen2PipelineConfig(**kw)
     return OmniGen2Pipeline(cfg), cfg
 

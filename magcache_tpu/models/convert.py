@@ -47,6 +47,7 @@ __all__ = [
     "convert_latte_state_dict", "load_latte_checkpoint",
     "convert_vchitect_state_dict", "load_vchitect_checkpoint",
     "convert_osp_state_dict", "load_osp_checkpoint",
+    "convert_omnigen2_state_dict", "load_omnigen2_checkpoint",
 ]
 
 
@@ -859,3 +860,96 @@ def convert_osp_state_dict(sd: Dict[str, np.ndarray], cfg) -> dict:
 
 def load_osp_checkpoint(ckpt_dir: str, cfg):
     return convert_osp_state_dict(load_safetensors_dir(ckpt_dir), cfg)
+
+# --------------------------------------------------------------------------
+# OmniGen2 (published OmniGen2/OmniGen2 `transformer/` naming — Lumina2
+# lineage; call structure transcribed in MagCache4OmniGen2/magcache/
+# magcache_utils.py:94-246, block/key naming from the omnigen2 package's
+# diffusers-style Omnigen2Transformer2DModel)
+# --------------------------------------------------------------------------
+
+def _zlin(sd, name, dtype, d_out=None):
+    """Like `_lin` but zero-fills a missing bias so the tree matches
+    `linear_params(bias=True)` initializations."""
+    p = _lin(sd, name, dtype)
+    if "b" not in p and d_out is not None:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def convert_omnigen2_state_dict(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """Map an OmniGen2 transformer state dict onto `init_omnigen2_params`.
+
+    Key layout:
+      time_caption_embed.timestep_embedder.linear_{1,2}
+      time_caption_embed.caption_embedder.{0 (RMSNorm), 1 (Linear)}
+      x_embedder / ref_image_patch_embedder
+      {context_refiner,noise_refiner,ref_image_refiner,layers}.{i}.
+        attn.{to_q,to_k,to_v,to_out.0,norm_q,norm_k}
+        feed_forward.linear_{1 (gate),2 (down),3 (up)}
+        norm1.linear + norm1.norm (modulated) | norm1 (plain RMSNorm)
+        norm2 / ffn_norm1 / ffn_norm2
+      norm_out.linear_{1 (temb scale),2 (projection)}
+    to_k/to_v concatenate into our fused GQA ``kv``.
+    """
+    dt = cfg.jdtype
+
+    def group(prefix, depth, modulated):
+        def one(i):
+            b = f"{prefix}.{i}"
+            kv_w = np.concatenate(
+                [np.asarray(sd[f"{b}.attn.to_{n}.weight"], np.float32).T
+                 for n in "kv"], axis=1)
+            p = {
+                "q": _lin(sd, f"{b}.attn.to_q", dt),
+                "kv": {"w": jnp.asarray(kv_w, dt)},
+                "o": _lin(sd, f"{b}.attn.to_out.0", dt),
+                "q_norm": jnp.asarray(sd[f"{b}.attn.norm_q.weight"], jnp.float32),
+                "k_norm": jnp.asarray(sd[f"{b}.attn.norm_k.weight"], jnp.float32),
+                "norm2": jnp.asarray(sd[f"{b}.norm2.weight"], jnp.float32),
+                "ffn_norm1": jnp.asarray(sd[f"{b}.ffn_norm1.weight"], jnp.float32),
+                "ffn_norm2": jnp.asarray(sd[f"{b}.ffn_norm2.weight"], jnp.float32),
+                "w1": _lin(sd, f"{b}.feed_forward.linear_1", dt),
+                "w3": _lin(sd, f"{b}.feed_forward.linear_3", dt),
+                "w2": _lin(sd, f"{b}.feed_forward.linear_2", dt),
+            }
+            if f"{b}.attn.to_k.bias" in sd:
+                p["kv"]["b"] = jnp.asarray(np.concatenate(
+                    [np.asarray(sd[f"{b}.attn.to_{n}.bias"], np.float32)
+                     for n in "kv"]), dt)
+            if modulated:
+                p["mod"] = _zlin(sd, f"{b}.norm1.linear", jnp.float32,
+                                 4 * cfg.hidden)
+                p["norm1"] = jnp.asarray(sd[f"{b}.norm1.norm.weight"],
+                                         jnp.float32)
+            else:
+                p["norm1"] = jnp.asarray(sd[f"{b}.norm1.weight"], jnp.float32)
+            return p
+
+        return jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *[one(i) for i in range(depth)])
+
+    return {
+        "t_embed": {
+            "in": _lin(sd, "time_caption_embed.timestep_embedder.linear_1",
+                       jnp.float32),
+            "out": _lin(sd, "time_caption_embed.timestep_embedder.linear_2",
+                        jnp.float32),
+        },
+        "cap_norm": jnp.asarray(
+            sd["time_caption_embed.caption_embedder.0.weight"], jnp.float32),
+        "cap_proj": _lin(sd, "time_caption_embed.caption_embedder.1",
+                         jnp.float32),
+        "x_embed": _lin(sd, "x_embedder", cfg.jdtype),
+        "ref_embed": _lin(sd, "ref_image_patch_embedder", cfg.jdtype),
+        "context_refiner": group("context_refiner", cfg.refiner_layers, False),
+        "noise_refiner": group("noise_refiner", cfg.refiner_layers, True),
+        "ref_refiner": group("ref_image_refiner", cfg.refiner_layers, True),
+        "layers": group("layers", cfg.layers, True),
+        "norm_out_mod": _lin(sd, "norm_out.linear_1", jnp.float32),
+        "final_out": _lin(sd, "norm_out.linear_2", jnp.float32),
+    }
+
+
+def load_omnigen2_checkpoint(ckpt_dir: str, cfg):
+    return convert_omnigen2_state_dict(load_safetensors_dir(ckpt_dir), cfg)

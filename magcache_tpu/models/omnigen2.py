@@ -19,7 +19,7 @@ single-stream transformer —
 
 Block design (Lumina2/OmniGen2): sandwich RMSNorm with tanh-gated adaLN —
 
-    s_msa, g_msa, s_mlp, g_mlp = Linear(silu? no: raw temb) -> 4 chunks
+    s_msa, g_msa, s_mlp, g_mlp = Linear(silu(temb)) -> 4 chunks
     x = x + tanh(g_msa) * norm2(attn(norm1(x) * (1 + s_msa)))
     x = x + tanh(g_mlp) * ffn_norm2(swiglu(ffn_norm1(x) * (1 + s_mlp)))
 
@@ -40,7 +40,7 @@ import numpy as np
 from magcache_tpu.core.sampler import DiTCore
 from magcache_tpu.models.common import linear, linear_params, timestep_embedding
 from magcache_tpu.ops.attention import attention
-from magcache_tpu.ops.norms import rms_norm
+from magcache_tpu.ops.norms import layer_norm, rms_norm
 from magcache_tpu.ops.rope import apply_rope, rope_freqs_1d
 from magcache_tpu.parallel.mesh import maybe_shard
 
@@ -134,7 +134,6 @@ def init_omnigen2_params(key: jax.Array, cfg: OmniGen2Config):
         "ref_refiner": _block_params(nxt(), cfg, cfg.refiner_layers, True),
         "layers": _block_params(nxt(), cfg, cfg.layers, True),
         "norm_out_mod": linear_params(nxt(), cfg.temb_dim, d),  # scale only
-        "norm_out": jnp.ones((d,), jnp.float32),
         "final_out": linear_params(nxt(), d, pin),
     }
 
@@ -170,7 +169,8 @@ def _run_blocks(cfg: OmniGen2Config, p, x, temb, rope, remat=False):
 
     def block(bp, x):
         if temb is not None:
-            mod = linear(bp["mod"], temb).astype(jnp.float32)
+            # LuminaRMSNormZero: silu on temb before the 4-chunk projection
+            mod = linear(bp["mod"], jax.nn.silu(temb)).astype(jnp.float32)
             s_msa, g_msa, s_mlp, g_mlp = [
                 mod[:, None, i * cfg.hidden:(i + 1) * cfg.hidden]
                 for i in range(4)]
@@ -218,11 +218,13 @@ def _run_blocks(cfg: OmniGen2Config, p, x, temb, rope, remat=False):
 
 
 def _patchify(cfg: OmniGen2Config, img):
+    # feature order (p1, p2, c) — the checkpoint's '(h w) (p1 p2 c)' layout
+    # (magcache_utils.py:222 output rearrange; x_embedder uses the same)
     b, hh, ww, c = img.shape
     pp = cfg.patch
     x = img.reshape(b, hh // pp, pp, ww // pp, pp, c)
-    x = x.transpose(0, 1, 3, 5, 2, 4)
-    return x.reshape(b, (hh // pp) * (ww // pp), c * pp * pp)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, (hh // pp) * (ww // pp), pp * pp * c)
 
 
 def make_omnigen2_core(cfg: OmniGen2Config, txt_len: int,
@@ -280,13 +282,16 @@ def make_omnigen2_core(cfg: OmniGen2Config, txt_len: int,
         h = hidden[:, -img_tokens:]
         scale = linear(params["norm_out_mod"],
                        jax.nn.silu(ctx["temb"])).astype(jnp.float32)
-        h = rms_norm(h, params["norm_out"], eps=cfg.eps)
-        h = (h.astype(jnp.float32) * (1 + scale[:, None])).astype(h.dtype)
+        # LuminaLayerNormContinuous: affine-free layer norm, temb scale, then
+        # the projection lives inside norm_out (linear_2)
+        h = layer_norm(h, eps=cfg.eps)
+        h = (h * (1 + scale[:, None])).astype(hidden.dtype)
         out = linear(params["final_out"], h)
         b = out.shape[0]
         pp, c = cfg.patch, cfg.in_channels
-        out = out.reshape(b, gh, gw, c, pp, pp)
-        out = out.transpose(0, 1, 4, 2, 5, 3)
+        # '(h w) (p1 p2 c)' unpatchify (magcache_utils.py:222)
+        out = out.reshape(b, gh, gw, pp, pp, c)
+        out = out.transpose(0, 1, 3, 2, 4, 5)
         return out.reshape(b, gh * pp, gw * pp, c).astype(jnp.float32)
 
     return DiTCore(prepare, trunk, head)

@@ -93,6 +93,7 @@ class OmniGen2PipelineConfig:
     retention_ratio: float = 0.2
     dtype: str = "float32"
     tiny: bool = False
+    ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
 
     ref_images: int = 1                # edit mode: number of reference images
 
@@ -121,6 +122,9 @@ class OmniGen2Pipeline(BasePipeline):
         self.text_encoder = text_encoder or MockTextEncoder(
             config.txt_len, self.model_cfg.text_dim, scale=0.5)
         key = key if key is not None else jax.random.PRNGKey(0)
+        if params is None and config.ckpt_dir:
+            from magcache_tpu.models.convert import load_omnigen2_checkpoint
+            params = load_omnigen2_checkpoint(config.ckpt_dir, self.model_cfg)
         self.params = params if params is not None else init_omnigen2_params(
             key, self.model_cfg)
         self._jit_cache = {}

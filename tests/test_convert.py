@@ -589,3 +589,72 @@ def test_osp_rope3d_matches_reference_convention():
     got = np.asarray(_rope_half(jnp.asarray(x), jnp.asarray(cos),
                                 jnp.asarray(sin), D))
     np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
+
+
+def test_omnigen2_convert_and_forward():
+    from magcache_tpu.models.convert import convert_omnigen2_state_dict
+    from magcache_tpu.models.omnigen2 import (
+        OmniGen2Config, init_omnigen2_params, make_omnigen2_core)
+
+    cfg = OmniGen2Config.tiny()
+    d, dk, f = cfg.hidden, cfg.kv_heads * cfg.head_dim, cfg.ffn_dim
+    rng = np.random.default_rng(8)
+    sd = {}
+
+    def nobias(name, i, o):
+        sd[f"{name}.weight"] = rng.normal(0, 0.05, (o, i)).astype(np.float32)
+
+    _rlin(rng, sd, "time_caption_embed.timestep_embedder.linear_1",
+          cfg.time_embed_dim, cfg.temb_dim)
+    _rlin(rng, sd, "time_caption_embed.timestep_embedder.linear_2",
+          cfg.temb_dim, cfg.temb_dim)
+    sd["time_caption_embed.caption_embedder.0.weight"] = np.ones(
+        cfg.text_dim, np.float32)
+    _rlin(rng, sd, "time_caption_embed.caption_embedder.1", cfg.text_dim, d)
+    pin = cfg.in_channels * cfg.patch * cfg.patch
+    _rlin(rng, sd, "x_embedder", pin, d)
+    _rlin(rng, sd, "ref_image_patch_embedder", pin, d)
+    for prefix, depth, modulated in (
+            ("context_refiner", cfg.refiner_layers, False),
+            ("noise_refiner", cfg.refiner_layers, True),
+            ("ref_image_refiner", cfg.refiner_layers, True),
+            ("layers", cfg.layers, True)):
+        for i in range(depth):
+            b = f"{prefix}.{i}"
+            nobias(f"{b}.attn.to_q", d, d)
+            nobias(f"{b}.attn.to_k", d, dk)
+            nobias(f"{b}.attn.to_v", d, dk)
+            nobias(f"{b}.attn.to_out.0", d, d)
+            sd[f"{b}.attn.norm_q.weight"] = np.ones(cfg.head_dim, np.float32)
+            sd[f"{b}.attn.norm_k.weight"] = np.ones(cfg.head_dim, np.float32)
+            for n in ("norm2", "ffn_norm1", "ffn_norm2"):
+                sd[f"{b}.{n}.weight"] = np.ones(d, np.float32)
+            nobias(f"{b}.feed_forward.linear_1", d, f)
+            nobias(f"{b}.feed_forward.linear_2", f, d)
+            nobias(f"{b}.feed_forward.linear_3", d, f)
+            if modulated:
+                _rlin(rng, sd, f"{b}.norm1.linear", cfg.temb_dim, 4 * d)
+                sd[f"{b}.norm1.norm.weight"] = np.ones(d, np.float32)
+            else:
+                sd[f"{b}.norm1.weight"] = np.ones(d, np.float32)
+    _rlin(rng, sd, "norm_out.linear_1", cfg.temb_dim, d)
+    _rlin(rng, sd, "norm_out.linear_2", d, pin)
+
+    params = convert_omnigen2_state_dict(sd, cfg)
+    ref = init_omnigen2_params(jax.random.PRNGKey(0), cfg)
+    _tree_shapes_match(params, ref)
+
+    # fused kv preserves per-projection semantics
+    wk = np.asarray(sd["layers.0.attn.to_k.weight"]).T
+    got = np.asarray(params["layers"]["kv"]["w"][0][:, :dk])
+    np.testing.assert_allclose(got, wk, rtol=0, atol=0)
+
+    core = make_omnigen2_core(cfg, txt_len=4, grid=(2, 2), ref_images=1)
+    x = jnp.ones((1, 4, 4, cfg.in_channels))
+    cond = {"txt": jnp.ones((1, 4, cfg.text_dim)),
+            "ref": jnp.ones((1, 1, 4, 4, cfg.in_channels))}
+    t = jnp.full((1,), 500.0)
+    h, ctx = core.prepare(params, x, t, cond)
+    out = core.head(params, core.trunk(params, h, ctx), ctx)
+    assert out.shape == (1, 4, 4, cfg.in_channels)
+    assert np.isfinite(np.asarray(out)).all()
