@@ -620,9 +620,11 @@ def sample_pndm(
     x_l0 = _stack_lanes(x_init, n_lanes)
     ts0 = jnp.asarray(schedule.timesteps[:1])
     cache0 = _init_cache(core, params, x_l0, ts0, cond)
+    state0 = _init_trunk_state(core, params, x_l0, ts0, cond)
     e_hist0 = jnp.stack([jnp.zeros_like(x_init)] * 4)
 
     step_in = (
+        jnp.arange(n),
         jnp.asarray(schedule.timesteps),
         jnp.asarray(skip_mask),
         jnp.asarray(schedule.c_x), jnp.asarray(schedule.c_e),
@@ -630,21 +632,23 @@ def sample_pndm(
     )
 
     def body(carry, inp):
-        x, e_hist, cache = carry
-        t, skip_bits, cx, ce, wts = inp
+        x, e_hist, cache, state = carry
+        idx, t, skip_bits, cx, ce, wts = inp
         x2 = _stack_lanes(x, n_lanes)
         tvec = jnp.full((x2.shape[0],), t, jnp.float32)
         hidden, ctx = core.prepare(params, x2, tvec, cond)
-        h_out, cache, _ = _cached_trunk(core, params, hidden, ctx, cache,
-                                        skip_bits, lane_of_row,
-                                        partial_lanes=partial_lanes)
+        h_out, cache, state = _cached_trunk(core, params, hidden, ctx, cache,
+                                            skip_bits, lane_of_row,
+                                            state=state, step_idx=idx,
+                                            partial_lanes=partial_lanes)
         out = core.head(params, h_out, ctx)
         e = _cfg_combine(out, guidance_scale, batch, combine_fn,
                          n_lanes).astype(x.dtype)
         e_hist = jnp.concatenate([e[None], e_hist[:-1]], axis=0)
         e_prime = jnp.tensordot(wts, e_hist, axes=1)
         x = cx.astype(x.dtype) * x + ce.astype(x.dtype) * e_prime
-        return (x, e_hist, cache), None
+        return (x, e_hist, cache, state), None
 
-    (x_fin, _, _), _ = jax.lax.scan(body, (x_init, e_hist0, cache0), step_in)
+    (x_fin, _, _, _), _ = jax.lax.scan(
+        body, (x_init, e_hist0, cache0, state0), step_in)
     return x_fin

@@ -46,6 +46,14 @@ class OpenSoraPlanPipelineConfig:
     magcache_thresh: float = 0.12
     magcache_K: int = 3
     retention_ratio: float = 0.2
+    # PAB (reference OpenSoraPlanV120PABConfig, pipeline_open_sora_plan.py:103:
+    # spatial (100,850) range 2 + cross (100,850) range 6; the v110 defaults
+    # add temporal range 4 and mlp reuse, :41-101)
+    enable_pab: bool = False
+    pab_threshold: tuple = (100, 850)
+    pab_spatial_range: int = 2
+    pab_temporal_range: int = 4
+    pab_cross_range: int = 6
     dtype: str = "float32"
     tiny: bool = False
     ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
@@ -73,6 +81,26 @@ class OpenSoraPlanPipeline(BasePipeline):
         self.model_cfg = config.model_config()
         c = config
         self.vae = vae
+        pab = None
+        ts = None
+        if c.enable_pab:
+            from magcache_tpu.core.pab import PABConfig
+            pab = PABConfig(
+                spatial_broadcast=True, spatial_threshold=c.pab_threshold,
+                spatial_range=c.pab_spatial_range,
+                cross_broadcast=True, cross_threshold=c.pab_threshold,
+                cross_range=c.pab_cross_range,
+                # temporal/mlp reuse only exists in the v110 (Latte) stack
+                temporal_broadcast=c.version == "v110",
+                temporal_threshold=c.pab_threshold,
+                temporal_range=c.pab_temporal_range,
+                mlp_broadcast=c.version == "v110",
+                mlp_threshold=c.pab_threshold, mlp_range=c.pab_cross_range)
+            if c.version == "v110":
+                ts = PNDMSchedule.create(c.num_inference_steps).timesteps
+            else:
+                ts = EulerAncestralSchedule.create(
+                    c.num_inference_steps).timesteps
         if c.version == "v110":
             # v1.1 VAE: temporal stride 4, spatial 8; LatteT2V patch 2
             from magcache_tpu.models.latte import init_latte_params, make_latte_core
@@ -82,7 +110,7 @@ class OpenSoraPlanPipeline(BasePipeline):
                                  self.model_cfg.in_channels)
             self.grid = (lf, c.height // 8 // p, c.width // 8 // p)
             self.core = make_latte_core(self.model_cfg, self.grid,
-                                        c.caption_len)
+                                        c.caption_len, pab=pab, timesteps=ts)
             self._init_params = init_latte_params
         else:
             pt, ph, pw = self.model_cfg.patch
@@ -91,7 +119,8 @@ class OpenSoraPlanPipeline(BasePipeline):
             self.latent_shape = (lf, c.height // 8, c.width // 8,
                                  self.model_cfg.in_channels)
             self.grid = (lf // pt, c.height // 8 // ph, c.width // 8 // pw)
-            self.core = make_osp_core(self.model_cfg, self.grid, c.caption_len)
+            self.core = make_osp_core(self.model_cfg, self.grid, c.caption_len,
+                                      pab=pab, timesteps=ts)
             self._init_params = init_osp_params
         self.text_encoder = text_encoder or MockTextEncoder(
             c.caption_len, self.model_cfg.caption_dim, scale=0.5)

@@ -257,3 +257,17 @@ def test_vchitect_pab_refresh_matches_plain_and_sampler_runs():
     out = sample_euler(core_p, params, x, cond, timesteps=ts,
                        dts=np.diff(FlowMatchSchedule.create(4, shift=1.0).sigmas))
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("version", ["v120", "v110"])
+def test_osp_pipeline_pab_runs(version):
+    """Reference OSP PAB defaults (OpenSoraPlanV120PABConfig / V110):
+    the pipeline generates finitely with PAB reuse enabled."""
+    from magcache_tpu.pipelines.open_sora_plan import (
+        OpenSoraPlanPipeline, OpenSoraPlanPipelineConfig)
+
+    cfg = OpenSoraPlanPipelineConfig(
+        version=version, tiny=True, num_frames=5, height=32, width=32,
+        num_inference_steps=3, caption_len=6, enable_pab=True)
+    out = OpenSoraPlanPipeline(cfg).generate("a lighthouse at dusk", seed=2)
+    assert np.isfinite(np.asarray(out.latents)).all()
