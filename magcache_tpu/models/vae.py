@@ -509,12 +509,23 @@ class MicroFrameVAE:
     def decode(self, z, latent_chunk: Optional[int] = None):
         """latents -> pixels; chunks decode independently (per-micro-frame
         reset, unlike `CausalVAE.decode_chunked`'s carried-cache streaming)."""
+        import inspect
+        want_nf = ("num_frames"
+                   in inspect.signature(self.temporal.decode).parameters)
+        ds = 2 ** sum(self.temporal.cfg.temporal_downsample)
         if latent_chunk is None:
-            # latent frames produced by one 17-frame chunk: 1 + (mf-1)//ds
-            ds = 2 ** sum(self.temporal.cfg.temporal_downsample)
-            latent_chunk = 1 + (self.micro_frame_size - 1) // ds
+            if want_nf:        # VAE_Temporal front-pads: ceil(mf / ds) latents
+                latent_chunk = -(-self.micro_frame_size // ds)
+            else:              # CausalVAE keeps frame 1: 1 + (mf-1)//ds
+                latent_chunk = 1 + (self.micro_frame_size - 1) // ds
         outs = []
         for i in range(0, z.shape[1], latent_chunk):
-            y = self.temporal.decode(z[:, i:i + latent_chunk])
+            zc = z[:, i:i + latent_chunk]
+            if want_nf:
+                y = self.temporal.decode(
+                    zc, num_frames=min(self.micro_frame_size,
+                                       zc.shape[1] * ds))
+            else:
+                y = self.temporal.decode(zc)
             outs.append(self._spatial_decode(y))
         return jnp.concatenate(outs, axis=1)
