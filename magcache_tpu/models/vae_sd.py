@@ -337,6 +337,9 @@ def load_sd_vae_checkpoint(path: str, cfg: Optional[SDVAEConfig] = None):
         mult = tuple(
             sd[f"encoder.down_blocks.{i}.resnets.0.conv2.weight"].shape[0] // base
             for i in range(nlv))
+        bpl = 1 + max(int(k.split(".")[4]) for k in sd
+                      if k.startswith("encoder.down_blocks.0.resnets."))
         cfg = SDVAEConfig(z_channels=cout // 2, base=base, ch_mult=mult,
+                          blocks_per_level=bpl,
                           quant_conv="quant_conv.weight" in sd)
     return cfg, convert_sd_vae_state_dict(sd, cfg)

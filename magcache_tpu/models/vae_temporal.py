@@ -297,7 +297,10 @@ def load_open_sora_vae(path: str, micro_frame_size: int = 17):
     mult = tuple(
         sp[f"encoder.down_blocks.{i}.resnets.0.conv2.weight"].shape[0] // base
         for i in range(nlv))
+    bpl = 1 + max(int(k.split(".")[4]) for k in sp
+                  if k.startswith("encoder.down_blocks.0.resnets."))
     sd_cfg = SDVAEConfig(z_channels=cout // 2, base=base, ch_mult=mult,
+                         blocks_per_level=bpl,
                          quant_conv="quant_conv.weight" in sp)
     spatial = SDVAE(sd_cfg, convert_sd_vae_state_dict(sp, sd_cfg))
     t_cfg = VAETemporalConfig()
