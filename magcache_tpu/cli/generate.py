@@ -381,7 +381,22 @@ def main(argv=None):
         if args.task.startswith(("t2v", "t2i", "i2v", "ti2v", "vace")):
             from magcache_tpu.models.vae_wan import load_wan_vae_checkpoint
             pipe.vae = load_wan_vae_checkpoint(args.vae_ckpt)
-        else:
+        elif args.task.startswith("cogvideox"):
+            from magcache_tpu.models.vae_cogvideox import (
+                CogVideoXVAE, CogVideoXVAEConfig, convert_cogvideox_vae_state_dict)
+            from magcache_tpu.models.convert import load_safetensors_dir
+            vcfg = CogVideoXVAEConfig()
+            pipe.vae = CogVideoXVAE(vcfg, convert_cogvideox_vae_state_dict(
+                load_safetensors_dir(args.vae_ckpt), vcfg))
+        elif args.task.startswith("open-sora-plan"):
+            from magcache_tpu.models.vae_osp import (
+                OSPCausalVAE, load_osp_vae_checkpoint)
+            vcfg, vparams = load_osp_vae_checkpoint(args.vae_ckpt)
+            pipe.vae = OSPCausalVAE(vcfg, vparams)
+        elif args.task.startswith("open-sora"):
+            from magcache_tpu.models.vae_temporal import load_open_sora_vae
+            pipe.vae = load_open_sora_vae(args.vae_ckpt)
+        else:   # image families + latte/vchitect: diffusers AutoencoderKL
             from magcache_tpu.models.vae_sd import (
                 SDVAE, load_sd_vae_checkpoint)
             vcfg, vparams = load_sd_vae_checkpoint(args.vae_ckpt)
