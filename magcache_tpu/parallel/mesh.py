@@ -113,9 +113,13 @@ def maybe_shard(x, kind: str):
 # Column-parallel (output features sharded): qkv projections, ffn in.
 _COL_PAT = re.compile(
     r"(q|k|v|cross_q|cross_k|cross_v|cross_k_img|cross_v_img|ffn1|"
-    r"img_qkv|txt_qkv|lin1|img_mlp1|txt_mlp1|qkv)$")
+    r"img_qkv|txt_qkv|lin1|img_mlp1|txt_mlp1|qkv|"
+    # vchitect temporal/cross projections; latte/osp/omnigen2 ffn + swiglu
+    r"qt|kt|vt|qc|ff1|ffc1|w1|w3)$")
 # Row-parallel (input features sharded): output projections, ffn out.
-_ROW_PAT = re.compile(r"(o|cross_o|ffn2|img_proj|txt_proj|lin2|img_mlp2|txt_mlp2)$")
+_ROW_PAT = re.compile(
+    r"(o|cross_o|ffn2|img_proj|txt_proj|lin2|img_mlp2|txt_mlp2|"
+    r"ot|oc|add_out|add_out_t|ff2|ffc2|w2|(?<!cap_)proj)$")
 
 
 def _param_spec(path: str, ndim: int) -> P:

@@ -160,3 +160,64 @@ def test_ring_auto_threshold_selection(monkeypatch):
     assert calls["ulysses"] == 1
     np.testing.assert_allclose(np.asarray(out_ring), np.asarray(out_uly),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_osp_v120_sharded_run_matches_single_device():
+    """Full-3D-attention OSP v1.2 under the dp x sp x tp mesh == single
+    device (RoPE3D + qkv/proj shardings exercise the new TP patterns)."""
+    from magcache_tpu.models.open_sora_plan import (
+        OpenSoraPlanConfig, init_osp_params, make_osp_core)
+
+    cfg = OpenSoraPlanConfig.tiny()
+    params = init_osp_params(jax.random.PRNGKey(3), cfg)
+    core = make_osp_core(cfg, (2, 4, 4), caption_len=6)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 2, 8, 8, cfg.in_channels)), jnp.float32)
+    cond = {"y": jnp.asarray(rng.normal(size=(4, 6, cfg.caption_dim)),
+                             jnp.float32)}
+    sch = FlowMatchSchedule.create(3, shift=1.0)
+
+    def run(p, xx, cc):
+        return sample_euler(core, p, xx, cc, timesteps=sch.timesteps,
+                            dts=np.diff(sch.sigmas), guidance_scale=5.0)
+
+    ref = np.asarray(run(params, x, cond))
+    mesh = build_mesh(dp=2, sp=2, tp=2)
+    with use_mesh(MeshPlan(mesh)):
+        out = jax.jit(run)(
+            shard_params(params, mesh),
+            jax.device_put(x, activation_sharding(mesh, "latents", x.ndim)),
+            {"y": jax.device_put(cond["y"],
+                                 activation_sharding(mesh, "context", 3))})
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_vchitect_sharded_run_matches_single_device():
+    """Vchitect's 3-path attention (temporal RoPE + frame-0 cross + joint
+    spatial, pre_only last block) under the mesh == single device."""
+    from magcache_tpu.models.vchitect import (
+        VchitectConfig, init_vchitect_params, make_vchitect_core)
+
+    cfg = VchitectConfig.tiny()
+    params = init_vchitect_params(jax.random.PRNGKey(4), cfg)
+    core = make_vchitect_core(cfg, (2, 2, 2), txt_len=4)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 2, 4, 4, cfg.in_channels)), jnp.float32)
+    cond = {"txt": jnp.asarray(rng.normal(size=(4, 4, cfg.text_dim)), jnp.float32),
+            "vec": jnp.asarray(rng.normal(size=(4, cfg.vec_dim)), jnp.float32)}
+    sch = FlowMatchSchedule.create(3, shift=1.0)
+
+    def run(p, xx, cc):
+        return sample_euler(core, p, xx, cc, timesteps=sch.timesteps,
+                            dts=np.diff(sch.sigmas), guidance_scale=7.0)
+
+    ref = np.asarray(run(params, x, cond))
+    mesh = build_mesh(dp=2, sp=2, tp=2)
+    with use_mesh(MeshPlan(mesh)):
+        out = jax.jit(run)(
+            shard_params(params, mesh),
+            jax.device_put(x, activation_sharding(mesh, "latents", x.ndim)),
+            {"txt": jax.device_put(cond["txt"],
+                                   activation_sharding(mesh, "context", 3)),
+             "vec": cond["vec"]})
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
