@@ -49,6 +49,11 @@ class OSPVAEConfig:
     # per-level block types; "" = none
     down_types: Tuple[str, ...] = ("s2t2", "s2t2", "s2t2", "")
     up_types: Tuple[str, ...] = ("", "s2t2", "s2t2", "s2t2")
+    # separate per-level temporal slots (v1.0/1.1 configs pair
+    # SpatialDownsample2x with a param-free TimeDownsample2x / TimeUpsample2x;
+    # ref autoencoder_kl_open_sora_plan.py:1530-1552)
+    time_down_types: Tuple[str, ...] = ("", "", "", "")
+    time_up_types: Tuple[str, ...] = ("", "", "", "")
 
     @property
     def chs(self):
@@ -200,6 +205,28 @@ def _up_spatial(p, x):
     return _cconv(x, p["w"], p["b"])
 
 
+def _time_down2x(x, k=3):
+    """Param-free TimeDownsample2x: replicate-front pad + time avg-pool k3 s2
+    (ref autoencoder_kl_open_sora_plan.py:1530-1539)."""
+    front = jnp.repeat(x[:, :1], k - 1, axis=1)
+    x = jnp.concatenate([front, x], axis=1)
+    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, k, 1, 1, 1),
+                              (1, 2, 1, 1, 1), "VALID")
+    return s / k
+
+
+def _time_up2x(x):
+    """Param-free TimeUpsample2x: keep frame 0, trilinear-2x the rest over
+    time only (ref :1542-1552)."""
+    b, t, hh, ww, c = x.shape
+    if t > 1:
+        x0, xr = x[:, :1], x[:, 1:]
+        xr = jax.image.resize(xr, (b, (t - 1) * 2, hh, ww, c),
+                              method="trilinear")
+        x = jnp.concatenate([x0, xr], axis=1)
+    return x
+
+
 class OSPCausalVAE:
     def __init__(self, cfg: OSPVAEConfig, params):
         self.cfg = cfg
@@ -218,6 +245,8 @@ class OSPCausalVAE:
             if lv["downsample"] is not None:
                 fn = _down_s2t2 if cfg.down_types[i] == "s2t2" else _down_spatial
                 h = fn(lv["downsample"], h)
+            if cfg.time_down_types[i] == "time":
+                h = _time_down2x(h)
         h = _res(p["mid"]["block_1"], h, g)
         h = _attn(p["mid"]["attn_1"], h, g)
         h = _res(p["mid"]["block_2"], h, g)
@@ -245,6 +274,8 @@ class OSPCausalVAE:
             if lv["upsample"] is not None:
                 fn = _up_s2t2 if cfg.up_types[i] == "s2t2" else _up_spatial
                 h = fn(lv["upsample"], h)
+            if cfg.time_up_types[i] == "time":
+                h = _time_up2x(h)
         h = jax.nn.silu(group_norm(h, p["norm_out"]["w"], p["norm_out"]["b"], g))
         return _cconv(h, p["conv_out"]["w"], p["conv_out"]["b"])
 

@@ -222,3 +222,43 @@ def test_osp_vae_temporal_compression():
     y = vae.decode(mean)
     assert y.shape[2:] == (16, 16, 3)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_osp_vae_v11_style_time_blocks():
+    """v1.0/1.1 layout: spatial-only convs + param-free time pool/upsample;
+    same 1+(T-1)/4 temporal and /8 spatial compression."""
+    cfg = OSPVAEConfig(hidden=8, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                       groups=4,
+                       down_types=("spatial", "spatial", "spatial", ""),
+                       time_down_types=("", "time", "time", ""),
+                       up_types=("", "spatial", "spatial", "spatial"),
+                       time_up_types=("", "time", "time", ""))
+    vae = OSPCausalVAE(cfg, init_osp_vae_params(jax.random.PRNGKey(3), cfg))
+    x = jnp.ones((1, 9, 16, 16, 3)) * 0.1
+    mean, _ = vae.encode(x)
+    assert mean.shape == (1, 3, 2, 2, cfg.embed_dim)
+    y = vae.decode(mean)
+    assert y.shape[2:] == (16, 16, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_osp_time_blocks_match_torch_oracle():
+    """TimeDownsample2x / TimeUpsample2x numeric parity (ref :1530-1552)."""
+    from magcache_tpu.models.vae_osp import _time_down2x, _time_up2x
+
+    rng = np.random.default_rng(6)
+    x = rng.normal(0, 1, (1, 2, 5, 3, 3)).astype(np.float32)  # NCTHW
+    xt = torch.tensor(x)
+    front = xt[:, :, :1].repeat(1, 1, 2, 1, 1)
+    t_down = F.avg_pool3d(torch.cat([front, xt], dim=2), (3, 1, 1),
+                          stride=(2, 1, 1)).numpy()
+    j_down = np.asarray(_time_down2x(jnp.asarray(x.transpose(0, 2, 3, 4, 1))))
+    np.testing.assert_allclose(j_down, t_down.transpose(0, 2, 3, 4, 1),
+                               rtol=1e-5, atol=1e-5)
+
+    x0, xr = xt[:, :, :1], xt[:, :, 1:]
+    xr = F.interpolate(xr, scale_factor=(2, 1, 1), mode="trilinear")
+    t_up = torch.cat([x0, xr], dim=2).numpy()
+    j_up = np.asarray(_time_up2x(jnp.asarray(x.transpose(0, 2, 3, 4, 1))))
+    np.testing.assert_allclose(j_up, t_up.transpose(0, 2, 3, 4, 1),
+                               rtol=1e-5, atol=1e-5)
