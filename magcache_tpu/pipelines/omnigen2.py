@@ -16,12 +16,12 @@ ratio arrays interleaved into one `MagCacheConfig`, and the guidance combine is
 (the OmniGen2 predict combine for edit; t2i degenerates to standard 2-branch
 CFG). The denoiser is the true OmniGen2 decoder (`models.omnigen2`): a
 Lumina2-lineage single-stream transformer with context/noise/ref refiners,
-GQA attention and sandwich-norm tanh-gated modulation. One batching
-divergence from the reference: its uncond predict drops the ref tokens from
-the sequence entirely (``magcache_utils.py:489-500``); the batched-lane
-design keeps the layout static and zeroes the uncond lane's ref latents
-instead (documented approximation — lane-separate execution would restore
-exact parity at the cost of a second compiled program).
+GQA attention and sandwich-norm tanh-gated modulation. Edit mode matches the
+reference's forward set exactly: its uncond predict drops the ref tokens from
+the sequence entirely (``magcache_utils.py:489-500``), so here the cond+ref
+lanes batch through the with-refs program while the uncond lane runs a second
+ref-free program — two compiled trunks, three caches, one scan (this also
+banks the uncond lane's shorter-sequence FLOPs like the reference).
 """
 
 from __future__ import annotations
@@ -34,8 +34,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from magcache_tpu.core.magcache import MagCacheConfig, prepare_mag_ratios
-from magcache_tpu.core.sampler import sample_euler
+from magcache_tpu.core.magcache import (MagCacheConfig,
+                                        compute_skip_schedule,
+                                        prepare_mag_ratios)
+from magcache_tpu.core.sampler import (_cached_trunk, _init_cache,
+                                       sample_euler)
 from magcache_tpu.data import get_calibrated_ratios
 from magcache_tpu.models.omnigen2 import (
     OmniGen2Config,
@@ -119,6 +122,11 @@ class OmniGen2Pipeline(BasePipeline):
         self.n_refs = config.ref_images if config.mode == "edit" else 0
         self.core = make_omnigen2_core(self.model_cfg, config.txt_len,
                                        self.grid, ref_images=self.n_refs)
+        # edit mode: the uncond forward has no ref tokens in its sequence
+        # (magcache_utils.py:489-500) — a second, ref-free program
+        self.core_noref = (make_omnigen2_core(self.model_cfg, config.txt_len,
+                                              self.grid, ref_images=0)
+                           if self.n_refs else None)
         self.text_encoder = text_encoder or MockTextEncoder(
             config.txt_len, self.model_cfg.text_dim, scale=0.5)
         key = key if key is not None else jax.random.PRNGKey(0)
@@ -171,11 +179,60 @@ class OmniGen2Pipeline(BasePipeline):
                 K=c.magcache_K, retention_ratio=c.retention_ratio)
         core, lanes, combine = self.core, self.lanes, self._combine()
 
-        def fn(params, x, cond):
-            return sample_euler(core, params, x, cond,
-                                timesteps=sch.timesteps, dts=np.diff(sch.sigmas),
-                                cache_cfg=cache_cfg, lanes=lanes,
-                                combine_fn=combine)
+        if self.config.mode == "edit":
+            core_nor = self.core_noref
+            n = c.num_inference_steps
+            if cache_cfg is not None:
+                mask = compute_skip_schedule(cache_cfg).reshape(n, 3)
+            else:
+                mask = np.zeros((n, 3), bool)
+            # lane order (cond, uncond, ref): with-refs program runs rows
+            # [cond, ref]; the ref-free program runs [uncond]
+            skips_a = jnp.asarray(mask[:, [0, 2]])
+            skips_b = jnp.asarray(mask[:, 1:2])
+            ts = jnp.asarray(sch.timesteps.astype(np.float32))
+            dts = jnp.asarray(np.diff(sch.sigmas).astype(np.float32))
+
+            def fn(params, x, cond):
+                cond_a = {"txt": cond["txt"][jnp.asarray([0, 2])],
+                          "ref": jnp.concatenate([cond["ref"]] * 2, axis=0)}
+                cond_b = {"txt": cond["txt"][1:2]}
+                x2 = jnp.concatenate([x, x], axis=0)
+                t0 = ts[:1]
+                cache_a = _init_cache(core, params, x2, t0, cond_a)
+                cache_b = _init_cache(core_nor, params, x, t0, cond_b)
+                rows_a = jnp.asarray([0, 1])
+                rows_b = jnp.asarray([0])
+
+                def body(carry, step_in):
+                    x, ca, cb = carry
+                    t, dt, sa, sb, idx = step_in
+                    x2 = jnp.concatenate([x, x], axis=0)
+                    tv2 = jnp.full((2,), t, jnp.float32)
+                    ha, ctxa = core.prepare(params, x2, tv2, cond_a)
+                    ha, ca, _ = _cached_trunk(core, params, ha, ctxa, ca,
+                                              sa, rows_a, partial_lanes=2)
+                    outa = core.head(params, ha, ctxa)
+                    tv1 = jnp.full((1,), t, jnp.float32)
+                    hb, ctxb = core_nor.prepare(params, x, tv1, cond_b)
+                    hb, cb, _ = _cached_trunk(core_nor, params, hb, ctxb, cb,
+                                              sb, rows_b)
+                    outb = core_nor.head(params, hb, ctxb)
+                    e = combine((outa[0:1], outb, outa[1:2]), idx)
+                    x = x + dt.astype(x.dtype) * e.astype(x.dtype)
+                    return (x, ca, cb), None
+
+                (x_fin, _, _), _ = jax.lax.scan(
+                    body, (x, cache_a, cache_b),
+                    (ts, dts, skips_a, skips_b, jnp.arange(n)))
+                return x_fin
+        else:
+            def fn(params, x, cond):
+                return sample_euler(core, params, x, cond,
+                                    timesteps=sch.timesteps,
+                                    dts=np.diff(sch.sigmas),
+                                    cache_cfg=cache_cfg, lanes=lanes,
+                                    combine_fn=combine)
 
         jitted = jax.jit(fn)
         self._jit_cache[k] = jitted
@@ -195,11 +252,9 @@ class OmniGen2Pipeline(BasePipeline):
             if ref_latents is None:
                 ref_latents = jnp.zeros(
                     (1, self.n_refs, gh * pp, gw * pp, c_in), jnp.float32)
-            # lanes (cond, uncond, ref): the uncond lane sees zeroed refs
-            # (see module docstring on this approximation)
-            refs = jnp.concatenate(
-                [ref_latents, jnp.zeros_like(ref_latents), ref_latents], axis=0)
-            cond["ref"] = refs
+            # one copy: the split-lane sampler batches it onto the cond and
+            # ref rows; the uncond forward carries no ref tokens at all
+            cond["ref"] = ref_latents
         x0 = jax.random.normal(set_seed(seed),
                                (1, gh * pp, gw * pp, c_in), jnp.float32)
         latents = self._sample_fn()(self.params, x0, cond)
