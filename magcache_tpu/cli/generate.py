@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--magcache_K", type=int, default=None)
     p.add_argument("--retention_ratio", type=float, default=None)
     p.add_argument("--magcache_calibration", action="store_true")
+    p.add_argument("--enable_taylorseer", action="store_true",
+                   help="TaylorSeer forecasting comparator (omnigen2 task; "
+                        "mutually exclusive with --use_magcache, reference "
+                        "MagCache4OmniGen2/inference.py:167-212)")
     p.add_argument("--mag_ratios_json", default=None,
                    help="path to a calibration-mode *_mag_ratio.json; its "
                         "ratios replace the preset's published array")
@@ -306,8 +310,14 @@ def _omnigen2_pipeline(args):
         OmniGen2Pipeline, OmniGen2PipelineConfig)
     kw = dict(mode="t2i" if args.image is None else "edit",
               num_inference_steps=args.sample_steps or 50,
-              use_magcache=args.use_magcache, dtype=args.dtype,
-              tiny=args.tiny)
+              use_magcache=args.use_magcache,
+              enable_taylorseer=getattr(args, "enable_taylorseer", False),
+              dtype=args.dtype, tiny=args.tiny)
+    if kw["enable_taylorseer"] and kw["use_magcache"]:
+        # reference warns and prefers taylorseer (inference.py:208-212)
+        print("WARNING: --enable_taylorseer and --use_magcache are mutually "
+              "exclusive; --use_magcache will be ignored.")
+        kw["use_magcache"] = False
     if args.magcache_thresh is not None:
         kw["magcache_thresh"] = args.magcache_thresh
     if args.magcache_K is not None:
@@ -414,7 +424,13 @@ def main(argv=None):
     E = args.magcache_thresh if args.magcache_thresh is not None else "def"
     K = args.magcache_K if args.magcache_K is not None else "def"
     R = args.retention_ratio if args.retention_ratio is not None else "def"
-    tag = f"magcache_E{E}_K{K}_R{R}" if args.use_magcache else "full"
+    taylorseer = getattr(args, "enable_taylorseer", False)
+    if taylorseer:
+        tag = "taylorseer"
+    elif args.use_magcache and not taylorseer:
+        tag = f"magcache_E{E}_K{K}_R{R}"
+    else:
+        tag = "full"
     save_file = args.save_file or f"{args.task.replace('/', '_')}_{tag}_seed{args.base_seed}"
 
     if out.calibration is not None:
@@ -428,8 +444,10 @@ def main(argv=None):
         lat = np.asarray(out.latents)
         np.save(save_file + "_latents.npy", lat)
         print(f"latents {lat.shape} -> {save_file}_latents.npy")
+    mode = ("taylorseer" if taylorseer
+            else ("magcache" if args.use_magcache else "full"))
     print(f"done: {steps} steps in {dt:.1f}s "
-          f"(sampling {out.timings['total_s']:.1f}s) magcache={args.use_magcache}")
+          f"(sampling {out.timings['total_s']:.1f}s) mode={mode}")
 
 
 if __name__ == "__main__":

@@ -94,11 +94,24 @@ class OmniGen2PipelineConfig:
     magcache_thresh: float = 0.05
     magcache_K: int = 3
     retention_ratio: float = 0.2
+    # TaylorSeer comparator — the reference's third, mutually-exclusive switch
+    # (inference.py:167-212; magcache_utils.py:424-521)
+    enable_taylorseer: bool = False
+    taylorseer_interval: int = 4
+    taylorseer_order: int = 2
+    taylorseer_warmup: int = 3
     dtype: str = "float32"
     tiny: bool = False
     ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
 
     ref_images: int = 1                # edit mode: number of reference images
+
+    def validate(self) -> "OmniGen2PipelineConfig":
+        if self.enable_taylorseer and self.use_magcache:
+            raise ValueError(
+                "enable_taylorseer and use_magcache are mutually exclusive "
+                "(reference inference.py:208-212)")
+        return self
 
     def model_config(self) -> OmniGen2Config:
         if self.tiny:
@@ -115,7 +128,7 @@ class OmniGen2Pipeline(BasePipeline):
     def __init__(self, config: OmniGen2PipelineConfig,
                  text_encoder: Optional[TextEncoder] = None, params=None,
                  key: Optional[jax.Array] = None):
-        self.config = config
+        self.config = config.validate()
         self.model_cfg = config.model_config()
         p = self.model_cfg.patch
         self.grid = (config.height // 8 // p, config.width // 8 // p)
@@ -167,7 +180,7 @@ class OmniGen2Pipeline(BasePipeline):
         return fn
 
     def _sample_fn(self):
-        k = (self.config.use_magcache,)
+        k = (self.config.use_magcache, self.config.enable_taylorseer)
         if k in self._jit_cache:
             return self._jit_cache[k]
         c = self.config
@@ -179,7 +192,9 @@ class OmniGen2Pipeline(BasePipeline):
                 K=c.magcache_K, retention_ratio=c.retention_ratio)
         core, lanes, combine = self.core, self.lanes, self._combine()
 
-        if self.config.mode == "edit":
+        if c.enable_taylorseer:
+            fn = self._taylorseer_fn(sch)
+        elif self.config.mode == "edit":
             core_nor = self.core_noref
             n = c.num_inference_steps
             if cache_cfg is not None:
@@ -237,6 +252,87 @@ class OmniGen2Pipeline(BasePipeline):
         jitted = jax.jit(fn)
         self._jit_cache[k] = jitted
         return jitted
+
+    def _taylorseer_fn(self, sch):
+        """TaylorSeer sampling (reference's third switch). t2i rides the
+        generic N-lane sampler; edit keeps the split-lane structure (uncond
+        runs the ref-free program) with one derivative stack per program —
+        the reference's three per-branch cache_dic objects driven by one step
+        counter (magcache_utils.py:446-521) collapse onto the two programs'
+        stacked lanes, all branches sharing the interval schedule."""
+        from magcache_tpu.core.taylorseer import (TaylorSeerConfig,
+                                                  sample_euler_taylorseer,
+                                                  taylor_forecast,
+                                                  taylor_update,
+                                                  taylorseer_schedule)
+        c = self.config
+        n = c.num_inference_steps
+        ts_cfg = TaylorSeerConfig(num_steps=n, interval=c.taylorseer_interval,
+                                  order=c.taylorseer_order,
+                                  warmup=c.taylorseer_warmup)
+        core, lanes, combine = self.core, self.lanes, self._combine()
+        if c.mode != "edit":
+            def fn(params, x, cond):
+                return sample_euler_taylorseer(
+                    core, params, x, cond, timesteps=sch.timesteps,
+                    dts=np.diff(sch.sigmas), ts_cfg=ts_cfg, lanes=lanes,
+                    combine_fn=combine)
+            return fn
+
+        core_nor = self.core_noref
+        order = ts_cfg.order
+        fresh, x_fc, upd, hist = taylorseer_schedule(ts_cfg)
+        ts = jnp.asarray(sch.timesteps.astype(np.float32))
+        dts = jnp.asarray(np.diff(sch.sigmas).astype(np.float32))
+
+        def fn(params, x, cond):
+            cond_a = {"txt": cond["txt"][jnp.asarray([0, 2])],
+                      "ref": jnp.concatenate([cond["ref"]] * 2, axis=0)}
+            cond_b = {"txt": cond["txt"][1:2]}
+            x2 = jnp.concatenate([x, x], axis=0)
+            t0 = ts[:1]
+            ra = _init_cache(core, params, x2, t0, cond_a)
+            rb = _init_cache(core_nor, params, x, t0, cond_b)
+            da0 = jnp.zeros((order + 1,) + ra.shape, ra.dtype)
+            db0 = jnp.zeros((order + 1,) + rb.shape, rb.dtype)
+
+            def body(carry, step_in):
+                x, da, db = carry
+                t, dt, isf, xf, ud, hs, idx = step_in
+                x2 = jnp.concatenate([x, x], axis=0)
+                ha, ctxa = core.prepare(params, x2,
+                                        jnp.full((2,), t, jnp.float32), cond_a)
+                hb, ctxb = core_nor.prepare(params, x,
+                                            jnp.full((1,), t, jnp.float32),
+                                            cond_b)
+
+                def do_fresh(args):
+                    ha, hb, da, db = args
+                    ta = core.trunk(params, ha, ctxa)
+                    tb = core_nor.trunk(params, hb, ctxb)
+                    return (ta, tb, taylor_update(da, ta - ha, ud, hs, order),
+                            taylor_update(db, tb - hb, ud, hs, order))
+
+                def do_forecast(args):
+                    ha, hb, da, db = args
+                    return (ha + taylor_forecast(da, xf, order),
+                            hb + taylor_forecast(db, xf, order), da, db)
+
+                ha2, hb2, da, db = jax.lax.cond(isf, do_fresh, do_forecast,
+                                                (ha, hb, da, db))
+                outa = core.head(params, ha2, ctxa)
+                outb = core_nor.head(params, hb2, ctxb)
+                e = combine((outa[0:1], outb, outa[1:2]), idx)
+                x = x + dt.astype(x.dtype) * e.astype(x.dtype)
+                return (x, da, db), None
+
+            (x_fin, _, _), _ = jax.lax.scan(
+                body, (x, da0, db0),
+                (ts, dts, jnp.asarray(fresh), jnp.asarray(x_fc),
+                 jnp.asarray(upd), jnp.asarray(hist), jnp.arange(n)))
+            return x_fin
+
+        return fn
 
     def generate(self, prompt: str, negative_prompt: str = "",
                  seed: int = 0, ref_latents=None) -> PipelineOutput:
