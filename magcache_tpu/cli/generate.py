@@ -64,6 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--magcache_K", type=int, default=None)
     p.add_argument("--retention_ratio", type=float, default=None)
     p.add_argument("--magcache_calibration", action="store_true")
+    p.add_argument("--enable_teacache", action="store_true",
+                   help="TeaCache comparator on Wan tasks (per-lane even/odd "
+                        "accumulators, reference wan_teacache.py:533-590)")
+    p.add_argument("--teacache_thresh", type=float, default=0.2,
+                   help="0.1 ~ 2.0x, 0.2 ~ 3.0x (wan_teacache.py:749-752)")
+    p.add_argument("--use_ret_steps", action="store_true",
+                   help="retention-steps TeaCache variant: e0 signal + "
+                        "longer forced warmup (wan_teacache.py:759-762)")
     p.add_argument("--enable_taylorseer", action="store_true",
                    help="TaylorSeer forecasting comparator (omnigen2 task; "
                         "mutually exclusive with --use_magcache, reference "
@@ -123,6 +131,9 @@ def _wan_pipeline(args):
         retention_ratio=args.retention_ratio,
         magcache_calibration=args.magcache_calibration,
         mag_ratios_override=_load_ratios(args),
+        enable_teacache=getattr(args, "enable_teacache", False),
+        teacache_thresh=getattr(args, "teacache_thresh", 0.2),
+        use_ret_steps=getattr(args, "use_ret_steps", False),
         dtype=args.dtype, dp=args.dp, sp=args.sp, tp=args.tp,
         ckpt_dir=args.ckpt_dir, clip_ckpt=args.clip_ckpt, tiny=args.tiny,
     )
@@ -425,9 +436,13 @@ def main(argv=None):
     K = args.magcache_K if args.magcache_K is not None else "def"
     R = args.retention_ratio if args.retention_ratio is not None else "def"
     taylorseer = getattr(args, "enable_taylorseer", False)
+    teacache = getattr(args, "enable_teacache", False)
     if taylorseer:
         tag = "taylorseer"
-    elif args.use_magcache and not taylorseer:
+    elif teacache:
+        tag = f"teacache_T{args.teacache_thresh}" + (
+            "_ret" if getattr(args, "use_ret_steps", False) else "")
+    elif args.use_magcache:
         tag = f"magcache_E{E}_K{K}_R{R}"
     else:
         tag = "full"
@@ -444,8 +459,8 @@ def main(argv=None):
         lat = np.asarray(out.latents)
         np.save(save_file + "_latents.npy", lat)
         print(f"latents {lat.shape} -> {save_file}_latents.npy")
-    mode = ("taylorseer" if taylorseer
-            else ("magcache" if args.use_magcache else "full"))
+    mode = ("taylorseer" if taylorseer else "teacache" if teacache
+            else "magcache" if args.use_magcache else "full")
     print(f"done: {steps} steps in {dt:.1f}s "
           f"(sampling {out.timings['total_s']:.1f}s) mode={mode}")
 

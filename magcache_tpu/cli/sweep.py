@@ -17,7 +17,10 @@ import json
 
 def build_parser():
     p = argparse.ArgumentParser("magcache-tpu sweep")
-    p.add_argument("--variant", default="magcache", choices=["full", "magcache"])
+    p.add_argument("--variant", default="magcache",
+                   choices=["full", "magcache", "teacache"])
+    p.add_argument("--teacache_thresh", type=float, default=0.2)
+    p.add_argument("--use_ret_steps", action="store_true")
     p.add_argument("--prompts", default=None, help="txt file, one prompt/line")
     p.add_argument("--start_index", type=int, default=0)
     p.add_argument("--end_index", type=int, default=None)
@@ -59,6 +62,7 @@ def main(argv=None):
         size=(w, h), frame_num=args.frame_num, sample_steps=args.sample_steps,
         sample_solver=args.sample_solver, magcache_thresh=args.magcache_thresh,
         magcache_K=args.magcache_K, retention_ratio=args.retention_ratio,
+        teacache_thresh=args.teacache_thresh, use_ret_steps=args.use_ret_steps,
         dp=args.dp, sp=args.sp, tp=args.tp, dtype=args.dtype,
         ckpt_dir=args.ckpt_dir, tiny=args.tiny)
     summary = run_sweep(cfg)

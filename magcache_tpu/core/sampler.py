@@ -382,6 +382,7 @@ def unipc_executor(
     skip_mask_override: Optional[jnp.ndarray] = None,
     batch: int = 1,
     calibrate: bool = False,
+    dynamic_skip=None,
 ):
     """Build the UniPC step machinery without committing to a dispatch shape.
 
@@ -398,6 +399,13 @@ def unipc_executor(
     ``magcache_calibration`` into the same unipc/dpm++ trajectory; recording
     from a different solver's trajectory would yield systematically-off
     mag_ratios).
+
+    ``dynamic_skip`` (e.g. `core.teacache.TeaCacheLanes`): an
+    activation-dependent per-lane skip policy. The static ``skips`` step
+    input then carries the policy's *forced-compute* mask instead, and each
+    step computes its skip bits in-graph from the policy's carried state —
+    the TeaCache path of the reference Wan eval (``wan_teacache.py:533-590``)
+    under the same UniPC trajectory. Mutually exclusive with ``cache_cfg``.
     """
     if calibrate:
         cache_cfg = None
@@ -410,6 +418,15 @@ def unipc_executor(
     hist = max(2, order)
     skip_mask, n_lanes, lane_of_row, partial_lanes = _lane_setup(
         cache_cfg, n, guidance_scale, lanes, combine_fn, batch)
+    if dynamic_skip is not None:
+        assert cache_cfg is None and skip_mask_override is None and not calibrate
+        assert core.init_state is None, "dynamic skip needs a stateless trunk"
+        L = dynamic_skip.lanes
+        assert L == n_lanes, (L, n_lanes)
+        skip_mask = dynamic_skip.forced_mask(n)       # forced-compute bits
+        lane_of_row = jnp.asarray(np.arange(batch * n_lanes) // batch,
+                                  jnp.int32)
+        partial_lanes = L if L > 1 else None
 
     # Host-precomputed per-step coefficient tables (padded to fixed width).
     p_cx = np.zeros(n); p_cm0 = np.zeros(n); p_w = np.zeros((n, hist))      # pairs m_hist[l-1] = m_{i-l}
@@ -431,6 +448,13 @@ def unipc_executor(
         x_l0 = _stack_lanes(x_init, n_lanes)
         cache0 = _init_cache(core, params, x_l0,
                              jnp.asarray(schedule.timesteps[:1]), cond)
+        if dynamic_skip is not None:
+            tvec0 = jnp.zeros((x_l0.shape[0],), jnp.float32)
+            h_sd, ctx_sd = jax.eval_shape(core.prepare, params, x_l0, tvec0,
+                                          cond)
+            sig_sd = jax.eval_shape(dynamic_skip.signal_fn, params, h_sd,
+                                    ctx_sd)
+            cache0 = (cache0, dynamic_skip.init_state(sig_sd))
         m0 = jnp.zeros_like(x_init)
         m_hist0 = jnp.stack([m0] * hist)
         return (x_init, x_init, m_hist0, cache0)
@@ -468,6 +492,14 @@ def unipc_executor(
                     for l in range(n_lanes)
                 ])  # [lanes, 3]
                 cache = resid
+            elif dynamic_skip is not None:
+                cache, tstate = cache
+                skip_now, tstate = dynamic_skip.decide(params, hidden, ctx,
+                                                       tstate, skip_bits)
+                h_out, cache, _ = _cached_trunk(core, params, hidden, ctx,
+                                                cache, skip_now, lane_of_row,
+                                                partial_lanes=partial_lanes)
+                cache = (cache, tstate)
             else:
                 h_out, cache, _ = _cached_trunk(core, params, hidden, ctx, cache,
                                                 skip_bits, lane_of_row,
@@ -529,13 +561,15 @@ def sample_unipc(
     lanes: Optional[int] = None,
     combine_fn: Optional[Callable] = None,
     skip_mask_override: Optional[jnp.ndarray] = None,
+    dynamic_skip=None,
 ) -> jnp.ndarray:
     """UniPC predictor-corrector flow sampler with MagCache (single-dispatch
     `lax.scan` over `unipc_executor`'s step machinery)."""
     init_carry, step_in, body = unipc_executor(
         core, schedule, cache_cfg=cache_cfg, guidance_scale=guidance_scale,
         lanes=lanes, combine_fn=combine_fn,
-        skip_mask_override=skip_mask_override, batch=x_init.shape[0])
+        skip_mask_override=skip_mask_override, batch=x_init.shape[0],
+        dynamic_skip=dynamic_skip)
     carry0 = init_carry(params, x_init, cond)
     (x_fin, _, _, _), _ = jax.lax.scan(body(params, cond), carry0, step_in)
     # after the final step the "predictor" output for sigma=0 is x_fin; the

@@ -23,11 +23,110 @@ import numpy as np
 
 from magcache_tpu.core.sampler import DiTCore, _cfg_combine, _stack_lanes
 
-__all__ = ["TeaCacheConfig", "sample_euler_teacache", "OPEN_SORA_TEA_COEFFS"]
+__all__ = ["TeaCacheConfig", "sample_euler_teacache", "OPEN_SORA_TEA_COEFFS",
+           "TeaCacheLanes", "wan_teacache_settings", "WAN_TEA_COEFFS"]
 
 # rescale polynomial fitted for Open-Sora (opensora.py:100)
 OPEN_SORA_TEA_COEFFS = (2.17546007e2, -1.18329252e2, 2.68662585e1,
                         -4.59364272e-2, 4.84426240e-2)
+
+# Published Wan rescale polynomials (trained constants, carried as data like
+# the MagCache ratios). Keyed (model_key, use_ret_steps); source:
+# ``experiments/Wan2.1_EVAL/wan_teacache.py:913-928`` (t2v, keyed by ckpt
+# name) and ``:1025-1038`` (i2v, keyed by resolution).
+WAN_TEA_COEFFS = {
+    ("t2v-1.3B", True): (-5.21862437e4, 9.23041404e3, -5.28275948e2,
+                         1.36987616e1, -4.99875664e-2),
+    ("t2v-14B", True): (-3.03318725e5, 4.90537029e4, -2.65530556e3,
+                        5.87365115e1, -3.15583525e-1),
+    ("t2v-1.3B", False): (2.39676752e3, -1.31110545e3, 2.01331979e2,
+                          -8.29855975e0, 1.37887774e-1),
+    ("t2v-14B", False): (-5784.54975374, 5449.50911966, -1811.16591783,
+                         256.27178429, -13.02252404),
+    ("i2v-480P", True): (2.57151496e5, -3.54229917e4, 1.40286849e3,
+                         -1.35890334e1, 1.32517977e-1),
+    ("i2v-720P", True): (8.10705460e3, 2.13393892e3, -3.72934672e2,
+                         1.66203073e1, -4.17769401e-2),
+    ("i2v-480P", False): (-3.02331670e2, 2.23948934e2, -5.25463970e1,
+                          5.87348440e0, -2.01973289e-1),
+    ("i2v-720P", False): (-114.36346466, 65.26524496, -18.82220707,
+                          4.91518089, -0.23412683),
+}
+
+
+def wan_teacache_settings(model_key: str, sample_steps: int,
+                          use_ret_steps: bool):
+    """(coefficients, ret_steps, cutoff_steps) in *forward counts* — the
+    reference's cnt units (2 forwards per scheduler step).
+
+    use_ret_steps=True: signal = e0 (6-way modulation), ret 10*2 for t2v /
+    5*2 for i2v, no cutoff (``wan_teacache.py:913-921, 1025-1031``);
+    False: signal = e (time embedding), ret 1*2, cutoff 2n-2 (``:922-928``).
+    """
+    coeffs = WAN_TEA_COEFFS[(model_key, use_ret_steps)]
+    if use_ret_steps:
+        ret = (10 if model_key.startswith("t2v") else 5) * 2
+        cutoff = sample_steps * 2
+    else:
+        ret = 1 * 2
+        cutoff = sample_steps * 2 - 2
+    return coeffs, ret, cutoff
+
+
+@dataclasses.dataclass(frozen=True)
+class TeaCacheLanes:
+    """Per-lane TeaCache decision state for the generic samplers — the
+    reference Wan eval's even/odd (cond/uncond) design: each CFG lane keeps
+    its own previous-signal, accumulator, and residual, and decides
+    independently (``wan_teacache.py:533-590``).
+
+    Plugs into ``unipc_executor(dynamic_skip=...)``: the decision depends on
+    activations, so it runs in-graph; the forced-compute window
+    (cnt < ret_steps or cnt >= cutoff_steps) is static and precomputes on the
+    host (`forced_mask`). ``signal_fn(params, hidden, ctx) -> [rows, ...]``
+    extracts the modulated input (Wan: ctx["e0"] when use_ret_steps else
+    ctx["e"], ``wan_teacache.py:534``).
+    """
+
+    thresh: float
+    coefficients: Tuple[float, ...]
+    ret_steps: int                      # forward-count units (2 per step)
+    cutoff_steps: int
+    lanes: int = 2
+    signal_fn: Optional[Callable] = None
+
+    def forced_mask(self, num_steps: int) -> np.ndarray:
+        """bool[num_steps, lanes]: True = always compute (window edges)."""
+        fwd = np.arange(num_steps)[:, None] * self.lanes + np.arange(self.lanes)
+        return (fwd < self.ret_steps) | (fwd >= self.cutoff_steps)
+
+    def init_state(self, sig_sd) -> tuple:
+        """Zero state from the signal's ShapeDtypeStruct: (prev_signal,
+        acc[lanes]). prev starts as zeros — step 0 is inside the forced
+        window by construction (ret_steps >= 2), so the first distance
+        against zeros is never consumed."""
+        return (jnp.zeros(sig_sd.shape, sig_sd.dtype),
+                jnp.zeros((self.lanes,), jnp.float32))
+
+    def decide(self, params, hidden, ctx, state, forced_bits):
+        """(skip_bits[lanes], new_state) — the reference accumulator update:
+        on forced or over-threshold steps the accumulator resets to 0; under
+        threshold it keeps the running sum and the lane skips
+        (``wan_teacache.py:538-564``)."""
+        prev, acc = state
+        sig = self.signal_fn(params, hidden, ctx)
+        rows = sig.shape[0]
+        per_lane = rows // self.lanes
+        coeffs = jnp.asarray(np.asarray(self.coefficients, np.float32))
+        sigs = sig.reshape((self.lanes, per_lane) + sig.shape[1:])
+        prevs = prev.reshape((self.lanes, per_lane) + sig.shape[1:])
+        axes = tuple(range(1, sigs.ndim))
+        rel = (jnp.mean(jnp.abs(sigs - prevs), axis=axes)
+               / jnp.maximum(jnp.mean(jnp.abs(prevs), axis=axes), 1e-8))
+        acc_try = acc + jnp.polyval(coeffs, rel.astype(jnp.float32))
+        skip = (~forced_bits) & (acc_try < self.thresh)
+        acc_new = jnp.where(skip, acc_try, 0.0)
+        return skip, (sig, acc_new)
 
 
 @dataclasses.dataclass(frozen=True)

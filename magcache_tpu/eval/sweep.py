@@ -52,7 +52,7 @@ def load_prompts(path: Optional[str]) -> List[str]:
 
 @dataclasses.dataclass
 class SweepConfig:
-    variant: str = "magcache"            # full | magcache
+    variant: str = "magcache"            # full | magcache | teacache
     prompts_file: Optional[str] = None
     start_index: int = 0
     end_index: Optional[int] = None      # exclusive; None = all
@@ -67,6 +67,8 @@ class SweepConfig:
     magcache_thresh: Optional[float] = None
     magcache_K: Optional[int] = None
     retention_ratio: Optional[float] = None
+    teacache_thresh: float = 0.2         # teacache variant (wan_teacache.py)
+    use_ret_steps: bool = False
     dp: int = 1
     sp: int = 1
     tp: int = 1
@@ -97,6 +99,9 @@ def run_sweep(cfg: SweepConfig, pipeline=None) -> dict:
             model=cfg.model, size=tuple(cfg.size), frame_num=cfg.frame_num,
             sample_steps=cfg.sample_steps, sample_solver=cfg.sample_solver,
             use_magcache=(cfg.variant == "magcache"),
+            enable_teacache=(cfg.variant == "teacache"),
+            teacache_thresh=cfg.teacache_thresh,
+            use_ret_steps=cfg.use_ret_steps,
             magcache_thresh=cfg.magcache_thresh, magcache_K=cfg.magcache_K,
             retention_ratio=cfg.retention_ratio, dtype=cfg.dtype,
             dp=cfg.dp, sp=cfg.sp, tp=cfg.tp, ckpt_dir=cfg.ckpt_dir,

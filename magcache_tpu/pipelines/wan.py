@@ -73,6 +73,12 @@ class WanPipelineConfig:
     magcache_K: Optional[int] = None
     retention_ratio: Optional[float] = None
     magcache_calibration: bool = False
+    # TeaCache comparator — the reference Wan eval's per-lane (even/odd)
+    # activation-gated cache (wan_teacache.py:533-590,899-928); mutually
+    # exclusive with use_magcache, unipc solver only
+    enable_teacache: bool = False
+    teacache_thresh: float = 0.2
+    use_ret_steps: bool = False
     dtype: str = "bfloat16"
     # parallel plan (tested on virtual CPU meshes; maps to ICI on real pods)
     dp: int = 1
@@ -246,14 +252,54 @@ class WanPipeline(BasePipeline):
         self._jit_cache[key] = fn
         return fn
 
+    def _teacache_lanes(self):
+        """Build the per-lane TeaCache policy from the published Wan settings
+        (coefficients keyed by model/resolution, wan_teacache.py:913-928)."""
+        from magcache_tpu.core.teacache import (TeaCacheLanes,
+                                                wan_teacache_settings)
+        c = self.config
+        if c.task == "i2v":
+            model_key = "i2v-720P" if c.size[1] >= 720 else "i2v-480P"
+        else:
+            model_key = "t2v-14B" if "14B" in c.model else "t2v-1.3B"
+        coeffs, ret, cutoff = wan_teacache_settings(
+            model_key, c.sample_steps, c.use_ret_steps)
+        # signal: e0 (6-way modulation) with ret steps, else raw time embed e
+        # (wan_teacache.py:534: modulated_inp = e0 if use_ref_steps else e)
+        if c.use_ret_steps:
+            signal = lambda p, h, ctx: ctx["e0"]
+        else:
+            signal = lambda p, h, ctx: ctx["e"]
+        return TeaCacheLanes(thresh=c.teacache_thresh, coefficients=coeffs,
+                             ret_steps=ret, cutoff_steps=cutoff, lanes=2,
+                             signal_fn=signal)
+
     def _sample_fn(self, calibrate: bool):
-        key = ("cal" if calibrate else "gen", self.config.use_magcache)
+        key = ("cal" if calibrate else "gen", self.config.use_magcache,
+               self.config.enable_teacache)
         if key in self._jit_cache:
             return self._jit_cache[key]
         sch = self._schedule()
         cache_cfg = None if calibrate else self._cache_cfg(sch)
         g = self.config.guide_scale
         core = self.core
+        if self.config.enable_teacache and not calibrate:
+            if self.config.use_magcache:
+                raise ValueError("enable_teacache and use_magcache are "
+                                 "mutually exclusive")
+            if self.config.sample_solver != "unipc":
+                raise ValueError("Wan TeaCache rides the UniPC trajectory "
+                                 "(reference eval solver); set "
+                                 "sample_solver='unipc'")
+            tea = self._teacache_lanes()
+
+            def fn(params, x, cond):
+                return sample_unipc(core, params, x, cond, sch,
+                                    guidance_scale=g, dynamic_skip=tea)
+
+            jitted = jax.jit(fn)
+            self._jit_cache[key] = jitted
+            return jitted
 
         if calibrate:
             # Calibration must ride the SAME solver trajectory generation uses

@@ -1,0 +1,182 @@
+"""Wan-eval TeaCache tests: the per-lane (even/odd) accumulator design of
+``experiments/Wan2.1_EVAL/wan_teacache.py:533-590`` under the UniPC sampler.
+
+Oracle = an eager transcription of the reference decision loop (cond and
+uncond as two sequential forwards with independent accumulators/residuals)
+driven through the same UniPC coefficients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magcache_tpu.core.sampler import sample_unipc, unipc_executor
+from magcache_tpu.core.teacache import (
+    TeaCacheLanes,
+    WAN_TEA_COEFFS,
+    wan_teacache_settings,
+)
+from magcache_tpu.schedulers.unipc import UniPCSchedule
+from tests.test_sampler import DIM, make_toy
+
+
+def make_tea(steps, thresh, *, ret=2, cutoff=None, coeffs=(0.0, 0.0, 0.0, 1.0, 0.0)):
+    """Toy policy: signal = the trunk input itself, near-identity rescale."""
+    return TeaCacheLanes(
+        thresh=thresh, coefficients=coeffs, ret_steps=ret,
+        cutoff_steps=cutoff if cutoff is not None else steps * 2,
+        lanes=2, signal_fn=lambda p, h, ctx: h)
+
+
+def eager_wan_teacache_unipc(core, params, x, cond, sch, tea, g):
+    """Reference semantics, lane-sequential: each lane decides and caches
+    independently; the UniPC x-update uses the combined output."""
+    n = sch.num_steps
+    coeffs = np.asarray(tea.coefficients)
+    prev = [None, None]
+    acc = [0.0, 0.0]
+    resid = [None, None]
+
+    # reuse the executor's host-side coefficient tables via a full-compute
+    # pass of the same schedule: transcribe the x-update equations directly
+    init_carry, step_in, body = unipc_executor(core, sch, guidance_scale=g,
+                                               batch=x.shape[0])
+    (ts, sig, _, p_cx, p_cm0, p_w, c_cx, c_cm0, c_w, c_wt, uc) = tuple(
+        np.asarray(a) for a in step_in)
+
+    x_pred, x_prev = x, x
+    hist = int(p_w.shape[1])
+    m_hist = [np.zeros_like(np.asarray(x))] * hist
+    for i in range(n):
+        x2 = jnp.concatenate([x_pred, x_pred], axis=0)
+        tvec = jnp.full((2,), ts[i], jnp.float32)
+        hidden, ctx = core.prepare(params, x2, tvec, cond)
+        h_rows = []
+        for lane in range(2):
+            fwd = 2 * i + lane
+            sig_l = np.asarray(hidden[lane:lane + 1])
+            forced = fwd < tea.ret_steps or fwd >= tea.cutoff_steps
+            if forced:
+                should, acc[lane] = True, 0.0
+            else:
+                rel = (np.abs(sig_l - prev[lane]).mean()
+                       / max(np.abs(prev[lane]).mean(), 1e-8))
+                acc[lane] += float(np.polyval(coeffs, rel))
+                if acc[lane] < tea.thresh:
+                    should = False
+                else:
+                    should, acc[lane] = True, 0.0
+            prev[lane] = sig_l
+            if should:
+                h_l = core.trunk(params, hidden[lane:lane + 1],
+                                 jax.tree.map(
+                                     lambda a: a[lane:lane + 1]
+                                     if (hasattr(a, "ndim") and a.ndim >= 1
+                                         and a.shape[0] == 2) else a, ctx))
+                resid[lane] = np.asarray(h_l - hidden[lane:lane + 1])
+                h_rows.append(h_l)
+            else:
+                h_rows.append(hidden[lane:lane + 1] + resid[lane])
+        h = jnp.concatenate(h_rows, axis=0)
+        out = core.head(params, h, ctx)
+        v = np.asarray(out[1:2] + g * (out[0:1] - out[1:2]))
+        m = np.asarray(x_pred) - sig[i] * v
+        x_corr = (c_cx[i] * np.asarray(x_prev) + c_cm0[i] * m_hist[0]
+                  + c_wt[i] * m
+                  + np.tensordot(c_w[i][:-1], np.stack(m_hist[1:]), axes=1))
+        x_cur = x_corr if uc[i] else np.asarray(x_pred)
+        x_next = (p_cx[i] * x_cur + p_cm0[i] * m
+                  + np.tensordot(p_w[i], np.stack(m_hist), axes=1))
+        m_hist = [m] + m_hist[:-1]
+        x_pred, x_prev = jnp.asarray(x_next), jnp.asarray(x_cur)
+    return x_pred
+
+
+@pytest.mark.parametrize("thresh", [0.05, 0.5])
+def test_wan_teacache_matches_eager(thresh):
+    core, params = make_toy(0)
+    steps = 10
+    sch = UniPCSchedule.create(steps, shift=3.0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, DIM)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(2, 4)), jnp.float32)
+    tea = make_tea(steps, thresh, cutoff=steps * 2 - 2)
+    g = 5.0
+
+    ref = eager_wan_teacache_unipc(core, params, x, cond, sch, tea, g)
+    out = sample_unipc(core, params, x, cond, sch, guidance_scale=g,
+                       dynamic_skip=tea)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_wan_teacache_zero_thresh_equals_full():
+    core, params = make_toy(1)
+    steps = 8
+    sch = UniPCSchedule.create(steps, shift=3.0)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, DIM)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(2, 4)), jnp.float32)
+    g = 5.0
+    tea = make_tea(steps, thresh=0.0)  # acc never < 0 -> always compute
+    a = sample_unipc(core, params, x, cond, sch, guidance_scale=g,
+                     dynamic_skip=tea)
+    b = sample_unipc(core, params, x, cond, sch, guidance_scale=g)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_wan_teacache_skips_happen_and_lanes_differ():
+    """With a loose threshold some steps skip; per-lane decisions can differ
+    (the whole point of the even/odd split)."""
+    core, params = make_toy(2)
+    steps = 12
+    sch = UniPCSchedule.create(steps, shift=3.0)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, DIM)), jnp.float32)
+    # strongly asymmetric cond rows -> lane signals diverge
+    cond = jnp.asarray(np.stack([rng.normal(size=4) * 3,
+                                 rng.normal(size=4) * 0.01]), jnp.float32)
+    tea = make_tea(steps, thresh=1e9, cutoff=steps * 2 - 2)
+
+    # instrument: run decide() through the executor by capturing skip counts
+    # indirectly — full vs teacache outputs must differ when skips fire
+    g = 5.0
+    a = sample_unipc(core, params, x, cond, sch, guidance_scale=g,
+                     dynamic_skip=tea)
+    b = sample_unipc(core, params, x, cond, sch, guidance_scale=g)
+    assert not np.allclose(np.asarray(a), np.asarray(b), atol=1e-6), \
+        "giant threshold must cause skips that change the trajectory"
+
+
+def test_wan_settings_table():
+    coeffs, ret, cutoff = wan_teacache_settings("t2v-1.3B", 50, True)
+    assert ret == 20 and cutoff == 100
+    assert coeffs == WAN_TEA_COEFFS[("t2v-1.3B", True)]
+    coeffs, ret, cutoff = wan_teacache_settings("t2v-14B", 50, False)
+    assert ret == 2 and cutoff == 98
+    coeffs, ret, cutoff = wan_teacache_settings("i2v-480P", 40, True)
+    assert ret == 10 and cutoff == 80
+    # forced window mask shape/content
+    tea = TeaCacheLanes(thresh=0.2, coefficients=coeffs, ret_steps=10,
+                        cutoff_steps=80, lanes=2,
+                        signal_fn=lambda p, h, c: h)
+    m = tea.forced_mask(40)
+    assert m.shape == (40, 2)
+    assert m[:5].all() and not m[5:39].any()
+
+
+def test_wan_pipeline_teacache_wiring():
+    from magcache_tpu.pipelines.wan import WanPipeline, WanPipelineConfig
+    cfg = WanPipelineConfig(tiny=True, frame_num=5, size=(64, 64),
+                            sample_steps=6, enable_teacache=True,
+                            teacache_thresh=0.2, dtype="float32")
+    pipe = WanPipeline(cfg)
+    out = pipe.generate("a dog", seed=0)
+    assert np.isfinite(np.asarray(out.latents)).all()
+
+    bad = WanPipelineConfig(tiny=True, frame_num=5, size=(64, 64),
+                            sample_steps=4, enable_teacache=True,
+                            use_magcache=True, dtype="float32")
+    with pytest.raises(ValueError):
+        WanPipeline(bad).generate("x", seed=0)
