@@ -29,7 +29,8 @@ import numpy as np
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("magcache_tpu generate")
     p.add_argument("--task", default="t2v-1.3B",
-                   help="t2v-1.3B | t2v-14B | i2v-14B | ti2v-5B | vace-1.3B | "
+                   help="t2v-1.3B | t2v-14B | i2v-14B | flf2v-14B | ti2v-5B | "
+                        "vace-1.3B | "
                         "flux-dev | flux-kontext-dev | qwen-image | "
                         "hunyuan-720p | framepack | open-sora | "
                         "open-sora-plan | cogvideox | latte | vchitect | "
@@ -49,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="VACE conditioning video .npy [F, H, W, 3] in [0,1]")
     p.add_argument("--src_mask", default=None,
                    help="VACE mask .npy [F, H, W] in [0,1]")
+    p.add_argument("--first_frame", default=None,
+                   help="flf2v: first-frame image (png/jpg/npy)")
+    p.add_argument("--last_frame", default=None,
+                   help="flf2v: last-frame image (png/jpg/npy)")
     p.add_argument("--image", default=None,
                    help="input image for i2v / edit tasks (png/jpg via PIL, "
                         "or .npy [H, W, 3]) — the reference's --image flag")
@@ -109,6 +114,9 @@ def _wan_pipeline(args):
         "t2v-1.3B": "wan2.1-t2v-1.3B", "t2v-14B": "wan2.1-t2v-14B",
         "t2i-14B": "wan2.1-t2v-14B",   # t2i = single-frame t2v (reference task)
         "i2v-14B": "wan2.1-i2v-480p" if h <= 480 else "wan2.1-i2v-720p",
+        # flf2v shares the i2v architecture/size table; the reference CLI runs
+        # it full-compute (no published ratios, magcache_generate.py:1032-1090)
+        "flf2v-14B": "wan2.1-i2v-480p" if h <= 480 else "wan2.1-i2v-720p",
         "ti2v-5B": "wan2.2-ti2v-5B-t2v",
         "t2v-A14B": "wan2.2-t2v-A14B", "i2v-A14B": "wan2.2-i2v-A14B",
         "vace-1.3B": "wan2.1-vace-1.3B", "vace-14B": "wan2.1-vace-14B",
@@ -119,7 +127,8 @@ def _wan_pipeline(args):
         args.frame_num = 1
     cfg = WanPipelineConfig(
         model=preset,
-        task=("i2v" if args.task.startswith("i2v")
+        task=("flf2v" if args.task.startswith("flf2v")
+              else "i2v" if args.task.startswith("i2v")
               else "vace" if args.task.startswith("vace") else "t2v"),
         size=(w, h), frame_num=args.frame_num,
         sample_steps=args.sample_steps or 50,
@@ -399,7 +408,7 @@ def main(argv=None):
     if args.vae_ckpt:
         if not hasattr(pipe, "vae"):
             raise SystemExit(f"--vae_ckpt: task {args.task} has no VAE slot")
-        if args.task.startswith(("t2v", "t2i", "i2v", "ti2v", "vace")):
+        if args.task.startswith(("t2v", "t2i", "i2v", "flf2v", "ti2v", "vace")):
             from magcache_tpu.models.vae_wan import load_wan_vae_checkpoint
             pipe.vae = load_wan_vae_checkpoint(args.vae_ckpt)
         elif args.task.startswith("cogvideox"):
@@ -425,6 +434,10 @@ def main(argv=None):
     gen_kwargs = {}
     if args.image:
         gen_kwargs["image"] = _load_image(args.image)
+    if getattr(args, "first_frame", None):
+        gen_kwargs["image"] = _load_image(args.first_frame)
+    if getattr(args, "last_frame", None):
+        gen_kwargs["last_image"] = _load_image(args.last_frame)
     if args.src_video:
         gen_kwargs["src_video"] = np.load(args.src_video)
     if args.src_mask:

@@ -97,9 +97,13 @@ class WanPipelineConfig:
     def model_config(self) -> WanConfig:
         if self.tiny:
             base = WanConfig.tiny(dtype=self.dtype)
-            if self.task == "i2v":
+            if self.task in ("i2v", "flf2v"):
                 base = dataclasses.replace(base, model_type="i2v",
                                            in_channels=36)
+            if self.task == "flf2v":
+                # both endpoint frames' CLIP tokens ride the context
+                base = dataclasses.replace(base,
+                                           clip_tokens=base.clip_tokens * 2)
             if self.task == "vace":
                 base = dataclasses.replace(
                     base, vace_layers=tuple(range(0, base.layers, 5)))
@@ -107,10 +111,13 @@ class WanPipelineConfig:
         base = WAN_14B if "14B" in self.model else WAN_1_3B
         base = dataclasses.replace(
             base,
-            model_type="i2v" if self.task == "i2v" else "t2v",
-            in_channels=36 if self.task == "i2v" else 16,
+            model_type="i2v" if self.task in ("i2v", "flf2v") else "t2v",
+            in_channels=36 if self.task in ("i2v", "flf2v") else 16,
             dtype=self.dtype,
         )
+        if self.task == "flf2v":
+            base = dataclasses.replace(base,
+                                       clip_tokens=base.clip_tokens * 2)
         if self.task == "vace":
             # hint blocks every 5th layer (VACE-1.3B: 6 of 30; 14B: 8 of 40)
             base = dataclasses.replace(
@@ -351,8 +358,11 @@ class WanPipeline(BasePipeline):
             else:
                 # structural tower (random init) sized to the model's
                 # clip_dim, with image_size chosen so the token count matches
-                # the DiT's expected clip_tokens (257 -> 224px at patch 14)
-                side = int(round((self.model_cfg.clip_tokens - 1) ** 0.5))
+                # the DiT's expected clip_tokens (257 -> 224px at patch 14);
+                # flf2v expects 2 frames' worth, each half-sized
+                per_frame = self.model_cfg.clip_tokens // (
+                    2 if self.config.task == "flf2v" else 1)
+                side = int(round((per_frame - 1) ** 0.5))
                 ccfg = CLIPVisionConfig(
                     dim=dim, layers=2 if self.config.tiny else 32,
                     heads=16 if dim % 16 == 0 else 4,
@@ -411,6 +421,55 @@ class WanPipeline(BasePipeline):
         y = jnp.concatenate([msk, mean.astype(jnp.float32)], axis=-1)
         return y, clip_fea
 
+    def encode_flf(self, first_image, last_image):
+        """First-last-frame conditioning (the reference CLI's ``flf2v`` task,
+        ``magcache_generate.py:1032-1090``; encode flow from the published
+        wan.WanFLF2V): VAE latents of [first; zeros; last], mask marking both
+        endpoint frames, CLIP tokens of BOTH frames concatenated.
+
+        Mask packing follows the Wan 4x-temporal grouping: the first pixel
+        frame is repeat-packed into all 4 mask channels of latent frame 0;
+        the last pixel frame lands in channel 3 of the last latent frame
+        ((F+3) % 4 position of the final 4-group).
+        """
+        import numpy as _np
+
+        from magcache_tpu.models.clip import preprocess_clip_image
+
+        (ccfg, cparams, clip_fn), vae = self._i2v_encoders()
+
+        def prep(image):
+            img = _np.asarray(image)
+            if img.dtype == _np.uint8:
+                img = img.astype(_np.float32) / 255.0
+            return img
+
+        first, last = prep(first_image), prep(last_image)
+        clip_fea = jnp.concatenate(
+            [clip_fn(cparams, preprocess_clip_image(first, ccfg)),
+             clip_fn(cparams, preprocess_clip_image(last, ccfg))], axis=1)
+
+        w, h = self.config.size
+        F = self.config.frame_num
+
+        def pix(img):
+            r = jax.image.resize(jnp.asarray(img, jnp.float32)[None],
+                                 (1, h, w, 3), method="bicubic")
+            return jnp.clip(r, 0.0, 1.0) * 2.0 - 1.0
+        frames = jnp.concatenate(
+            [pix(first)[:, None],
+             jnp.zeros((1, F - 2, h, w, 3), jnp.float32),
+             pix(last)[:, None]], axis=1)
+        mean, _ = vae.encode(frames)
+        lf, lh, lw, _ = self.latent_shape
+        assert mean.shape[1:4] == (lf, lh, lw), (mean.shape, self.latent_shape)
+        msk = jnp.zeros((1, lf, lh, lw, 4), jnp.float32).at[:, 0].set(1.0)
+        # last pixel frame sits at packed slot (F-1)+3 -> channel 3 of the
+        # final latent frame (repeat-interleave of frame 0 shifts by +3)
+        msk = msk.at[:, lf - 1, :, :, 3].set(1.0)
+        y = jnp.concatenate([msk, mean.astype(jnp.float32)], axis=-1)
+        return y, clip_fea
+
     def encode_vace(self, src_video=None, src_mask=None) -> jnp.ndarray:
         """Build the 96-channel VACE conditioning context
         (reference: wan.WanVace.prepare_source + vace_encode_frames/
@@ -449,7 +508,7 @@ class WanPipeline(BasePipeline):
              m_lat], axis=-1)
 
     def generate(self, prompt: str, negative_prompt: str = DEFAULT_NEGATIVE,
-                 seed: int = 0, image=None,
+                 seed: int = 0, image=None, last_image=None,
                  image_latents: Optional[jnp.ndarray] = None,
                  clip_features: Optional[jnp.ndarray] = None,
                  src_video=None, src_mask=None,
@@ -457,6 +516,14 @@ class WanPipeline(BasePipeline):
         t0 = time.time()
         ctx = self.text_encoder([prompt, negative_prompt])  # [2, L, 4096]
         cond = {"context": ctx}
+        if self.config.task == "flf2v":
+            if image_latents is None:
+                assert image is not None and last_image is not None, \
+                    "flf2v needs image= and last_image="
+                image_latents, clip_features = self.encode_flf(image,
+                                                               last_image)
+            cond["y"] = jnp.concatenate([image_latents] * 2, axis=0)
+            cond["clip_fea"] = jnp.concatenate([clip_features] * 2, axis=0)
         if self.config.task == "i2v":
             if image_latents is None:
                 assert image is not None, "i2v needs image= or image_latents="

@@ -88,3 +88,31 @@ def test_wan_i2v_encode_image_and_generate():
 
     out = pipe.generate("a corgi surfing", seed=0, image=img)
     assert np.isfinite(np.asarray(out.latents)).all()
+
+
+def test_wan_flf2v_encode_and_generate():
+    """flf2v (magcache_generate.py:1032-1090): y masks BOTH endpoint frames
+    (first latent frame all 4 packed channels; last latent frame channel 3),
+    clip tokens double up, and generate() consumes first+last images."""
+    from magcache_tpu.pipelines.wan import WanPipeline, WanPipelineConfig
+
+    cfg = WanPipelineConfig(task="flf2v", tiny=True, size=(64, 32),
+                            frame_num=9, sample_steps=2,
+                            sample_solver="euler", dtype="float32")
+    pipe = WanPipeline(cfg)
+    rng = np.random.default_rng(0)
+    first = (rng.random((24, 40, 3)) * 255).astype(np.uint8)
+    last = (rng.random((24, 40, 3)) * 255).astype(np.uint8)
+    y, clip_fea = pipe.encode_flf(first, last)
+    lf, lh, lw, _ = pipe.latent_shape
+    assert y.shape == (1, lf, lh, lw, 20)
+    m = np.asarray(y[..., :4])
+    assert (m[:, 0] == 1).all()
+    assert (m[:, -1, :, :, 3] == 1).all()
+    assert (m[:, 1:-1] == 0).all()
+    assert (m[:, -1, :, :, :3] == 0).all()
+    assert clip_fea.shape[1] == pipe.model_cfg.clip_tokens  # 2x per-frame
+
+    out = pipe.generate("sunrise to sunset", seed=0, image=first,
+                        last_image=last)
+    assert np.isfinite(np.asarray(out.latents)).all()
