@@ -72,8 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--enable_teacache", action="store_true",
                    help="TeaCache comparator on Wan tasks (per-lane even/odd "
                         "accumulators, reference wan_teacache.py:533-590)")
-    p.add_argument("--teacache_thresh", type=float, default=0.2,
-                   help="0.1 ~ 2.0x, 0.2 ~ 3.0x (wan_teacache.py:749-752)")
+    p.add_argument("--teacache_thresh", type=float, default=None,
+                   help="0.1 ~ 2.0x, 0.2 ~ 3.0x; default 0.2 on Wan "
+                        "(wan_teacache.py:749-752), 0.15 on framepack")
     p.add_argument("--use_ret_steps", action="store_true",
                    help="retention-steps TeaCache variant: e0 signal + "
                         "longer forced warmup (wan_teacache.py:759-762)")
@@ -141,7 +142,9 @@ def _wan_pipeline(args):
         magcache_calibration=args.magcache_calibration,
         mag_ratios_override=_load_ratios(args),
         enable_teacache=getattr(args, "enable_teacache", False),
-        teacache_thresh=getattr(args, "teacache_thresh", 0.2),
+        teacache_thresh=(args.teacache_thresh
+                         if getattr(args, "teacache_thresh", None) is not None
+                         else 0.2),
         use_ret_steps=getattr(args, "use_ret_steps", False),
         dtype=args.dtype, dp=args.dp, sp=args.sp, tp=args.tp,
         ckpt_dir=args.ckpt_dir, clip_ckpt=args.clip_ckpt, tiny=args.tiny,
@@ -220,6 +223,8 @@ def _hunyuan_pipeline(args):
         use_magcache=args.use_magcache,
         magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
         retention_ratio=args.retention_ratio,
+        use_teacache=getattr(args, "enable_teacache", False),
+        teacache_thresh=getattr(args, "teacache_thresh", None),
         dtype=args.dtype, tiny=args.tiny, ckpt_dir=args.ckpt_dir)
     return FramePackPipeline(cfg), cfg
 
@@ -453,7 +458,8 @@ def main(argv=None):
     if taylorseer:
         tag = "taylorseer"
     elif teacache:
-        tag = f"teacache_T{args.teacache_thresh}" + (
+        T = args.teacache_thresh if args.teacache_thresh is not None else "def"
+        tag = f"teacache_T{T}" + (
             "_ret" if getattr(args, "use_ret_steps", False) else "")
     elif args.use_magcache:
         tag = f"magcache_E{E}_K{K}_R{R}"

@@ -253,6 +253,7 @@ def sample_euler(
     in_scales: Optional[np.ndarray] = None,
     noise_scales: Optional[np.ndarray] = None,
     noise_key: Optional[jax.Array] = None,
+    dynamic_skip=None,
 ) -> jnp.ndarray:
     """Linear-update sampler: ``x <- cx_i * x + dt_i * v [+ ns_i * z_i]`` per
     step, with MagCache. ``x_coeffs`` defaults to ones (plain Euler);
@@ -272,14 +273,32 @@ def sample_euler(
     CFG is active (``guidance_scale`` or ``combine_fn`` set). ``dts`` is the
     per-step multiplier of the model output (sigma deltas for FlowMatch,
     t-deltas/T for RFLOW).
+
+    ``dynamic_skip`` (e.g. `core.teacache.TeaCacheLanes`): activation-gated
+    per-lane skip policy; the static schedule slot then carries the policy's
+    forced-compute mask and skip bits are computed in-graph each step (same
+    contract as `unipc_executor`). Mutually exclusive with ``cache_cfg``.
     """
     num_steps = len(timesteps)
     batch = x_init.shape[0]
     skip_mask, n_lanes, lane_of_row, partial_lanes = _lane_setup(
         cache_cfg, num_steps, guidance_scale, lanes, combine_fn, batch)
+    if dynamic_skip is not None:
+        assert cache_cfg is None and skip_mask_override is None
+        assert core.init_state is None, "dynamic skip needs a stateless trunk"
+        assert dynamic_skip.lanes == n_lanes, (dynamic_skip.lanes, n_lanes)
+        skip_mask = dynamic_skip.forced_mask(num_steps)
+        lane_of_row = jnp.asarray(np.arange(batch * n_lanes) // batch,
+                                  jnp.int32)
+        partial_lanes = n_lanes if n_lanes > 1 else None
 
     x_l0 = _stack_lanes(x_init, n_lanes)
     cache0 = _init_cache(core, params, x_l0, jnp.asarray(timesteps[:1]), cond)
+    if dynamic_skip is not None:
+        tvec0 = jnp.zeros((x_l0.shape[0],), jnp.float32)
+        h_sd, ctx_sd = jax.eval_shape(core.prepare, params, x_l0, tvec0, cond)
+        sig_sd = jax.eval_shape(dynamic_skip.signal_fn, params, h_sd, ctx_sd)
+        cache0 = (cache0, dynamic_skip.init_state(sig_sd))
 
     ts = jnp.asarray(np.asarray(timesteps, np.float32))
     dts_a = jnp.asarray(np.asarray(dts, np.float32))
@@ -302,9 +321,18 @@ def sample_euler(
         x2 = _stack_lanes(cin.astype(x.dtype) * x, n_lanes)
         tvec = jnp.full((x2.shape[0],), t, jnp.float32)
         hidden, ctx = core.prepare(params, x2, tvec, cond)
-        h_out, cache, state = _cached_trunk(core, params, hidden, ctx, cache,
-                                            skip_bits, lane_of_row, state, idx,
-                                            partial_lanes=partial_lanes)
+        if dynamic_skip is not None:
+            cache, dstate = cache
+            skip_now, dstate = dynamic_skip.decide(params, hidden, ctx,
+                                                   dstate, skip_bits)
+            h_out, cache, state = _cached_trunk(
+                core, params, hidden, ctx, cache, skip_now, lane_of_row,
+                state, idx, partial_lanes=partial_lanes)
+            cache = (cache, dstate)
+        else:
+            h_out, cache, state = _cached_trunk(
+                core, params, hidden, ctx, cache, skip_bits, lane_of_row,
+                state, idx, partial_lanes=partial_lanes)
         out = core.head(params, h_out, ctx)
         v = _cfg_combine(out, guidance_scale, batch, combine_fn, n_lanes, idx)
         x = cx.astype(x.dtype) * x + dt.astype(x.dtype) * v.astype(x.dtype)

@@ -24,7 +24,8 @@ import numpy as np
 from magcache_tpu.core.sampler import DiTCore, _cfg_combine, _stack_lanes
 
 __all__ = ["TeaCacheConfig", "sample_euler_teacache", "OPEN_SORA_TEA_COEFFS",
-           "TeaCacheLanes", "wan_teacache_settings", "WAN_TEA_COEFFS"]
+           "TeaCacheLanes", "wan_teacache_settings", "WAN_TEA_COEFFS",
+           "FRAMEPACK_TEA_COEFFS", "FRAMEPACK_TEA_THRESH"]
 
 # rescale polynomial fitted for Open-Sora (opensora.py:100)
 OPEN_SORA_TEA_COEFFS = (2.17546007e2, -1.18329252e2, 2.68662585e1,
@@ -52,6 +53,16 @@ WAN_TEA_COEFFS = {
     ("i2v-720P", False): (-114.36346466, 65.26524496, -18.82220707,
                           4.91518089, -0.23412683),
 }
+
+
+# FramePack's packed-HunyuanVideo TeaCache rescale polynomial + default
+# threshold (the reference gradio demo toggles it via the external
+# ``diffusers_helper`` transformer's initialize_teacache,
+# ``magcache_demo_gradio.py:533-535``; the constants are the public FramePack
+# release's). Single-lane: FramePack is CFG-distilled (one forward/step).
+FRAMEPACK_TEA_COEFFS = (7.33226126e2, -4.01131952e2, 6.75869174e1,
+                        -3.14987800e0, 9.61237896e-2)
+FRAMEPACK_TEA_THRESH = 0.15
 
 
 def wan_teacache_settings(model_key: str, sample_steps: int,

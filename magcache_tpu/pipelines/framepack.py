@@ -64,6 +64,11 @@ class FramePackPipelineConfig:
     magcache_thresh: Optional[float] = None
     magcache_K: Optional[int] = None
     retention_ratio: Optional[float] = None
+    # TeaCache toggle (mutually exclusive with use_magcache, the gradio UI's
+    # checkbox pair, magcache_demo_gradio.py:30-52); resets per section like
+    # MagCache (fresh policy state each section scan)
+    use_teacache: bool = False
+    teacache_thresh: Optional[float] = None   # None -> FramePack default 0.15
     dtype: str = "float32"
     tiny: bool = False
     ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
@@ -123,10 +128,26 @@ class FramePackPipeline(BasePipeline):
         sch = FlowMatchSchedule.create(c.steps, shift=7.0)
         dts = np.diff(sch.sigmas)
         cache_cfg = None
+        tea = None
+        if c.use_magcache and c.use_teacache:
+            raise ValueError("use_magcache and use_teacache are mutually "
+                             "exclusive (magcache_demo_gradio.py:30-52)")
         if c.use_magcache:
             cache_cfg = make_config(c.model, c.steps,
                                     thresh=c.magcache_thresh, K=c.magcache_K,
                                     retention_ratio=c.retention_ratio)
+        elif c.use_teacache:
+            from magcache_tpu.core.teacache import (FRAMEPACK_TEA_COEFFS,
+                                                    FRAMEPACK_TEA_THRESH,
+                                                    TeaCacheLanes)
+            # single lane; forced compute on the first and last step (the
+            # packed-transformer teacache rule), signal = trunk input
+            tea = TeaCacheLanes(
+                thresh=(c.teacache_thresh if c.teacache_thresh is not None
+                        else FRAMEPACK_TEA_THRESH),
+                coefficients=FRAMEPACK_TEA_COEFFS,
+                ret_steps=1, cutoff_steps=c.steps - 1, lanes=1,
+                signal_fn=lambda p, h, ctx: h)
         if pad is None:
             core = self.core
         else:
@@ -137,7 +158,7 @@ class FramePackPipeline(BasePipeline):
         def fn(params, x, cond):
             return sample_euler(core, params, x, cond,
                                 timesteps=sch.timesteps, dts=dts,
-                                cache_cfg=cache_cfg)
+                                cache_cfg=cache_cfg, dynamic_skip=tea)
 
         self._section_fn[pad] = jax.jit(fn)
         return self._section_fn[pad]

@@ -180,3 +180,74 @@ def test_wan_pipeline_teacache_wiring():
                             use_magcache=True, dtype="float32")
     with pytest.raises(ValueError):
         WanPipeline(bad).generate("x", seed=0)
+
+
+def test_framepack_teacache_toggle():
+    """FramePack TeaCache toggle (gradio checkbox pair): single-lane policy,
+    per-section fresh state, mutual exclusion with MagCache."""
+    from magcache_tpu.pipelines.framepack import (FramePackPipeline,
+                                                  FramePackPipelineConfig)
+    cfg = FramePackPipelineConfig(height=64, width=64, latent_window_size=2,
+                                  total_sections=2, steps=4, txt_len=8,
+                                  use_teacache=True, tiny=True)
+    pipe = FramePackPipeline(cfg)
+    out = pipe.generate("a rocket launch", seed=1)
+    assert np.isfinite(np.asarray(out.latents)).all()
+
+    bad = FramePackPipelineConfig(height=64, width=64, latent_window_size=2,
+                                  total_sections=1, steps=4, txt_len=8,
+                                  use_teacache=True, use_magcache=True,
+                                  tiny=True)
+    with pytest.raises(ValueError):
+        FramePackPipeline(bad).generate("x", seed=0)
+
+
+def test_sample_euler_dynamic_skip_matches_eager():
+    """sample_euler + TeaCacheLanes(lanes=1) == a plain-Python transcription
+    of the single-lane accumulate/skip loop."""
+    from magcache_tpu.core.sampler import sample_euler
+    from magcache_tpu.schedulers.flow_match import FlowMatchSchedule
+
+    core, params = make_toy(3)
+    steps = 10
+    sch = FlowMatchSchedule.create(steps, shift=2.0)
+    dts = np.diff(sch.sigmas)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, DIM)), jnp.float32)
+    cond = jnp.zeros((1, 4), jnp.float32)
+    coeffs = (0.0, 0.0, 0.0, 1.0, 0.0)
+    tea = TeaCacheLanes(thresh=0.4, coefficients=coeffs, ret_steps=1,
+                        cutoff_steps=steps - 1, lanes=1,
+                        signal_fn=lambda p, h, c: h)
+
+    out = sample_euler(core, params, x, cond, timesteps=sch.timesteps,
+                       dts=dts, dynamic_skip=tea)
+
+    prev, acc, resid = None, 0.0, None
+    xs = x
+    n_skipped = 0
+    for i, (t, dt) in enumerate(zip(sch.timesteps, dts)):
+        tvec = jnp.full((1,), t, jnp.float32)
+        hidden, ctx = core.prepare(params, xs, tvec, cond)
+        forced = i < 1 or i >= steps - 1
+        sig = np.asarray(hidden)
+        if forced:
+            should, acc = True, 0.0
+        else:
+            rel = np.abs(sig - prev).mean() / max(np.abs(prev).mean(), 1e-8)
+            acc += float(np.polyval(coeffs, rel))
+            if acc < tea.thresh:
+                should = False
+            else:
+                should, acc = True, 0.0
+        prev = sig
+        if should:
+            h = core.trunk(params, hidden, ctx)
+            resid = h - hidden
+        else:
+            h = hidden + resid
+            n_skipped += 1
+        xs = xs + dt * core.head(params, h, ctx)
+    assert n_skipped > 0, "threshold should cause skips on the toy"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xs),
+                               rtol=1e-4, atol=1e-5)
