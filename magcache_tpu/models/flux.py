@@ -38,7 +38,7 @@ from magcache_tpu.models.common import (
     scan_blocks,
     timestep_embedding,
 )
-from magcache_tpu.ops.attention import attention
+from magcache_tpu.ops.attention import QKNORM_FIXED_MAX, attention
 from magcache_tpu.ops.norms import layer_norm, rms_norm
 from magcache_tpu.ops.rope import apply_rope, rope_freqs_1d
 from magcache_tpu.parallel.mesh import maybe_shard
@@ -191,7 +191,7 @@ def _double_block(cfg: FluxConfig, rope, p, carry):
     v = jnp.concatenate([tv, iv], axis=1)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    o = attention(q, k, v)
+    o = attention(q, k, v, fixed_max=QKNORM_FIXED_MAX)
     o = o.reshape(o.shape[0], o.shape[1], -1)
     t_attn, i_attn = o[:, :txt_len], o[:, txt_len:]
 
@@ -222,7 +222,7 @@ def _single_block(cfg: FluxConfig, rope, p, carry):
     q, k = _qk_norm(q, k, p["qk_scale"])
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    o = attention(q, k, v).reshape(h.shape[0], h.shape[1], -1)
+    o = attention(q, k, v, fixed_max=QKNORM_FIXED_MAX).reshape(h.shape[0], h.shape[1], -1)
     out = linear(p["lin2"], jnp.concatenate([o, jax.nn.gelu(mlp, approximate=True)], -1))
     return h + (gate * out.astype(jnp.float32)).astype(h.dtype), vec
 

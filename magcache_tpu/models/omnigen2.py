@@ -39,7 +39,7 @@ import numpy as np
 
 from magcache_tpu.core.sampler import DiTCore
 from magcache_tpu.models.common import linear, linear_params, timestep_embedding
-from magcache_tpu.ops.attention import attention
+from magcache_tpu.ops.attention import QKNORM_FIXED_MAX, attention
 from magcache_tpu.ops.norms import layer_norm, rms_norm
 from magcache_tpu.ops.rope import apply_rope, rope_freqs_1d
 from magcache_tpu.parallel.mesh import maybe_shard
@@ -193,7 +193,7 @@ def _run_blocks(cfg: OmniGen2Config, p, x, temb, rope, remat=False):
         rep = hq // hk
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
-        a = attention(q, k, v).reshape(x.shape)
+        a = attention(q, k, v, fixed_max=QKNORM_FIXED_MAX).reshape(x.shape)
         a = linear(bp["o"], a)
         a = rms_norm(a, bp["norm2"], eps=cfg.eps)
         if g_msa is not None:

@@ -45,7 +45,7 @@ from magcache_tpu.models.common import (
     scan_blocks,
     timestep_embedding,
 )
-from magcache_tpu.ops.attention import attention
+from magcache_tpu.ops.attention import QKNORM_FIXED_MAX, attention
 from magcache_tpu.ops.norms import layer_norm, rms_norm
 from magcache_tpu.ops.rope import rope_freqs_1d
 from magcache_tpu.parallel.mesh import maybe_shard
@@ -226,7 +226,7 @@ def _wan_block(cfg: WanConfig, rope, ctx_split, p, carry):
     q, k, v = _heads(q, cfg.heads), _heads(k, cfg.heads), _heads(v, cfg.heads)
     q = _apply_rope_pairs(q, cos, sin)
     k = _apply_rope_pairs(k, cos, sin)
-    a = attention(q, k, v).reshape(x.shape)
+    a = attention(q, k, v, fixed_max=QKNORM_FIXED_MAX).reshape(x.shape)
     y = linear(p["o"], a)
     x = x + (y.astype(jnp.float32) * e_chunks[2]).astype(x.dtype)
 
@@ -239,12 +239,12 @@ def _wan_block(cfg: WanConfig, rope, ctx_split, p, carry):
         ctx_img, ctx_txt = context[:, :ctx_split], context[:, ctx_split:]
     ck = _heads(rms_norm(linear(p["cross_k"], ctx_txt), p["cross_norm_k"], eps=cfg.eps), cfg.heads)
     cv = _heads(linear(p["cross_v"], ctx_txt), cfg.heads)
-    ca = attention(cq, ck, cv).reshape(x.shape)
+    ca = attention(cq, ck, cv, fixed_max=QKNORM_FIXED_MAX).reshape(x.shape)
     if ctx_split is not None:
         ik = _heads(rms_norm(linear(p["cross_k_img"], ctx_img),
                              p["cross_norm_k_img"], eps=cfg.eps), cfg.heads)
         iv = _heads(linear(p["cross_v_img"], ctx_img), cfg.heads)
-        ca = ca + attention(cq, ik, iv).reshape(x.shape)
+        ca = ca + attention(cq, ik, iv, fixed_max=QKNORM_FIXED_MAX).reshape(x.shape)
     x = x + linear(p["cross_o"], ca)
 
     # FFN

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 _LOG2E = math.log2(math.e)
@@ -30,9 +31,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["attention", "flash_attention_bhsd"]
+__all__ = ["attention", "flash_attention_bhsd", "QKNORM_FIXED_MAX"]
 
 _NEG_INF = -1e30
+
+# Static softmax shift for RMS-qk-normed trunks (|s·log2e| <~ sqrt(d)*g^2*1.44
+# stays far inside exp2's ±126 headroom around this shift for any plausible
+# learned gain). Models with qk-norm pass this to `attention(fixed_max=...)`.
+QKNORM_FIXED_MAX = 16.0
+
+
+def _env_float(name: str, default: float) -> float:
+    v = os.environ.get(name, "")
+    return float(v) if v else default
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name, "")
+    return int(v) if v else default
 
 
 def _flash_kernel_aux(q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref,
@@ -127,6 +143,42 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
+def _flash_kernel_fixed_max(q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
+                            kv_len: int, block_k: int, mask_kv: bool,
+                            m_const: float):
+    """Online softmax with a STATIC max: softmax is shift-invariant, so with
+    norm-bounded scores (RMS qk-norm models) a compile-time constant ``M``
+    replaces the running row max — eliminating the [bq, bk] max reduction and
+    the accumulator rescale every kv step (pure-VPU passes the MXU otherwise
+    waits on). Exact within fp: requires |s·log2e − M| < 126 for every score
+    (exp2 head/underflow room), which qk-normed trunks satisfy by orders of
+    magnitude. Opt-in via MAGCACHE_FLASH_FIXED_MAX."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if mask_kv:
+        key_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_pos < kv_len, s, _NEG_INF)
+    p = jnp.exp2(s - m_const)
+    l_ref[:, :1] = l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
 def flash_attention_bhsd(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -134,8 +186,9 @@ def flash_attention_bhsd(
     *,
     scale: Optional[float] = None,
     kv_len: Optional[int] = None,
-    block_q: int = 1024,
-    block_k: int = 1024,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    fixed_max: Optional[float] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over ``[B, H, S, D]`` tensors (full attention).
@@ -146,11 +199,36 @@ def flash_attention_bhsd(
 
     Sequence lengths are padded to block multiples internally; padded keys are
     masked, padded query rows are sliced off.
+
+    ``fixed_max``: static softmax shift in log2 units — switches to the
+    no-running-max kernel (`_flash_kernel_fixed_max`). Measured **12.5%
+    faster full Wan-1.3B forwards** at 480p (4.258s -> 3.727s, v5e), +2%
+    more with the auto 2048 q-block. Only valid for norm-bounded scores (RMS
+    qk-norm trunks: Wan/Hunyuan/FLUX/Qwen/OmniGen2 — |s·log2e| stays orders
+    of magnitude inside exp2's ±126 range). Env overrides for experiments:
+    ``MAGCACHE_FLASH_FIXED_MAX`` ("0" forces off), ``MAGCACHE_FLASH_BQ`` /
+    ``MAGCACHE_FLASH_BK``.
     """
     b, h, sq, d = q.shape
     skv = k.shape[2]
     scale = (1.0 / math.sqrt(d)) if scale is None else scale
     kv_len = skv if kv_len is None else kv_len
+    env_fm = os.environ.get("MAGCACHE_FLASH_FIXED_MAX", "")
+    if env_fm != "":
+        fixed_max = float(env_fm) or None
+    if block_q is None:
+        bq_env = _env_int("MAGCACHE_FLASH_BQ", 0)
+        if bq_env:
+            block_q = bq_env
+        elif fixed_max is not None and sq >= 16384 and \
+                (-(-sq // 2048) * 2048) <= 1.125 * sq:
+            # measured: with the static-max kernel the halved KV re-fetch of
+            # 2048-row q blocks beats the extra pad compute at DiT scale
+            block_q = 2048
+        else:
+            block_q = 1024
+    if block_k is None:
+        block_k = _env_int("MAGCACHE_FLASH_BK", 1024)
 
     block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
     block_k = min(block_k, max(128, 1 << (skv - 1).bit_length()))
@@ -169,10 +247,25 @@ def flash_attention_bhsd(
 
     qr = qr * jnp.asarray(scale * _LOG2E, qr.dtype)  # fold scale into q once
     grid = (bh, sq_p // block_q, skv_p // block_k)
-    kernel = functools.partial(
-        _flash_kernel, kv_len=kv_len, block_k=block_k,
-        mask_kv=(kv_len < skv_p),
-    )
+    if fixed_max is not None:
+        kernel = functools.partial(
+            _flash_kernel_fixed_max, kv_len=kv_len, block_k=block_k,
+            mask_kv=(kv_len < skv_p), m_const=fixed_max,
+        )
+        scratch = [
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(
+            _flash_kernel, kv_len=kv_len, block_k=block_k,
+            mask_kv=(kv_len < skv_p),
+        )
+        scratch = [
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -187,11 +280,7 @@ def flash_attention_bhsd(
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh_, i, j: (bh_, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -307,11 +396,17 @@ def attention(
     scale: Optional[float] = None,
     kv_len: Optional[int] = None,
     impl: str = "auto",
+    fixed_max: Optional[float] = None,
 ) -> jnp.ndarray:
     """Full attention over ``[B, S, H, D]`` activations (DiT layout).
 
     impl: "pallas" (TPU flash kernel), "xla" (fused XLA softmax-attention),
     "pallas_interpret" (debug), or "auto" (pallas on TPU, xla elsewhere).
+
+    ``fixed_max``: enable the static-max flash kernel (see
+    `flash_attention_bhsd`) — pass only from trunks whose scores are
+    norm-bounded (RMS qk-norm before RoPE). Ignored on the XLA fallback
+    (plain softmax is shift-invariant anyway) and under mesh SP paths.
     """
     import os
 
@@ -352,14 +447,11 @@ def attention(
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     if impl == "pallas":
-        import os
-        bq = int(os.environ.get("MAGCACHE_FLASH_BQ", 1024))
-        bk = int(os.environ.get("MAGCACHE_FLASH_BK", 1024))
         out = flash_attention_bhsd(qt, kt, vt, scale=scale, kv_len=kv_len,
-                                   block_q=bq, block_k=bk)
+                                   fixed_max=fixed_max)
     elif impl == "pallas_interpret":
         out = flash_attention_bhsd(qt, kt, vt, scale=scale, kv_len=kv_len,
-                                   interpret=True)
+                                   fixed_max=fixed_max, interpret=True)
     elif impl == "xla":
         d = q.shape[-1]
         out = _xla_attention_bhsd(

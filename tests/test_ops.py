@@ -149,3 +149,38 @@ def test_norms_preserve_bf16_dtype():
     x = jnp.ones((2, 4, 16), jnp.bfloat16)
     assert rms_norm(x).dtype == jnp.bfloat16
     assert layer_norm(x).dtype == jnp.bfloat16
+
+
+def test_fixed_max_kernel_matches_running_max(monkeypatch):
+    """MAGCACHE_FLASH_FIXED_MAX: static-shift softmax == online softmax
+    (shift invariance), including trailing-key masking."""
+    import numpy as np
+
+    from magcache_tpu.ops.attention import flash_attention_bhsd
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(1, 2, 96, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, 80, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 80, 64)), jnp.float32)
+    base = flash_attention_bhsd(q, k, v, kv_len=70, interpret=True)
+    monkeypatch.setenv("MAGCACHE_FLASH_FIXED_MAX", "8.0")
+    fixed = flash_attention_bhsd(q, k, v, kv_len=70, interpret=True)
+    np.testing.assert_allclose(np.asarray(fixed), np.asarray(base),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_block_env_knobs(monkeypatch):
+    import numpy as np
+
+    from magcache_tpu.ops.attention import flash_attention_bhsd
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(1, 1, 300, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 1, 300, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 1, 300, 64)), jnp.float32)
+    base = flash_attention_bhsd(q, k, v, interpret=True)
+    monkeypatch.setenv("MAGCACHE_FLASH_BQ", "128")
+    monkeypatch.setenv("MAGCACHE_FLASH_BK", "256")
+    small = flash_attention_bhsd(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(small), np.asarray(base),
+                               rtol=2e-5, atol=2e-5)
