@@ -220,11 +220,13 @@ def flash_attention_bhsd(
         bq_env = _env_int("MAGCACHE_FLASH_BQ", 0)
         if bq_env:
             block_q = bq_env
-        elif fixed_max is not None and sq >= 16384 and \
-                (-(-sq // 2048) * 2048) <= 1.125 * sq:
-            # measured: with the static-max kernel the halved KV re-fetch of
-            # 2048-row q blocks beats the extra pad compute at DiT scale
-            block_q = 2048
+        elif fixed_max is not None and sq >= 16384:
+            # measured (Wan-480p forwards, v5e): each q-block doubling cuts
+            # KV re-fetch traffic and beat its pad overhead up to 12.5% waste
+            # (1024: 3.727s, 2048: 3.643s, 4096: 3.607s) — take the largest
+            # block whose padding waste stays under 13%
+            block_q = next((bq for bq in (4096, 2048)
+                            if (-(-sq // bq) * bq) <= 1.13 * sq), 1024)
         else:
             block_q = 1024
     if block_k is None:
@@ -283,6 +285,9 @@ def flash_attention_bhsd(
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # big q blocks exceed the default 16M scoped-vmem budget; the
+            # per-kernel cap override keeps the 4096-row variant compilable
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * sq_p * skv_p * d,
