@@ -442,7 +442,8 @@ def attention(
             if want_ring and not kv_rep:
                 return ring_attention(q, k, v, plan.mesh, scale=scale)
             return ulysses_attention(q, k, v, plan.mesh, scale=scale,
-                                     kv_len=kv_len, kv_replicated=kv_rep)
+                                     kv_len=kv_len, kv_replicated=kv_rep,
+                                     fixed_max=fixed_max)
         if impl in ("ring", "ulysses"):
             raise ValueError(f"attention impl {impl!r} needs an active mesh "
                              "plan (use_mesh)")

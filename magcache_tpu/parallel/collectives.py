@@ -68,7 +68,7 @@ def all_to_all_switch(x: jnp.ndarray, mesh: Mesh, scatter_dim: int,
                          out_specs=P(*out_spec))(x)
 
 
-def _local_full_attention(q, k, v, *, scale, kv_len):
+def _local_full_attention(q, k, v, *, scale, kv_len, fixed_max=None):
     """Per-shard attention over the full sequence; flash kernel on TPU."""
     from magcache_tpu.ops.attention import _xla_attention_bhsd, flash_attention_bhsd
 
@@ -76,7 +76,8 @@ def _local_full_attention(q, k, v, *, scale, kv_len):
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     if jax.default_backend() in ("tpu", "axon"):
-        out = flash_attention_bhsd(qt, kt, vt, scale=scale, kv_len=kv_len)
+        out = flash_attention_bhsd(qt, kt, vt, scale=scale, kv_len=kv_len,
+                                   fixed_max=fixed_max)
     else:
         import math
         d = q.shape[-1]
@@ -89,7 +90,7 @@ def _local_full_attention(q, k, v, *, scale, kv_len):
 def ulysses_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mesh: Mesh,
     *, scale: Optional[float] = None, kv_len: Optional[int] = None,
-    kv_replicated: bool = False,
+    kv_replicated: bool = False, fixed_max: Optional[float] = None,
 ) -> jnp.ndarray:
     """Sequence-parallel attention over [B, S, H, D] activations sharded
     (dp, sp, tp, -). Heads must divide by sp * tp.
@@ -105,12 +106,14 @@ def ulysses_attention(
     def local(ql, kl, vl):
         if kv_replicated or sp == 1:
             # Q stays sequence-sharded; attention over the full local KV.
-            return _local_full_attention(ql, kl, vl, scale=scale, kv_len=kv_len)
+            return _local_full_attention(ql, kl, vl, scale=scale,
+                                         kv_len=kv_len, fixed_max=fixed_max)
         # Ulysses: heads -> sp groups, sequence gathered
         a2a = functools.partial(jax.lax.all_to_all, axis_name=AXIS_SP,
                                 split_axis=2, concat_axis=1, tiled=True)
         qg, kg, vg = a2a(ql), a2a(kl), a2a(vl)
-        og = _local_full_attention(qg, kg, vg, scale=scale, kv_len=kv_len)
+        og = _local_full_attention(qg, kg, vg, scale=scale,
+                                    kv_len=kv_len, fixed_max=fixed_max)
         # inverse: sequence -> sp shards, heads gathered
         return jax.lax.all_to_all(og, axis_name=AXIS_SP, split_axis=1,
                                   concat_axis=2, tiled=True)
