@@ -337,11 +337,18 @@ def _omnigen2_pipeline(args):
               num_inference_steps=args.sample_steps or 50,
               use_magcache=args.use_magcache,
               enable_taylorseer=getattr(args, "enable_taylorseer", False),
+              enable_teacache=getattr(args, "enable_teacache", False),
               dtype=args.dtype, tiny=args.tiny)
-    if kw["enable_taylorseer"] and kw["use_magcache"]:
-        # reference warns and prefers taylorseer (inference.py:208-212)
-        print("WARNING: --enable_taylorseer and --use_magcache are mutually "
-              "exclusive; --use_magcache will be ignored.")
+    if getattr(args, "teacache_thresh", None) is not None:
+        kw["teacache_thresh"] = args.teacache_thresh
+    if kw["enable_taylorseer"] and kw["enable_teacache"]:
+        # reference warning verbatim semantics (inference.py:208-212)
+        print("WARNING: enable_teacache and enable_taylorseer are mutually "
+              "exclusive. enable_teacache will be ignored.")
+        kw["enable_teacache"] = False
+    if (kw["enable_taylorseer"] or kw["enable_teacache"]) and kw["use_magcache"]:
+        print("WARNING: --use_magcache is ignored when a comparator cache "
+              "is enabled (reference if/elif priority).")
         kw["use_magcache"] = False
     if args.magcache_thresh is not None:
         kw["magcache_thresh"] = args.magcache_thresh

@@ -100,6 +100,14 @@ class OmniGen2PipelineConfig:
     taylorseer_interval: int = 4
     taylorseer_order: int = 2
     taylorseer_warmup: int = 3
+    # TeaCache comparator — one params object per guidance branch, first/last
+    # step forced (magcache_utils.py:431-434, 446-521). The rescale polynomial
+    # ships in the external omnigen2 package (teacache_util), not the
+    # reference tree — plug the published coefficients via teacache_coeffs;
+    # the default is the raw relative-L1 distance.
+    enable_teacache: bool = False
+    teacache_thresh: float = 0.1
+    teacache_coeffs: tuple = (1.0, 0.0)
     dtype: str = "float32"
     tiny: bool = False
     ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
@@ -111,6 +119,13 @@ class OmniGen2PipelineConfig:
             raise ValueError(
                 "enable_taylorseer and use_magcache are mutually exclusive "
                 "(reference inference.py:208-212)")
+        if self.enable_teacache and (self.use_magcache
+                                     or self.enable_taylorseer):
+            raise ValueError(
+                "enable_teacache is mutually exclusive with use_magcache / "
+                "enable_taylorseer (the reference resolves the overlap by "
+                "if/elif priority, inference.py:208-212 + "
+                "magcache_utils.py:446-452; we reject it explicitly)")
         return self
 
     def model_config(self) -> OmniGen2Config:
@@ -180,7 +195,8 @@ class OmniGen2Pipeline(BasePipeline):
         return fn
 
     def _sample_fn(self):
-        k = (self.config.use_magcache, self.config.enable_taylorseer)
+        k = (self.config.use_magcache, self.config.enable_taylorseer,
+             self.config.enable_teacache)
         if k in self._jit_cache:
             return self._jit_cache[k]
         c = self.config
@@ -194,6 +210,8 @@ class OmniGen2Pipeline(BasePipeline):
 
         if c.enable_taylorseer:
             fn = self._taylorseer_fn(sch)
+        elif c.enable_teacache:
+            fn = self._teacache_fn(sch)
         elif self.config.mode == "edit":
             core_nor = self.core_noref
             n = c.num_inference_steps
@@ -330,6 +348,85 @@ class OmniGen2Pipeline(BasePipeline):
                 body, (x, da0, db0),
                 (ts, dts, jnp.asarray(fresh), jnp.asarray(x_fc),
                  jnp.asarray(upd), jnp.asarray(hist), jnp.arange(n)))
+            return x_fin
+
+        return fn
+
+    def _teacache_fn(self, sch):
+        """TeaCache sampling: one accumulator/cache per guidance branch with
+        first/last-step forced compute (the reference swaps a TeaCacheParams
+        per branch and sets is_first_or_last_step, magcache_utils.py:446-521).
+        t2i rides the generic dual-lane sampler; edit keeps the split-lane
+        structure with a 2-lane policy on the with-refs program and a 1-lane
+        policy on the ref-free one. Signal = the trunk input."""
+        from magcache_tpu.core.sampler import _cached_trunk
+        from magcache_tpu.core.teacache import TeaCacheLanes
+
+        c = self.config
+        n = c.num_inference_steps
+        core, lanes, combine = self.core, self.lanes, self._combine()
+
+        def policy(L):
+            return TeaCacheLanes(
+                thresh=c.teacache_thresh, coefficients=c.teacache_coeffs,
+                ret_steps=L, cutoff_steps=(n - 1) * L, lanes=L,
+                signal_fn=lambda p, h, ctx: h)
+
+        if c.mode != "edit":
+            tea = policy(lanes)
+
+            def fn(params, x, cond):
+                return sample_euler(core, params, x, cond,
+                                    timesteps=sch.timesteps,
+                                    dts=np.diff(sch.sigmas), lanes=lanes,
+                                    combine_fn=combine, dynamic_skip=tea)
+            return fn
+
+        core_nor = self.core_noref
+        tea_a, tea_b = policy(2), policy(1)
+        forced_a = jnp.asarray(tea_a.forced_mask(n))
+        forced_b = jnp.asarray(tea_b.forced_mask(n))
+        ts = jnp.asarray(sch.timesteps.astype(np.float32))
+        dts = jnp.asarray(np.diff(sch.sigmas).astype(np.float32))
+        rows_a = jnp.asarray([0, 1], jnp.int32)
+        rows_b = jnp.asarray([0], jnp.int32)
+
+        def fn(params, x, cond):
+            cond_a = {"txt": cond["txt"][jnp.asarray([0, 2])],
+                      "ref": jnp.concatenate([cond["ref"]] * 2, axis=0)}
+            cond_b = {"txt": cond["txt"][1:2]}
+            x2 = jnp.concatenate([x, x], axis=0)
+            t0 = ts[:1]
+            ca0 = _init_cache(core, params, x2, t0, cond_a)
+            cb0 = _init_cache(core_nor, params, x, t0, cond_b)
+            sa0 = (jnp.zeros_like(ca0), jnp.zeros((2,), jnp.float32))
+            sb0 = (jnp.zeros_like(cb0), jnp.zeros((1,), jnp.float32))
+
+            def body(carry, step_in):
+                x, ca, sa, cb, sb = carry
+                t, dt, fa, fb, idx = step_in
+                x2 = jnp.concatenate([x, x], axis=0)
+                ha, ctxa = core.prepare(params, x2,
+                                        jnp.full((2,), t, jnp.float32),
+                                        cond_a)
+                hb, ctxb = core_nor.prepare(params, x,
+                                            jnp.full((1,), t, jnp.float32),
+                                            cond_b)
+                skip_a, sa = tea_a.decide(params, ha, ctxa, sa, fa)
+                skip_b, sb = tea_b.decide(params, hb, ctxb, sb, fb)
+                ha2, ca, _ = _cached_trunk(core, params, ha, ctxa, ca,
+                                           skip_a, rows_a, partial_lanes=2)
+                hb2, cb, _ = _cached_trunk(core_nor, params, hb, ctxb, cb,
+                                           skip_b, rows_b)
+                outa = core.head(params, ha2, ctxa)
+                outb = core_nor.head(params, hb2, ctxb)
+                e = combine((outa[0:1], outb, outa[1:2]), idx)
+                x = x + dt.astype(x.dtype) * e.astype(x.dtype)
+                return (x, ca, sa, cb, sb), None
+
+            (x_fin, _, _, _, _), _ = jax.lax.scan(
+                body, (x, ca0, sa0, cb0, sb0),
+                (ts, dts, forced_a, forced_b, jnp.arange(n)))
             return x_fin
 
         return fn

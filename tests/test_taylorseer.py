@@ -204,3 +204,40 @@ def test_omnigen2_pipeline_taylorseer_edit_mode():
     pipe = OmniGen2Pipeline(cfg)
     out = pipe.generate("make it blue", seed=0)
     assert np.isfinite(np.asarray(out.latents)).all()
+
+
+def test_omnigen2_teacache_t2i_and_edit():
+    """The third OmniGen2 switch: per-branch TeaCache accumulators
+    (magcache_utils.py:431-521)."""
+    from magcache_tpu.pipelines.omnigen2 import (OmniGen2Pipeline,
+                                                 OmniGen2PipelineConfig)
+    for mode in ("t2i", "edit"):
+        cfg = OmniGen2PipelineConfig(mode=mode, height=32, width=32,
+                                     num_inference_steps=6, txt_len=8,
+                                     enable_teacache=True,
+                                     teacache_thresh=0.5, tiny=True)
+        pipe = OmniGen2Pipeline(cfg)
+        out = pipe.generate("a cat", seed=0)
+        assert np.isfinite(np.asarray(out.latents)).all(), mode
+
+    with pytest.raises(ValueError):
+        OmniGen2PipelineConfig(mode="t2i", tiny=True, enable_teacache=True,
+                               enable_taylorseer=True).validate()
+    with pytest.raises(ValueError):
+        OmniGen2PipelineConfig(mode="t2i", tiny=True, enable_teacache=True,
+                               use_magcache=True).validate()
+
+
+def test_omnigen2_teacache_tight_threshold_equals_full():
+    """thresh=0 -> accumulator always >= threshold -> full compute."""
+    from magcache_tpu.pipelines.omnigen2 import (OmniGen2Pipeline,
+                                                 OmniGen2PipelineConfig)
+    base = dict(mode="t2i", height=32, width=32, num_inference_steps=5,
+                txt_len=8, tiny=True)
+    key = jax.random.PRNGKey(3)
+    a = OmniGen2Pipeline(OmniGen2PipelineConfig(**base, enable_teacache=True,
+                                                teacache_thresh=0.0), key=key)
+    b = OmniGen2Pipeline(OmniGen2PipelineConfig(**base), params=a.params)
+    la = a.generate("x", seed=1).latents
+    lb = b.generate("x", seed=1).latents
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
