@@ -22,3 +22,43 @@ from magcache_tpu.core.magcache import (  # noqa: F401
     nearest_interp,
     prepare_mag_ratios,
 )
+
+# Root-level user API, mirroring the reference's package exports
+# (``videosys/__init__.py``: Engine + one (Config, Pipeline) pair per family).
+# Loaded lazily so ``import magcache_tpu`` stays light.
+_LAZY = {
+    "Engine": ("magcache_tpu.core.engine", "Engine"),
+    "PABConfig": ("magcache_tpu.core.pab", "PABConfig"),
+    "TeaCacheConfig": ("magcache_tpu.core.teacache", "TeaCacheConfig"),
+    "TaylorSeerConfig": ("magcache_tpu.core.taylorseer", "TaylorSeerConfig"),
+}
+for _mod, _names in {
+    "wan": ("WanPipelineConfig", "WanPipeline"),
+    "flux": ("FluxPipelineConfig", "FluxPipeline"),
+    "qwen_image": ("QwenImagePipelineConfig", "QwenImagePipeline"),
+    "omnigen2": ("OmniGen2PipelineConfig", "OmniGen2Pipeline"),
+    "framepack": ("FramePackPipelineConfig", "FramePackPipeline"),
+    "open_sora": ("OpenSoraPipelineConfig", "OpenSoraPipeline"),
+    "open_sora_plan": ("OpenSoraPlanPipelineConfig", "OpenSoraPlanPipeline"),
+    "cogvideox": ("CogVideoXPipelineConfig", "CogVideoXPipeline"),
+    "latte": ("LattePipelineConfig", "LattePipeline"),
+    "vchitect": ("VchitectPipelineConfig", "VchitectPipeline"),
+}.items():
+    for _n in _names:
+        _LAZY[_n] = (f"magcache_tpu.pipelines.{_mod}", _n)
+
+__all__ = ["MagCacheConfig", "MagCacheState", "compute_skip_schedule",
+           "nearest_interp", "prepare_mag_ratios", *sorted(_LAZY)]
+
+
+def __getattr__(name):
+    try:
+        mod_name, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(f"module 'magcache_tpu' has no attribute {name!r}")
+    import importlib
+    return getattr(importlib.import_module(mod_name), attr)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY))

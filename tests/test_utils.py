@@ -43,3 +43,20 @@ def test_to_uint8_and_save_video(tmp_path):
     path = save_video(v, str(tmp_path / "clip.mp4"))
     import os
     assert os.path.exists(path)  # mp4 via imageio or .npy fallback
+
+
+def test_root_api_exports_mirror_reference_surface():
+    """videosys/__init__.py exposes Engine + (Config, Pipeline) per family;
+    magcache_tpu's root mirrors that, lazily."""
+    import magcache_tpu as m
+    for name in ("Engine", "PABConfig", "WanPipeline", "WanPipelineConfig",
+                 "OpenSoraPipeline", "OpenSoraPlanPipelineConfig",
+                 "CogVideoXPipeline", "LattePipeline", "VchitectPipeline",
+                 "FluxPipelineConfig", "OmniGen2Pipeline",
+                 "FramePackPipelineConfig", "QwenImagePipeline",
+                 "TeaCacheConfig", "TaylorSeerConfig"):
+        assert getattr(m, name) is not None, name
+        assert name in m.__all__
+    import pytest
+    with pytest.raises(AttributeError):
+        m.NoSuchThing
