@@ -41,11 +41,6 @@ _NEG_INF = -1e30
 QKNORM_FIXED_MAX = 16.0
 
 
-def _env_float(name: str, default: float) -> float:
-    v = os.environ.get(name, "")
-    return float(v) if v else default
-
-
 def _env_int(name: str, default: int) -> int:
     v = os.environ.get(name, "")
     return int(v) if v else default

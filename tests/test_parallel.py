@@ -221,3 +221,35 @@ def test_vchitect_sharded_run_matches_single_device():
                                    activation_sharding(mesh, "context", 3)),
              "vec": cond["vec"]})
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_teacache_dynamic_skip_sharded_equals_single():
+    """The in-graph TeaCache decision (per-lane means + accumulator carried
+    across the scan) must shard transparently: dp x sp x tp run == single
+    device. The decision reduction is a global mean, so XLA inserts the
+    collectives; the policy state (prev signal) carries the activations'
+    sharding like the residual cache does."""
+    from magcache_tpu.core.teacache import TeaCacheLanes
+
+    core, params, x, cond = _setup()
+    tea = TeaCacheLanes(thresh=0.4, coefficients=(1.0, 0.0), ret_steps=2,
+                        cutoff_steps=6, lanes=2,
+                        signal_fn=lambda p, h, ctx: h)
+    sch = FlowMatchSchedule.create(4, shift=3.0)
+
+    def run(p, xx, cc):
+        return sample_euler(core, p, xx, cc, timesteps=sch.timesteps,
+                            dts=np.diff(sch.sigmas), guidance_scale=5.0,
+                            dynamic_skip=tea)
+
+    ref = np.asarray(run(params, x, cond))
+
+    mesh = build_mesh(dp=2, sp=2, tp=2)
+    plan = MeshPlan(mesh)
+    params_s = shard_params(params, mesh)
+    x_s = jax.device_put(x, activation_sharding(mesh, "latents", x.ndim))
+    cond_s = {"context": jax.device_put(
+        cond["context"], activation_sharding(mesh, "context", 3))}
+    with use_mesh(plan):
+        out = jax.jit(run)(params_s, x_s, cond_s)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
