@@ -176,16 +176,26 @@ class WanVAE:
         self.cfg = cfg
         self.params = params
         self._jit_enc = jax.jit(self._encode_core)
-        self._jit_dec = jax.jit(self._decode_core)
+        self._jit_dec = jax.jit(lambda p, z: self._decode_core(p, z, None))
+        self._jit_dec_stream = jax.jit(self._decode_core)
 
-    def _res(self, p, x):
+    def _res(self, p, x, tc=None, out=None):
+        """Residual block; ``tc``/``out`` thread the streaming conv caches
+        (tc = this block's cache dict from the previous chunk, out = dict to
+        collect the new ones). Cache-less call sites pass neither."""
         eps = self.cfg.eps
+        tc = tc or {}
+        nc = {}
         h = jax.nn.silu(channel_rms_norm(x, p["norm1"], None, eps=eps))
-        h, _ = causal_conv3d(h, p["conv1"]["w"], p["conv1"]["b"])
+        h, nc["c1"] = causal_conv3d(h, p["conv1"]["w"], p["conv1"]["b"],
+                                    tcache=tc.get("c1"))
         h = jax.nn.silu(channel_rms_norm(h, p["norm2"], None, eps=eps))
-        h, _ = causal_conv3d(h, p["conv2"]["w"], p["conv2"]["b"])
+        h, nc["c2"] = causal_conv3d(h, p["conv2"]["w"], p["conv2"]["b"],
+                                    tcache=tc.get("c2"))
         if "shortcut" in p:
             x, _ = causal_conv3d(x, p["shortcut"]["w"], p["shortcut"]["b"])
+        if out is not None:
+            out.update(nc)
         return x + h
 
     def _attn(self, p, x):
@@ -223,39 +233,73 @@ class WanVAE:
     def encode(self, x):
         return self._jit_enc(self.params, x)
 
-    def _decode_core(self, params, z):
+    def _decode_core(self, params, z, caches=None):
+        """caches=None -> whole clip in one pass; else the carried causal
+        feature cache dict (streamed decode — the official wan VAE decodes
+        latent-frame-by-frame exactly this way with per-conv feat caches)."""
         cfg, p = self.cfg, params["decoder"]
+        tc = caches or {}
+        nc = {}
+
+        def cc(name, x, cp):
+            y, c = causal_conv3d(x, cp["w"], cp["b"], tcache=tc.get(name))
+            nc[name] = c
+            return y
+
+        def rb(name, bp, h):
+            sub_out = {}
+            h = self._res(bp, h, tc.get(name), sub_out)
+            nc[name] = sub_out
+            return h
+
         pq = params["post_quant"]
-        z, _ = causal_conv3d(z, pq["w"], pq["b"])
-        h, _ = causal_conv3d(z, p["conv1"]["w"], p["conv1"]["b"])
-        h = self._res(p["mid"][0], h)
-        h = self._attn(p["mid_attn"], h)
-        h = self._res(p["mid"][1], h)
-        for lv in p["levels"]:
-            for bp in lv["blocks"]:
-                h = self._res(bp, h)
+        z, _ = causal_conv3d(z, pq["w"], pq["b"])       # 1x1x1, no state
+        h = cc("conv1", z, p["conv1"])
+        h = rb("mid0", p["mid"][0], h)
+        h = self._attn(p["mid_attn"], h)                # per-frame spatial
+        h = rb("mid1", p["mid"][1], h)
+        for li, lv in enumerate(p["levels"]):
+            for bi, bp in enumerate(lv["blocks"]):
+                h = rb(f"l{li}b{bi}", bp, h)
             if lv["resample"] is not None:
                 if lv["time_conv"] is not None:
                     # time conv doubles channels; reshape into 2x frames.
                     # The FIRST latent frame stays a single pixel frame (the
                     # causal T -> 2T-1 convention that yields the published
                     # (F_pix - 1)/4 + 1 latent frame count), so the leading
-                    # duplicate is dropped.
-                    tc = lv["time_conv"]
-                    y, _ = causal_conv3d(h, tc["w"], tc["b"])
+                    # duplicate is dropped — on the first chunk only when
+                    # streaming.
+                    y = cc(f"l{li}t", h, lv["time_conv"])
                     b, t, hh, ww, c2 = y.shape
                     y = y.reshape(b, t, hh, ww, 2, c2 // 2)
                     h = y.transpose(0, 1, 4, 2, 3, 5).reshape(
-                        b, 2 * t, hh, ww, c2 // 2)[:, 1:]
+                        b, 2 * t, hh, ww, c2 // 2)
+                    if f"l{li}seen" not in tc:
+                        h = h[:, 1:]
+                    nc[f"l{li}seen"] = jnp.zeros((0,))
                 # nearest x2 spatial + channel-halving conv
                 h = jnp.repeat(jnp.repeat(h, 2, axis=2), 2, axis=3)
                 h = _conv2d_frames(h, lv["resample"])
         h = jax.nn.silu(channel_rms_norm(h, p["head_norm"], None, eps=cfg.eps))
-        h, _ = causal_conv3d(h, p["head"]["w"], p["head"]["b"])
-        return h
+        h = cc("head", h, p["head"])
+        return h, nc
 
-    def decode(self, z):
-        return self._jit_dec(self.params, z)
+    def decode(self, z, latent_chunk: Optional[int] = 1):
+        """Decode latents to pixels. Default streams one latent frame at a
+        time with carried causal caches — exact (chunked == whole, tested)
+        and the only way 480p x 81-frame decodes fit one chip's HBM (whole-
+        clip decode allocates >17 GB). ``latent_chunk=None`` runs the single
+        whole-clip program (small clips / tests)."""
+        if latent_chunk is None or z.shape[1] <= latent_chunk:
+            y, _ = self._jit_dec(self.params, z)
+            return y
+        caches = None
+        outs = []
+        for i in range(0, z.shape[1], latent_chunk):
+            y, caches = self._jit_dec_stream(
+                self.params, z[:, i:i + latent_chunk], caches)
+            outs.append(y)
+        return jnp.concatenate(outs, axis=1)
 
 
 # --------------------------------------------------------------------------

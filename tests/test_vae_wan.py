@@ -121,3 +121,18 @@ def test_converter_key_layout():
     mean, _ = vae.encode(x)
     y = vae.decode(mean)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_streamed_decode_equals_whole():
+    """Frame-streamed decode with carried causal caches == single-pass decode
+    (the official wan VAE's feat-cache loop semantics; also the only
+    HBM-feasible path at 480p x 81f)."""
+    cfg = WanVAEConfig.tiny()
+    vae = WanVAE(cfg, init_wan_vae_params(jax.random.PRNGKey(0), cfg))
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(1, 5, 6, 8, cfg.z_channels)),
+                    jnp.float32)
+    whole = vae.decode(z, latent_chunk=None)
+    for chunk in (1, 2, 3):
+        streamed = vae.decode(z, latent_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(streamed), np.asarray(whole),
+                                   rtol=1e-5, atol=1e-5)
