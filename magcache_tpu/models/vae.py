@@ -102,13 +102,17 @@ def causal_conv3d(x, w, b=None, stride=(1, 1, 1), tcache: Optional[jnp.ndarray] 
     """
     kt, kh, kw = w.shape[0], w.shape[1], w.shape[2]
     ph, pw_ = (kh - 1) // 2, (kw - 1) // 2
+    st = stride[0] if isinstance(stride, (tuple, list)) else stride
     if kt > 1:
         front = (jnp.repeat(x[:, :1], kt - 1, axis=1) if tcache is None
                  else tcache)
         stream = jnp.concatenate([front, x], axis=1)
-        # tail of the *padded* stream — correct even when a chunk is shorter
-        # than the receptive field
-        new_cache = stream[:, -(kt - 1):]
+        # the next chunk's first window starts right after the frames this
+        # call consumed (n_out windows of step ``st``) — for stride 1 that's
+        # the classic kt-1 tail; for strided convs it keeps the window phase
+        # aligned across chunks
+        n_out = (stream.shape[1] - kt) // st + 1
+        new_cache = stream[:, n_out * st:]
     else:
         stream, new_cache = x, None
     x_sp = jnp.pad(stream, ((0, 0), (0, 0), (ph, ph), (pw_, pw_), (0, 0)))

@@ -176,6 +176,7 @@ class WanVAE:
         self.cfg = cfg
         self.params = params
         self._jit_enc = jax.jit(self._encode_core)
+        self._jit_enc_stream = jax.jit(self._encode_core)
         self._jit_dec = jax.jit(lambda p, z: self._decode_core(p, z, None))
         self._jit_dec_stream = jax.jit(self._decode_core)
 
@@ -209,29 +210,66 @@ class WanVAE:
         a = a.reshape(b, t, h, w, c)
         return x + _conv2d_frames(a, p["proj"])
 
-    def _encode_core(self, params, x):
+    def _encode_core(self, params, x, caches=None):
+        """caches=None -> whole clip; else carried causal conv caches (the
+        official wan VAE's chunked encode: 1 pixel frame, then 4-frame
+        windows — strided time convs keep window phase via the stride-aware
+        cache rule in `causal_conv3d`)."""
         cfg, p = self.cfg, params["encoder"]
-        h, _ = causal_conv3d(x, p["conv1"]["w"], p["conv1"]["b"])
-        for lv in p["levels"]:
-            for bp in lv["blocks"]:
-                h = self._res(bp, h)
+        tc = caches or {}
+        nc = {}
+
+        def cc(name, x, cp, stride=(1, 1, 1)):
+            y, c = causal_conv3d(x, cp["w"], cp["b"], stride=stride,
+                                 tcache=tc.get(name))
+            nc[name] = c
+            return y
+
+        def rb(name, bp, h):
+            sub_out = {}
+            h = self._res(bp, h, tc.get(name), sub_out)
+            nc[name] = sub_out
+            return h
+
+        h = cc("conv1", x, p["conv1"])
+        for li, lv in enumerate(p["levels"]):
+            for bi, bp in enumerate(lv["blocks"]):
+                h = rb(f"l{li}b{bi}", bp, h)
             if lv["resample"] is not None:
                 h = _conv2d_frames(h, lv["resample"], stride=2, asym_pad=True)
                 if lv["time_conv"] is not None:
-                    tc = lv["time_conv"]
-                    h, _ = causal_conv3d(h, tc["w"], tc["b"], stride=(2, 1, 1))
-        h = self._res(p["mid"][0], h)
+                    h = cc(f"l{li}t", h, lv["time_conv"], stride=(2, 1, 1))
+        h = rb("mid0", p["mid"][0], h)
         h = self._attn(p["mid_attn"], h)
-        h = self._res(p["mid"][1], h)
+        h = rb("mid1", p["mid"][1], h)
         h = jax.nn.silu(channel_rms_norm(h, p["head_norm"], None, eps=cfg.eps))
-        h, _ = causal_conv3d(h, p["head"]["w"], p["head"]["b"])
+        h = cc("head", h, p["head"])
         q = params["quant"]
         h, _ = causal_conv3d(h, q["w"], q["b"])
         mean, logvar = jnp.split(h, 2, axis=-1)
-        return mean, logvar
+        return (mean, logvar), nc
 
-    def encode(self, x):
-        return self._jit_enc(self.params, x)
+    def encode(self, x, pixel_chunk: Optional[int] = 4):
+        """Encode pixels to (mean, logvar). Default streams the official wan
+        chunking — 1 frame, then ``pixel_chunk``-frame windows (each window a
+        multiple of the total temporal stride keeps every strided conv's
+        phase) — so 480p/720p clips fit HBM. ``pixel_chunk=None`` = one pass.
+        """
+        t_stride = 2 ** sum(self.cfg.temporal_down)
+        if pixel_chunk is None or x.shape[1] <= 1:
+            (mean, logvar), _ = self._jit_enc(self.params, x, None)
+            return mean, logvar
+        assert pixel_chunk % t_stride == 0, (pixel_chunk, t_stride)
+        caches = None
+        means, logvars = [], []
+        for i in [0] + list(range(1, x.shape[1], pixel_chunk)):
+            end = 1 if i == 0 else min(i + pixel_chunk, x.shape[1])
+            (m, lv_), caches = self._jit_enc_stream(
+                self.params, x[:, i:end], caches)
+            means.append(m)
+            logvars.append(lv_)
+        return (jnp.concatenate(means, axis=1),
+                jnp.concatenate(logvars, axis=1))
 
     def _decode_core(self, params, z, caches=None):
         """caches=None -> whole clip in one pass; else the carried causal

@@ -136,3 +136,19 @@ def test_streamed_decode_equals_whole():
         streamed = vae.decode(z, latent_chunk=chunk)
         np.testing.assert_allclose(np.asarray(streamed), np.asarray(whole),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_streamed_encode_equals_whole():
+    """Chunked encode (1 frame + stride-multiple windows, carried caches,
+    stride-phase-aware) == single-pass encode."""
+    cfg = WanVAEConfig.tiny()
+    vae = WanVAE(cfg, init_wan_vae_params(jax.random.PRNGKey(1), cfg))
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 9, 16, 16, 3)),
+                    jnp.float32)
+    m_whole, lv_whole = vae.encode(x, pixel_chunk=None)
+    for chunk in (2, 4):
+        m_s, lv_s = vae.encode(x, pixel_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_whole),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lv_s), np.asarray(lv_whole),
+                                   rtol=1e-5, atol=1e-5)
