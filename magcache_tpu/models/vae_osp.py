@@ -227,12 +227,139 @@ def _time_up2x(x):
     return x
 
 
+def _blend_v(a, b, ext):
+    """Linear top-blend of tile b's first ``ext`` rows with tile a's last
+    (ref blend_v, autoencoder_kl_open_sora_plan_v120.py:902-909); [B,T,H,W,C]."""
+    ext = min(a.shape[2], b.shape[2], ext)
+    if ext <= 0:
+        return b
+    w = (jnp.arange(ext, dtype=jnp.float32) / ext).reshape(1, 1, ext, 1, 1)
+    top = a[:, :, -ext:] * (1 - w) + b[:, :, :ext] * w
+    return jnp.concatenate([top, b[:, :, ext:]], axis=2)
+
+
+def _blend_h(a, b, ext):
+    ext = min(a.shape[3], b.shape[3], ext)
+    if ext <= 0:
+        return b
+    w = (jnp.arange(ext, dtype=jnp.float32) / ext).reshape(1, 1, 1, ext, 1)
+    left = a[:, :, :, -ext:] * (1 - w) + b[:, :, :, :ext] * w
+    return jnp.concatenate([left, b[:, :, :, ext:]], axis=3)
+
+
+def _t_chunks(t, size):
+    """[start, end) windows stepping ``size - 1`` with one-frame overlap
+    (ref tiled_decode/tiled_encode :943-954)."""
+    idx = list(range(0, t, size - 1))
+    if len(idx) == 1:
+        return [(0, t)]
+    se = [[idx[i], idx[i + 1] + 1] for i in range(len(idx) - 1)]
+    if se[-1][-1] > t:
+        se[-1][-1] = t
+    elif se[-1][-1] < t:
+        se.append([idx[-1], t])
+    return [tuple(p) for p in se]
+
+
 class OSPCausalVAE:
+    """Tiling thresholds/constants follow the reference
+    (``autoencoder_kl_open_sora_plan_v120.py:798-805``): sample tiles 256 px
+    (33 frames), latent tiles 256/2^(levels-1) (16 frames), overlap 0.125.
+    `encode`/`decode` auto-tile past the thresholds — required to fit one
+    chip's HBM at 480p+ clips — with the reference's linear seam blending.
+    """
+
     def __init__(self, cfg: OSPVAEConfig, params):
         self.cfg = cfg
         self.params = params
+        self.tile_sample_min_size = 256
+        self.tile_sample_min_size_t = 33
+        self.tile_latent_min_size = 256 // (2 ** (len(cfg.chs) - 1))
+        self.tile_latent_min_size_t = 16
+        self.tile_overlap_factor = 0.125
 
-    def encode(self, x):
+    def encode(self, x, use_tiling: Optional[bool] = None):
+        if use_tiling is None:
+            use_tiling = (x.shape[2] > self.tile_sample_min_size
+                          or x.shape[3] > self.tile_sample_min_size
+                          or x.shape[1] > self.tile_sample_min_size_t)
+        if use_tiling:
+            return self._tiled_encode(x)
+        return self._encode_one(x)
+
+    def _tiled_encode(self, x):
+        moments = []
+        for i, (s, e) in enumerate(_t_chunks(x.shape[1],
+                                             self.tile_sample_min_size_t)):
+            m = self._tiled_encode2d(x[:, s:e])
+            moments.append(m[:, 1:] if i else m)
+        mean, logvar = jnp.split(jnp.concatenate(moments, axis=1), 2, axis=-1)
+        return mean, logvar
+
+    def _tiled_encode2d(self, x):
+        ov = int(self.tile_sample_min_size * (1 - self.tile_overlap_factor))
+        ext = int(self.tile_latent_min_size * self.tile_overlap_factor)
+        lim = self.tile_latent_min_size - ext
+        rows = []
+        for i in range(0, x.shape[2], ov):
+            row = []
+            for j in range(0, x.shape[3], ov):
+                mean, logvar = self._encode_one(
+                    x[:, :, i:i + self.tile_sample_min_size,
+                      j:j + self.tile_sample_min_size])
+                row.append(jnp.concatenate([mean, logvar], axis=-1))
+            rows.append(row)
+        out_rows = []
+        for i, row in enumerate(rows):
+            out = []
+            for j, tile in enumerate(row):
+                if i > 0:
+                    tile = _blend_v(rows[i - 1][j], tile, ext)
+                if j > 0:
+                    tile = _blend_h(row[j - 1], tile, ext)
+                out.append(tile[:, :, :lim, :lim])
+            out_rows.append(jnp.concatenate(out, axis=3))
+        return jnp.concatenate(out_rows, axis=2)
+
+    def decode(self, z, use_tiling: Optional[bool] = None):
+        if use_tiling is None:
+            use_tiling = (z.shape[2] > self.tile_latent_min_size
+                          or z.shape[3] > self.tile_latent_min_size
+                          or z.shape[1] > self.tile_latent_min_size_t)
+        if not use_tiling:
+            return self._decode_one(z)
+        outs = []
+        for i, (s, e) in enumerate(_t_chunks(z.shape[1],
+                                             self.tile_latent_min_size_t)):
+            d = self._tiled_decode2d(z[:, s:e])
+            outs.append(d[:, 1:] if i else d)
+        return jnp.concatenate(outs, axis=1)
+
+    def _tiled_decode2d(self, z):
+        ov = int(self.tile_latent_min_size * (1 - self.tile_overlap_factor))
+        ext = int(self.tile_sample_min_size * self.tile_overlap_factor)
+        lim = self.tile_sample_min_size - ext
+        rows = []
+        for i in range(0, z.shape[2], ov):
+            row = []
+            for j in range(0, z.shape[3], ov):
+                row.append(self._decode_one(
+                    z[:, :, i:i + self.tile_latent_min_size,
+                      j:j + self.tile_latent_min_size]))
+            rows.append(row)
+        out_rows = []
+        for i, row in enumerate(rows):
+            out = []
+            for j, tile in enumerate(row):
+                if i > 0:
+                    tile = _blend_v(rows[i - 1][j], tile, ext)
+                if j > 0:
+                    tile = _blend_h(row[j - 1], tile, ext)
+                out.append(tile[:, :, :lim, :lim])
+            out_rows.append(jnp.concatenate(out, axis=3))
+        return jnp.concatenate(out_rows, axis=2)
+
+    def _encode_one(self, x):
         """pixels [B, T, H, W, 3] (T = 1 + 4k for the v1.2 config) ->
         (mean, logvar) at [B, 1+(T-1)/4, H/8, W/8, z]."""
         cfg, p = self.cfg, self.params["encoder"]
@@ -257,7 +384,7 @@ class OSPCausalVAE:
             h = _cconv(h, q["w"], q["b"])
         return jnp.split(h, 2, axis=-1)
 
-    def decode(self, z):
+    def _decode_one(self, z):
         cfg, p = self.cfg, self.params["decoder"]
         g = cfg.groups
         if cfg.use_quant_layer:

@@ -262,3 +262,61 @@ def test_osp_time_blocks_match_torch_oracle():
     j_up = np.asarray(_time_up2x(jnp.asarray(x.transpose(0, 2, 3, 4, 1))))
     np.testing.assert_allclose(j_up, t_up.transpose(0, 2, 3, 4, 1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_decode_shape_and_seam_blend():
+    """Reference-style spatial tiling + temporal chunking
+    (autoencoder_kl_open_sora_plan_v120.py:798-1030): output shape matches
+    the whole-pass decode; identical tiles blend to identity."""
+    from magcache_tpu.models.vae_osp import _blend_h, _blend_v, _t_chunks
+
+    cfg = OSPVAEConfig.tiny()
+    vae = OSPCausalVAE(cfg, init_osp_vae_params(jax.random.PRNGKey(0), cfg))
+    # toy tiling constants keeping the reference's exactness identity
+    # row_limit == overlap * scale (true for the published 256/0.125 pair)
+    vae.tile_latent_min_size = 8
+    vae.tile_sample_min_size = 8 * 2 ** (len(cfg.chs) - 1)
+    vae.tile_latent_min_size_t = 3
+    vae.tile_sample_min_size_t = 5
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(1, 5, 16, 16, cfg.z_channels)),
+                    jnp.float32)
+    whole = vae.decode(z, use_tiling=False)
+    tiled = vae.decode(z, use_tiling=True)
+    assert tiled.shape == whole.shape
+    assert np.isfinite(np.asarray(tiled)).all()
+
+    # when the overlap regions agree, blending leaves tile b unchanged
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.normal(size=(1, 2, 6, 6, 3)), jnp.float32)
+    bv = jnp.concatenate([a[:, :, -3:],
+                          jnp.asarray(rng.normal(size=(1, 2, 3, 6, 3)),
+                                      jnp.float32)], axis=2)
+    np.testing.assert_allclose(np.asarray(_blend_v(a, bv, 3)),
+                               np.asarray(bv), atol=1e-6)
+    bh = jnp.concatenate([a[:, :, :, -3:],
+                          jnp.asarray(rng.normal(size=(1, 2, 6, 3, 3)),
+                                      jnp.float32)], axis=3)
+    np.testing.assert_allclose(np.asarray(_blend_h(a, bh, 3)),
+                               np.asarray(bh), atol=1e-6)
+    # temporal chunking covers [0, t) with 1-frame overlaps
+    se = _t_chunks(9, 3)
+    assert se[0][0] == 0 and se[-1][1] == 9
+    for (s0, e0), (s1, e1) in zip(se, se[1:]):
+        assert s1 == e0 - 1
+
+
+def test_tiled_encode_shape():
+    cfg = OSPVAEConfig.tiny()
+    vae = OSPCausalVAE(cfg, init_osp_vae_params(jax.random.PRNGKey(1), cfg))
+    vae.tile_latent_min_size = 8
+    vae.tile_sample_min_size = 8 * 2 ** (len(cfg.chs) - 1)
+    vae.tile_latent_min_size_t = 3
+    vae.tile_sample_min_size_t = 5
+    x = jnp.asarray(np.random.default_rng(2).normal(
+        size=(1, 9, vae.tile_sample_min_size * 2, vae.tile_sample_min_size * 2, 3)),
+        jnp.float32)
+    m_whole, _ = vae.encode(x, use_tiling=False)
+    m_tiled, lv_tiled = vae.encode(x, use_tiling=True)
+    assert m_tiled.shape == m_whole.shape
+    assert lv_tiled.shape == m_whole.shape
+    assert np.isfinite(np.asarray(m_tiled)).all()
