@@ -47,9 +47,12 @@ class WanVAEConfig:
     num_res_blocks: int = 2
     temporal_down: Tuple[bool, ...] = (False, True, True)  # per transition
     eps: float = 1e-6
-    # latent normalization (the published per-channel mean/std live in the
-    # checkpoint loader; identity by default)
+    # latent normalization (the published per-channel mean/std vectors are
+    # hard-coded in the official wan/modules/vae.py source, NOT the .pth —
+    # set them here when transcribing from the wan package; identity default)
     latent_scale: float = 1.0
+    latent_mean: Optional[Tuple[float, ...]] = None   # len z_channels
+    latent_std: Optional[Tuple[float, ...]] = None
 
     def tiny(**kw):
         d = dict(base=8, dim_mult=(1, 2), num_res_blocks=1,
@@ -258,7 +261,7 @@ class WanVAE:
         t_stride = 2 ** sum(self.cfg.temporal_down)
         if pixel_chunk is None or x.shape[1] <= 1:
             (mean, logvar), _ = self._jit_enc(self.params, x, None)
-            return mean, logvar
+            return self._normalize(mean), logvar
         assert pixel_chunk % t_stride == 0, (pixel_chunk, t_stride)
         caches = None
         means, logvars = [], []
@@ -268,8 +271,28 @@ class WanVAE:
                 self.params, x[:, i:end], caches)
             means.append(m)
             logvars.append(lv_)
-        return (jnp.concatenate(means, axis=1),
+        return (self._normalize(jnp.concatenate(means, axis=1)),
                 jnp.concatenate(logvars, axis=1))
+
+    def _normalize(self, z):
+        """(z - mean) / std, the official wan latent normalization (vectors
+        from the wan source; identity when unset)."""
+        cfg = self.cfg
+        if cfg.latent_mean is None and cfg.latent_std is None \
+                and cfg.latent_scale == 1.0:
+            return z
+        mean = jnp.asarray(cfg.latent_mean or (0.0,) * z.shape[-1])
+        std = jnp.asarray(cfg.latent_std or (1.0,) * z.shape[-1])
+        return (z - mean) / (std * cfg.latent_scale)
+
+    def _denormalize(self, z):
+        cfg = self.cfg
+        if cfg.latent_mean is None and cfg.latent_std is None \
+                and cfg.latent_scale == 1.0:
+            return z
+        mean = jnp.asarray(cfg.latent_mean or (0.0,) * z.shape[-1])
+        std = jnp.asarray(cfg.latent_std or (1.0,) * z.shape[-1])
+        return z * (std * cfg.latent_scale) + mean
 
     def _decode_core(self, params, z, caches=None):
         """caches=None -> whole clip in one pass; else the carried causal
@@ -328,6 +351,7 @@ class WanVAE:
         and the only way 480p x 81-frame decodes fit one chip's HBM (whole-
         clip decode allocates >17 GB). ``latent_chunk=None`` runs the single
         whole-clip program (small clips / tests)."""
+        z = self._denormalize(z)
         if latent_chunk is None or z.shape[1] <= latent_chunk:
             y, _ = self._jit_dec(self.params, z)
             return y

@@ -152,3 +152,27 @@ def test_streamed_encode_equals_whole():
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(lv_s), np.asarray(lv_whole),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_latent_normalization_roundtrip():
+    """(z - mean)/std on encode, inverse on decode — identity when unset."""
+    import dataclasses as dc
+    cfg = WanVAEConfig.tiny()
+    params = init_wan_vae_params(jax.random.PRNGKey(2), cfg)
+    zc = cfg.z_channels
+    norm_cfg = dc.replace(cfg, latent_mean=tuple(0.1 * i for i in range(zc)),
+                          latent_std=tuple(1.0 + 0.05 * i for i in range(zc)))
+    plain, normed = WanVAE(cfg, params), WanVAE(norm_cfg, params)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(1, 5, 16, 16, 3)),
+                    jnp.float32)
+    m0, _ = plain.encode(x, pixel_chunk=None)
+    m1, _ = normed.encode(x, pixel_chunk=None)
+    mean = np.asarray(norm_cfg.latent_mean)
+    std = np.asarray(norm_cfg.latent_std)
+    np.testing.assert_allclose(np.asarray(m1), (np.asarray(m0) - mean) / std,
+                               rtol=1e-5, atol=1e-5)
+    # decode undoes it: same pixels from the respective latents
+    y0 = plain.decode(m0, latent_chunk=None)
+    y1 = normed.decode(m1, latent_chunk=None)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-4, atol=1e-5)
