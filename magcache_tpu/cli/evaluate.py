@@ -48,12 +48,15 @@ def _self_check(args) -> dict:
 
     outs = {}
     times = {}
-    for variant in ("full", "magcache"):
+    params = None
+    for variant in ("full", "magcache", "teacache"):
         cfg = WanPipelineConfig(
             task="t2v", tiny=True, size=(64, 64), frame_num=9,
             sample_steps=args.steps, sample_solver="unipc", dtype="float32",
-            use_magcache=(variant == "magcache"))
-        pipe = WanPipeline(cfg)
+            use_magcache=(variant == "magcache"),
+            enable_teacache=(variant == "teacache"))
+        pipe = WanPipeline(cfg, params=params)
+        params = pipe.params                      # share weights across runs
         t0 = time.time()
         out = pipe.generate("a calico cat on a windowsill", seed=args.seed)
         times[variant] = time.time() - t0
@@ -61,13 +64,14 @@ def _self_check(args) -> dict:
         lo, hi = lat.min(), lat.max()
         outs[variant] = ((lat[..., :3] - lo) / max(hi - lo, 1e-8)).astype(np.float32)
 
-    metrics = compare_videos(outs["magcache"], outs["full"],
-                             metrics=("psnr", "ssim"))
     return {
         "mode": "tiny-self-consistency (random init; structural gate only)",
         "steps": args.steps,
         "seed": args.seed,
-        "metrics_magcache_vs_full": metrics,
+        "metrics_magcache_vs_full": compare_videos(
+            outs["magcache"], outs["full"], metrics=("psnr", "ssim")),
+        "metrics_teacache_vs_full": compare_videos(
+            outs["teacache"], outs["full"], metrics=("psnr", "ssim")),
         "seconds": times,
     }
 
