@@ -44,8 +44,31 @@ AXIS_DP, AXIS_SP, AXIS_TP = "dp", "sp", "tp"
 
 __all__ = [
     "AXIS_DP", "AXIS_SP", "AXIS_TP", "MeshPlan", "build_mesh", "use_mesh",
-    "maybe_shard", "shard_params", "activation_sharding",
+    "maybe_shard", "shard_params", "activation_sharding", "init_distributed",
 ]
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up — the TPU translation of the reference's NCCL
+    rendezvous (``torch.distributed.init_process_group`` at
+    ``videosys/core/parallel_mgr.py:37-51`` / ``mp_utils.py:32-48`` TCP-store
+    port haggling). On TPU pods `jax.distributed.initialize()` reads the
+    runtime environment (no args needed under standard launchers); explicit
+    coordinator args cover bare-metal launches. Safe to call single-host
+    (no-op). Returns the global device count; after this, `build_mesh` over
+    `jax.devices()` spans all hosts and pjit emits ICI/DCN collectives."""
+    if num_processes is not None and num_processes > 1 or coordinator_address:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    else:
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError):
+            pass    # single-process / no cluster env: local devices only
+    return len(jax.devices())
 
 
 def build_mesh(dp: int = 1, sp: int = 1, tp: int = 1,
