@@ -50,6 +50,33 @@ def build_parser() -> argparse.ArgumentParser:
                    help="VACE conditioning video .npy [F, H, W, 3] in [0,1]")
     p.add_argument("--src_mask", default=None,
                    help="VACE mask .npy [F, H, W] in [0,1]")
+    p.add_argument("--src_ref_images", default=None,
+                   help="vace R2V: comma-separated reference image paths "
+                        "(magcache_generate.py:1096; prepended latent frames, "
+                        "trimmed after sampling)")
+    # reference-CLI compatibility aliases (torch memory/FSDP management —
+    # no-ops under the single-controller TPU runtime: weights are already
+    # mesh-sharded via --tp/--sp, and there is no host<->device offload cycle)
+    p.add_argument("--t5_fsdp", action="store_true",
+                   help="accepted for parity; T5 shards over the mesh instead")
+    p.add_argument("--dit_fsdp", action="store_true",
+                   help="accepted for parity; DiT shards over the mesh instead")
+    p.add_argument("--offload_model", type=str, default=None,
+                   help="accepted for parity; no host offload cycle on TPU")
+    p.add_argument("--t5_cpu", action="store_true",
+                   help="accepted for parity; no-op")
+    p.add_argument("--use_prompt_extend", action="store_true",
+                   help="extend the prompt with a local HF causal-LM "
+                        "(--prompt_extend_model); falls back to the raw "
+                        "prompt when unavailable (reference falls back too, "
+                        "magcache_generate.py:956-976)")
+    p.add_argument("--prompt_extend_model", default=None,
+                   help="local HF dir for the prompt expander LM")
+    p.add_argument("--prompt_extend_method", default="local_qwen",
+                   help="accepted for parity (dashscope needs egress; only "
+                        "local_qwen is meaningful here)")
+    p.add_argument("--prompt_extend_target_lang", default="en",
+                   help="accepted for parity")
     p.add_argument("--first_frame", default=None,
                    help="flf2v: first-frame image (png/jpg/npy)")
     p.add_argument("--last_frame", default=None,
@@ -147,9 +174,41 @@ def _wan_pipeline(args):
                          else 0.2),
         use_ret_steps=getattr(args, "use_ret_steps", False),
         dtype=args.dtype, dp=args.dp, sp=args.sp, tp=args.tp,
-        ckpt_dir=args.ckpt_dir, clip_ckpt=args.clip_ckpt, tiny=args.tiny,
+        ckpt_dir=args.ckpt_dir, clip_ckpt=args.clip_ckpt,
+        vace_ref_images=(len(args.src_ref_images.split(","))
+                         if getattr(args, "src_ref_images", None) else 0),
+        tiny=args.tiny,
     )
     return WanPipeline(cfg), cfg
+
+
+def _extend_prompt(args):
+    """Local prompt expansion (reference --use_prompt_extend flow,
+    magcache_generate.py:956-976 — dashscope/local_qwen expander with
+    fall-back to the raw prompt on failure; only the local path is possible
+    in a zero-egress environment)."""
+    if not getattr(args, "use_prompt_extend", False):
+        return
+    if not args.prompt_extend_model:
+        print("WARNING: --use_prompt_extend needs --prompt_extend_model "
+              "(local HF dir); keeping the original prompt.")
+        return
+    try:
+        from transformers import AutoModelForCausalLM, AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(args.prompt_extend_model)
+        model = AutoModelForCausalLM.from_pretrained(args.prompt_extend_model)
+        ask = (f"Rewrite and enrich this video prompt in "
+               f"{args.prompt_extend_target_lang}, adding vivid visual "
+               f"detail. Reply with the prompt only.\n{args.prompt}")
+        ids = tok(ask, return_tensors="pt")
+        out = model.generate(**ids, max_new_tokens=256)
+        ext = tok.decode(out[0][ids["input_ids"].shape[1]:],
+                         skip_special_tokens=True).strip()
+        if ext:
+            print(f"prompt extended: {ext}")
+            args.prompt = ext
+    except Exception as e:      # reference logs + falls back (:961-968)
+        print(f"Extending prompt failed: {e}. Falling back to original.")
 
 
 def _load_ratios(args):
@@ -420,7 +479,10 @@ def main(argv=None):
     if args.vae_ckpt:
         if not hasattr(pipe, "vae"):
             raise SystemExit(f"--vae_ckpt: task {args.task} has no VAE slot")
-        if args.task.startswith(("t2v", "t2i", "i2v", "flf2v", "ti2v", "vace")):
+        if args.task.startswith(("t2v", "t2i", "i2v", "flf2v", "ti2v", "vace",
+                                 "qwen")):
+            # qwen-image ships the Wan-lineage 3-D causal VAE applied to
+            # single-frame video (diffusers AutoencoderKLQwenImage)
             from magcache_tpu.models.vae_wan import load_wan_vae_checkpoint
             pipe.vae = load_wan_vae_checkpoint(args.vae_ckpt)
         elif args.task.startswith("cogvideox"):
@@ -443,6 +505,7 @@ def main(argv=None):
                 SDVAE, load_sd_vae_checkpoint)
             vcfg, vparams = load_sd_vae_checkpoint(args.vae_ckpt)
             pipe.vae = SDVAE(vcfg, vparams)
+    _extend_prompt(args)
     gen_kwargs = {}
     if args.image:
         gen_kwargs["image"] = _load_image(args.image)
@@ -450,6 +513,9 @@ def main(argv=None):
         gen_kwargs["image"] = _load_image(args.first_frame)
     if getattr(args, "last_frame", None):
         gen_kwargs["last_image"] = _load_image(args.last_frame)
+    if getattr(args, "src_ref_images", None) and args.task.startswith("vace"):
+        gen_kwargs["src_ref_images"] = [
+            _load_image(p) for p in args.src_ref_images.split(",")]
     if args.src_video:
         gen_kwargs["src_video"] = np.load(args.src_video)
     if args.src_mask:

@@ -92,6 +92,7 @@ class WanPipelineConfig:
     # calibrate -> paste-constants loop without editing code
     mag_ratios_override: Optional[tuple] = None
     clip_ckpt: Optional[str] = None      # CLIP vision tower weights (i2v)
+    vace_ref_images: int = 0             # VACE R2V: # reference images
     tiny: bool = False                   # toy-size model for smoke runs
 
     def model_config(self) -> WanConfig:
@@ -127,6 +128,10 @@ class WanPipelineConfig:
     def latent_grid(self) -> Tuple[int, int, int]:
         w, h = self.size
         f = (self.frame_num - 1) // VAE_STRIDE[0] + 1
+        if self.task == "vace":
+            # R2V reference images ride as prepended latent frames, trimmed
+            # after sampling (wan VACE's trim_video_latent convention)
+            f += self.vace_ref_images
         return (f, h // VAE_STRIDE[1], w // VAE_STRIDE[2])
 
     @property
@@ -470,7 +475,8 @@ class WanPipeline(BasePipeline):
         y = jnp.concatenate([msk, mean.astype(jnp.float32)], axis=-1)
         return y, clip_fea
 
-    def encode_vace(self, src_video=None, src_mask=None) -> jnp.ndarray:
+    def encode_vace(self, src_video=None, src_mask=None,
+                    src_ref_images=None) -> jnp.ndarray:
         """Build the 96-channel VACE conditioning context
         (reference: wan.WanVace.prepare_source + vace_encode_frames/
         vace_latent, driven from ``magcache_generate.py:1091-1155``):
@@ -478,40 +484,71 @@ class WanPipeline(BasePipeline):
         video halves (16 + 16 ch) + the 8x8 space-to-depth mask (64 ch).
 
         src_video: [F, H, W, 3] in [0, 1] (None -> zeros: pure generation);
-        src_mask:  [F, H, W] in [0, 1] (None -> ones: edit everywhere).
+        src_mask:  [F, H, W] in [0, 1] (None -> ones: edit everywhere);
+        src_ref_images: list of [H, W, 3] R2V reference images — each is
+        VAE-encoded as a 1-frame clip and PREPENDED on the latent time axis
+        (inactive stream; reactive and mask streams get zeros there), and the
+        sampled video carries the extra leading frames until the post-sample
+        trim (the wan VACE vace_encode_frames/masks + trim convention).
         """
-        lf, lh, lw, _ = self.latent_shape
-        if src_video is None:
-            return jnp.zeros((1, lf, lh, lw, 96), jnp.float32)
+        lf_tot, lh, lw, _ = self.latent_shape
+        n_ref = self.config.vace_ref_images
+        assert n_ref == len(src_ref_images or []), (
+            f"config.vace_ref_images={n_ref} but "
+            f"{len(src_ref_images or [])} reference images supplied")
+        lf = lf_tot - n_ref
         import numpy as _np
 
-        _, vae = self._i2v_encoders()
-        w, h = self.config.size
-        vid = jnp.asarray(_np.asarray(src_video, _np.float32))[None]
-        vid = jax.image.resize(vid, (1, self.config.frame_num, h, w, 3),
-                               method="bicubic")
-        vid = jnp.clip(vid, 0.0, 1.0) * 2.0 - 1.0
-        if src_mask is None:
-            m = jnp.ones((1, self.config.frame_num, h, w, 1), jnp.float32)
+        if src_video is None:
+            ctx = jnp.zeros((1, lf, lh, lw, 96), jnp.float32)
         else:
-            m = jnp.asarray(_np.asarray(src_mask, _np.float32))[None, ..., None]
-            m = jax.image.resize(m, (1, self.config.frame_num, h, w, 1),
-                                 method="nearest")
-        inactive, _ = vae.encode(vid * (1.0 - m))
-        reactive, _ = vae.encode(vid * m)
-        # mask -> latent frames (nearest temporal), 8x8 space-to-depth
-        m_lat = jax.image.resize(m[..., 0], (1, lf, lh * 8, lw * 8), "nearest")
-        m_lat = m_lat.reshape(1, lf, lh, 8, lw, 8)
-        m_lat = m_lat.transpose(0, 1, 2, 4, 3, 5).reshape(1, lf, lh, lw, 64)
-        return jnp.concatenate(
-            [inactive.astype(jnp.float32), reactive.astype(jnp.float32),
-             m_lat], axis=-1)
+            _, vae = self._i2v_encoders()
+            w, h = self.config.size
+            vid = jnp.asarray(_np.asarray(src_video, _np.float32))[None]
+            vid = jax.image.resize(vid, (1, self.config.frame_num, h, w, 3),
+                                   method="bicubic")
+            vid = jnp.clip(vid, 0.0, 1.0) * 2.0 - 1.0
+            if src_mask is None:
+                m = jnp.ones((1, self.config.frame_num, h, w, 1), jnp.float32)
+            else:
+                m = jnp.asarray(_np.asarray(src_mask, _np.float32))[None, ..., None]
+                m = jax.image.resize(m, (1, self.config.frame_num, h, w, 1),
+                                     method="nearest")
+            inactive, _ = vae.encode(vid * (1.0 - m))
+            reactive, _ = vae.encode(vid * m)
+            # mask -> latent frames (nearest temporal), 8x8 space-to-depth
+            m_lat = jax.image.resize(m[..., 0], (1, lf, lh * 8, lw * 8),
+                                     "nearest")
+            m_lat = m_lat.reshape(1, lf, lh, 8, lw, 8)
+            m_lat = m_lat.transpose(0, 1, 2, 4, 3, 5).reshape(1, lf, lh, lw, 64)
+            ctx = jnp.concatenate(
+                [inactive.astype(jnp.float32), reactive.astype(jnp.float32),
+                 m_lat], axis=-1)
+        if n_ref:
+            _, vae = self._i2v_encoders()
+            w, h = self.config.size
+            refs = []
+            for img in src_ref_images:
+                img = _np.asarray(img)
+                if img.dtype == _np.uint8:
+                    img = img.astype(_np.float32) / 255.0
+                r = jax.image.resize(jnp.asarray(img, jnp.float32)[None],
+                                     (1, h, w, 3), method="bicubic")
+                r = jnp.clip(r, 0.0, 1.0) * 2.0 - 1.0
+                rl, _ = vae.encode(r[:, None])        # 1-frame clip
+                refs.append(rl[:, :1].astype(jnp.float32))
+            ref_lat = jnp.concatenate(refs, axis=1)   # [1, n_ref, lh, lw, 16]
+            ref_ctx = jnp.concatenate(
+                [ref_lat, jnp.zeros((1, n_ref, lh, lw, 80), jnp.float32)],
+                axis=-1)
+            ctx = jnp.concatenate([ref_ctx, ctx], axis=1)
+        return ctx
 
     def generate(self, prompt: str, negative_prompt: str = DEFAULT_NEGATIVE,
                  seed: int = 0, image=None, last_image=None,
                  image_latents: Optional[jnp.ndarray] = None,
                  clip_features: Optional[jnp.ndarray] = None,
-                 src_video=None, src_mask=None,
+                 src_video=None, src_mask=None, src_ref_images=None,
                  vace_context: Optional[jnp.ndarray] = None) -> PipelineOutput:
         t0 = time.time()
         ctx = self.text_encoder([prompt, negative_prompt])  # [2, L, 4096]
@@ -532,7 +569,8 @@ class WanPipeline(BasePipeline):
             cond["clip_fea"] = jnp.concatenate([clip_features] * 2, axis=0)
         if self.config.task == "vace":
             if vace_context is None:
-                vace_context = self.encode_vace(src_video, src_mask)
+                vace_context = self.encode_vace(src_video, src_mask,
+                                                src_ref_images)
             cond["vace_context"] = jnp.concatenate([vace_context] * 2, axis=0)
 
         noise_key = set_seed(seed)
@@ -568,6 +606,9 @@ class WanPipeline(BasePipeline):
         else:
             latents = out
         latents.block_until_ready()
+        if self.config.task == "vace" and self.config.vace_ref_images:
+            # drop the prepended reference frames (wan VACE trim_video_latent)
+            latents = latents[:, self.config.vace_ref_images:]
         timings = {"total_s": time.time() - t0}
 
         video = None

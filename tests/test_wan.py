@@ -183,3 +183,35 @@ def test_vace_pipeline_generate_with_src_video():
     out2 = np.asarray(pipe.generate("edit the sky", seed=0).latents)  # zeros ctx
     assert np.isfinite(out1).all()
     assert np.abs(out1 - out2).max() > 1e-6
+
+
+def test_vace_r2v_reference_images():
+    """VACE R2V (--src_ref_images, magcache_generate.py:1096): reference
+    images become prepended latent frames (inactive stream; zero reactive +
+    mask), the sampled grid grows by n_ref, and the output is trimmed back
+    to the requested frame count."""
+    from magcache_tpu.pipelines.wan import WanPipeline, WanPipelineConfig
+
+    cfg = WanPipelineConfig(task="vace", tiny=True, size=(64, 32), frame_num=9,
+                            sample_steps=2, sample_solver="euler",
+                            dtype="float32", vace_ref_images=2)
+    pipe = WanPipeline(cfg)
+    rng = np.random.default_rng(1)
+    refs = [rng.random((20, 30, 3)).astype(np.float32) for _ in range(2)]
+    vid = rng.random((9, 24, 40, 3)).astype(np.float32)
+
+    vc = pipe.encode_vace(vid, None, refs)
+    lf, lh, lw, _ = pipe.latent_shape          # includes the 2 ref frames
+    assert vc.shape == (1, lf, lh, lw, 96)
+    # ref rows: zeros in reactive(16:32) and mask(32:) channels
+    assert np.asarray(vc[:, :2, :, :, 16:]).max() == 0.0
+    assert np.abs(np.asarray(vc[:, :2, :, :, :16])).max() > 0.0
+
+    out = pipe.generate("restyle like the refs", seed=0, src_video=vid,
+                        src_ref_images=refs)
+    lat = np.asarray(out.latents)
+    assert lat.shape[1] == lf - 2              # trimmed
+    assert np.isfinite(lat).all()
+
+    with pytest.raises(AssertionError):
+        pipe.encode_vace(vid, None, None)      # count mismatch vs config
