@@ -105,6 +105,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_ret_steps", action="store_true",
                    help="retention-steps TeaCache variant: e0 signal + "
                         "longer forced warmup (wan_teacache.py:759-762)")
+    p.add_argument("--negative_prompt", default=None,
+                   help="negative prompt (omnigen2 surface; other pipelines "
+                        "use their reference default)")
+    p.add_argument("--text_guidance_scale", type=float, default=None,
+                   help="omnigen2 text CFG scale (inference.py)")
+    p.add_argument("--image_guidance_scale", type=float, default=None,
+                   help="omnigen2 image CFG scale")
+    p.add_argument("--cfg_range_start", type=float, default=None,
+                   help="omnigen2 step-fraction window start for guidance")
+    p.add_argument("--cfg_range_end", type=float, default=None,
+                   help="omnigen2 step-fraction window end for guidance")
+    p.add_argument("--teacache_rel_l1_thresh", type=float, default=None,
+                   help="omnigen2 alias for the TeaCache threshold")
+    p.add_argument("--convert_model_dtype", action="store_true",
+                   help="accepted for parity (Wan2.2 flag); --dtype governs")
     p.add_argument("--enable_taylorseer", action="store_true",
                    help="TaylorSeer forecasting comparator (omnigen2 task; "
                         "mutually exclusive with --use_magcache, reference "
@@ -400,6 +415,18 @@ def _omnigen2_pipeline(args):
               dtype=args.dtype, tiny=args.tiny)
     if getattr(args, "teacache_thresh", None) is not None:
         kw["teacache_thresh"] = args.teacache_thresh
+    if getattr(args, "teacache_rel_l1_thresh", None) is not None:
+        # reference flag name (OmniGen2 inference.py --teacache_rel_l1_thresh)
+        kw["teacache_thresh"] = args.teacache_rel_l1_thresh
+    if getattr(args, "text_guidance_scale", None) is not None:
+        kw["text_guidance_scale"] = args.text_guidance_scale
+    if getattr(args, "image_guidance_scale", None) is not None:
+        kw["image_guidance_scale"] = args.image_guidance_scale
+    if (getattr(args, "cfg_range_start", None) is not None
+            or getattr(args, "cfg_range_end", None) is not None):
+        lo = args.cfg_range_start if args.cfg_range_start is not None else 0.0
+        hi = args.cfg_range_end if args.cfg_range_end is not None else 1.0
+        kw["cfg_range"] = (lo, hi)
     if kw["enable_taylorseer"] and kw["enable_teacache"]:
         # reference warning verbatim semantics (inference.py:208-212)
         print("WARNING: enable_teacache and enable_taylorseer are mutually "
@@ -507,6 +534,9 @@ def main(argv=None):
             pipe.vae = SDVAE(vcfg, vparams)
     _extend_prompt(args)
     gen_kwargs = {}
+    if getattr(args, "negative_prompt", None) is not None \
+            and args.task.startswith("omnigen2"):
+        gen_kwargs["negative_prompt"] = args.negative_prompt
     if args.image:
         gen_kwargs["image"] = _load_image(args.image)
     if getattr(args, "first_frame", None):
