@@ -120,6 +120,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="omnigen2 alias for the TeaCache threshold")
     p.add_argument("--convert_model_dtype", action="store_true",
                    help="accepted for parity (Wan2.2 flag); --dtype governs")
+    # HunyuanVideo reference surface (magcache_sample_video.py / hyvideo args)
+    p.add_argument("--video_size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="hunyuan alias: height width (maps to --size W*H)")
+    p.add_argument("--video_length", type=int, default=None,
+                   help="hunyuan alias for --frame_num")
+    p.add_argument("--infer_steps", type=int, default=None,
+                   help="hunyuan alias for --sample_steps")
+    p.add_argument("--neg_prompt", default=None,
+                   help="hunyuan alias for --negative_prompt")
+    p.add_argument("--cfg_scale", type=float, default=None,
+                   help="hunyuan classifier-free guidance scale (1.0 on the "
+                        "distilled model = disabled, the reference default)")
+    p.add_argument("--embedded_cfg_scale", type=float, default=None,
+                   help="hunyuan embedded (distilled) guidance scale")
+    p.add_argument("--flow_shift", type=float, default=None,
+                   help="hunyuan flow-match shift (alias of --sample_shift "
+                        "for the hunyuan/framepack tasks)")
+    p.add_argument("--save_path", default=None,
+                   help="alias for --save_file")
     p.add_argument("--enable_taylorseer", action="store_true",
                    help="TaylorSeer forecasting comparator (omnigen2 task; "
                         "mutually exclusive with --use_magcache, reference "
@@ -280,19 +300,31 @@ def _hunyuan_pipeline(args):
         FramePackPipeline,
         FramePackPipelineConfig,
     )
-    w, h = (int(v) for v in args.size.split("*"))
+    if getattr(args, "video_size", None):
+        h, w = args.video_size          # hyvideo orders height width
+    else:
+        w, h = (int(v) for v in args.size.split("*"))
+    frame_num = args.video_length or args.frame_num
+    steps = args.infer_steps or args.sample_steps
     is_fp = args.task.startswith("framepack")
     if args.tiny:
         w = h = 64 if is_fp else 32     # pyramid needs 64-divisible sizes
     preset = "hunyuanvideo-720p" if h >= 700 else "hunyuanvideo-544p"
+    guidance = args.sample_guide_scale
+    if getattr(args, "embedded_cfg_scale", None) is not None:
+        guidance = args.embedded_cfg_scale
+    kw = {}
+    if getattr(args, "flow_shift", None) is not None:
+        kw["flow_shift"] = args.flow_shift
     cfg = FramePackPipelineConfig(
         model=preset if not is_fp else args.task,
         height=h, width=w,
         pyramid=is_fp,                   # plain Hunyuan has no clean pyramid
-        latent_window_size=2 if args.tiny else (args.frame_num - 1) // 4 + 1,
+        latent_window_size=2 if args.tiny else (frame_num - 1) // 4 + 1,
         total_sections=1 if not is_fp else 5,
-        steps=args.sample_steps or 50,
-        guidance=args.sample_guide_scale,
+        steps=steps or 50,
+        guidance=guidance,
+        **kw,
         txt_len=8 if args.tiny else 256,
         use_magcache=args.use_magcache,
         magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
@@ -463,6 +495,16 @@ def _load_image(path: str) -> np.ndarray:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if getattr(args, "save_path", None) and not args.save_file:
+        args.save_file = args.save_path
+    if getattr(args, "neg_prompt", None) is not None \
+            and args.negative_prompt is None:
+        args.negative_prompt = args.neg_prompt
+    if getattr(args, "cfg_scale", None) not in (None, 1.0):
+        print("WARNING: --cfg_scale != 1.0 requires an undistilled Hunyuan "
+              "model; the MagCache adapter (and this port) run the distilled "
+              "single-forward path (magcache_sample_video.py:29-158). "
+              "Use --embedded_cfg_scale to steer.")
     if args.ulysses_size:
         args.sp = args.ulysses_size
     if args.ring_size:

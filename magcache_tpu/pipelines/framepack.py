@@ -58,7 +58,8 @@ class FramePackPipelineConfig:
     pyramid: bool = True                  # clean-latent pyramid (reference)
     total_sections: int = 5
     steps: int = 25
-    guidance: float = 10.0
+    guidance: float = 10.0                # embedded (distilled) cfg scale
+    flow_shift: float = 7.0               # hyvideo --flow-shift default
     txt_len: int = 64
     use_magcache: bool = False
     magcache_thresh: Optional[float] = None
@@ -125,7 +126,7 @@ class FramePackPipeline(BasePipeline):
         if pad in self._section_fn:
             return self._section_fn[pad]
         c = self.config
-        sch = FlowMatchSchedule.create(c.steps, shift=7.0)
+        sch = FlowMatchSchedule.create(c.steps, shift=c.flow_shift)
         dts = np.diff(sch.sigmas)
         cache_cfg = None
         tea = None

@@ -1,0 +1,85 @@
+"""Reference CLI flag-surface parity: alias flags map onto the same config
+fields the canonical flags drive (no generation — parser + config wiring only).
+
+Reference surfaces covered:
+- HunyuanVideo hyvideo args (magcache_sample_video.py): --video_size H W,
+  --video_length, --infer_steps, --neg_prompt, --cfg_scale,
+  --embedded_cfg_scale, --flow_shift, --save_path
+- OmniGen2 inference.py: --negative_prompt, --text_guidance_scale,
+  --image_guidance_scale, --cfg_range_start/end, --teacache_rel_l1_thresh
+"""
+
+from magcache_tpu.cli.generate import (
+    _hunyuan_pipeline,
+    _omnigen2_pipeline,
+    build_parser,
+)
+
+
+def _parse(argv):
+    return build_parser().parse_args(argv)
+
+
+def test_hunyuan_alias_flags_map_to_config():
+    args = _parse([
+        "--task", "hunyuanvideo", "--tiny", "--prompt", "x",
+        "--video_size", "544", "960", "--video_length", "129",
+        "--infer_steps", "30", "--embedded_cfg_scale", "6.0",
+        "--flow_shift", "9.0",
+    ])
+    pipe, cfg = _hunyuan_pipeline(args)
+    assert cfg.steps == 30
+    assert cfg.guidance == 6.0
+    assert cfg.flow_shift == 9.0
+    # tiny clamps the spatial size; non-tiny path maps H W -> height/width
+    args2 = _parse([
+        "--task", "hunyuanvideo", "--prompt", "x",
+        "--video_size", "544", "960",
+    ])
+    # build only the config fields we care about without instantiating the
+    # full-size model: the preset choice keys off height
+    assert args2.video_size == [544, 960]
+
+
+def test_hunyuan_video_length_sets_window():
+    args = _parse([
+        "--task", "hunyuanvideo", "--prompt", "x", "--tiny",
+        "--video_length", "129",
+    ])
+    _, cfg = _hunyuan_pipeline(args)
+    # tiny forces window 2; the alias still must not crash and the
+    # non-tiny formula is (129-1)//4+1 = 33
+    assert cfg.latent_window_size == 2
+
+
+def test_omnigen2_alias_flags_map_to_config():
+    args = _parse([
+        "--task", "omnigen2", "--tiny", "--prompt", "x",
+        "--text_guidance_scale", "4.0", "--image_guidance_scale", "1.5",
+        "--cfg_range_start", "0.1", "--cfg_range_end", "0.8",
+        "--enable_teacache", "--teacache_rel_l1_thresh", "0.07",
+    ])
+    pipe, cfg = _omnigen2_pipeline(args)
+    assert cfg.text_guidance_scale == 4.0
+    assert cfg.image_guidance_scale == 1.5
+    assert cfg.cfg_range == (0.1, 0.8)
+    assert cfg.enable_teacache and cfg.teacache_thresh == 0.07
+
+
+def test_omnigen2_taylorseer_excludes_teacache(capsys):
+    args = _parse([
+        "--task", "omnigen2", "--tiny", "--prompt", "x",
+        "--enable_taylorseer", "--enable_teacache",
+    ])
+    _, cfg = _omnigen2_pipeline(args)
+    out = capsys.readouterr().out
+    assert "mutually exclusive" in out
+    assert cfg.enable_taylorseer and not cfg.enable_teacache
+
+
+def test_wan22_parity_flags_accepted():
+    args = _parse([
+        "--task", "ti2v-5B", "--prompt", "x", "--convert_model_dtype",
+        "--offload_model", "True", "--t5_cpu",
+    ])
+    assert args.convert_model_dtype
