@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["attention", "flash_attention_bhsd", "QKNORM_FIXED_MAX"]
+__all__ = ["attention", "flash_attention_bhsd", "flash_attention_bshd", "QKNORM_FIXED_MAX"]
 
 _NEG_INF = -1e30
 
@@ -294,6 +294,196 @@ def flash_attention_bhsd(
     return out.reshape(b, h, sq_p, d)[:, :, :sq, :]
 
 
+def _flash_kernel_bshd(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                       kv_len: int, block_k: int, mask_kv: bool,
+                       scale_log2e: float):
+    """Running-max online softmax on native [B, S, H, D] blocks
+    (block shape [1, bq, 1, d]; the head axis rides the grid, so no
+    transpose/copy pass over the full tensor is ever materialized)."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[...] * jnp.asarray(scale_log2e, q_ref.dtype)
+    k = k_ref[...]
+    v = v_ref[...]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if mask_kv:
+        key_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_pos < kv_len, s, _NEG_INF)
+        # out-of-range v rows are uninitialized (ragged tail comes straight
+        # from the grid, not from a zero-pad); p is exactly 0 there but
+        # 0 * NaN would still poison the accumulator — zero them.
+        row_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, v.shape, 0)
+        v = jnp.where(row_pos < kv_len, v, jnp.zeros_like(v))
+    m_prev = m_ref[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    l_ref[:, :1] = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    m_ref[:, :1] = m_new
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        o_ref[...] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _flash_kernel_bshd_fixed_max(q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
+                                 kv_len: int, block_k: int, mask_kv: bool,
+                                 m_const: float, scale_log2e: float):
+    """Static-max variant of `_flash_kernel_bshd` (see
+    `_flash_kernel_fixed_max` for the shift-invariance argument)."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[...] * jnp.asarray(scale_log2e, q_ref.dtype)
+    k = k_ref[...]
+    v = v_ref[...]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if mask_kv:
+        key_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_pos < kv_len, s, _NEG_INF)
+        # out-of-range v rows are uninitialized (ragged tail comes straight
+        # from the grid, not from a zero-pad); p is exactly 0 there but
+        # 0 * NaN would still poison the accumulator — zero them.
+        row_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, v.shape, 0)
+        v = jnp.where(row_pos < kv_len, v, jnp.zeros_like(v))
+    p = jnp.exp2(s - m_const)
+    l_ref[:, :1] = l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        o_ref[...] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def flash_attention_bshd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    kv_len: Optional[int] = None,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    fixed_max: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention directly on the DiT activation layout ``[B, S, H, D]``.
+
+    Profiling the bhsd path at Wan-480p showed ~10% of forward time going to
+    XLA layout copies (the [B,S,H,D] -> [B,H,S,D] transposes) plus pad/slice
+    passes for block alignment. This variant removes both: the head axis is
+    walked by the grid via BlockSpec index maps (strided DMA, fully hidden
+    under the ~30x larger compute per block), and ragged tails use cdiv grids
+    with masked keys / discarded out-of-range q-row writes instead of
+    materialized padding. The softmax scale folds into the per-block q load
+    (one [bq, d] VPU pass in VMEM instead of a full-tensor HBM pass).
+    """
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    scale = (1.0 / math.sqrt(d)) if scale is None else scale
+    kv_len = skv if kv_len is None else min(kv_len, skv)
+    env_fm = os.environ.get("MAGCACHE_FLASH_FIXED_MAX", "")
+    if env_fm != "":
+        fixed_max = float(env_fm) or None
+    if block_q is None:
+        bq_env = _env_int("MAGCACHE_FLASH_BQ", 0)
+        if bq_env:
+            block_q = bq_env
+        elif fixed_max is not None and sq >= 16384:
+            block_q = next((bq for bq in (4096, 2048)
+                            if (-(-sq // bq) * bq) <= 1.13 * sq), 1024)
+        else:
+            block_q = 1024
+    if block_k is None:
+        block_k = _env_int("MAGCACHE_FLASH_BK", 1024)
+    block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (skv - 1).bit_length()))
+
+    nq = -(-sq // block_q)
+    nk = -(-skv // block_k)
+    grid = (b * h, nq, nk)
+    # ragged kv tail: the last key block runs past skv — always mask unless
+    # the block divides the sequence exactly and no explicit kv_len was given
+    mask_kv = kv_len < nk * block_k
+    scale_log2e = scale * _LOG2E
+
+    if fixed_max is not None:
+        kernel = functools.partial(
+            _flash_kernel_bshd_fixed_max, kv_len=kv_len, block_k=block_k,
+            mask_kv=mask_kv, m_const=fixed_max, scale_log2e=scale_log2e)
+        scratch = [
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(
+            _flash_kernel_bshd, kv_len=kv_len, block_k=block_k,
+            mask_kv=mask_kv, scale_log2e=scale_log2e)
+        scratch = [
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ]
+    # View [B, S, H, D] as [B, S, H*D] (free reshape of the contiguous
+    # projection output) and walk heads via d-sized blocks of the fused last
+    # dim: Mosaic requires the last two BLOCK dims tileable (8, 128), which a
+    # squeezed head axis in second-to-last position would violate.
+    qf = q.reshape(b, sq, h * d)
+    kf = k.reshape(b, skv, h * d)
+    vf = v.reshape(b, skv, h * d)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d),
+                         lambda g, i, j, h=h: (g // h, i, g % h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d),
+                         lambda g, i, j, h=h: (g // h, j, g % h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d),
+                         lambda g, i, j, h=h: (g // h, j, g % h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d),
+                               lambda g, i, j, h=h: (g // h, i, g % h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, sq, h * d), q.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * (nq * block_q) * (nk * block_k) * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * (nq * block_q) * (nk * block_k),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, sq, h, d)
+
+
 def flash_attention_bhsd_aux(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     scale: Optional[float] = None, kv_len: Optional[int] = None,
@@ -444,20 +634,28 @@ def attention(
                              "plan (use_mesh)")
         on_tpu = jax.default_backend() in ("tpu", "axon")
         impl = "pallas" if on_tpu else "xla"
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_interpret") and q.shape[-1] % 128 == 0:
+        # Layout-native kernel: no [B,S,H,D] -> [B,H,S,D] transpose copies,
+        # no block padding passes (~10% of a Wan-480p forward; see
+        # flash_attention_bshd docstring). Requires head_dim % 128 == 0 (the
+        # fused-head-dim BlockSpec tiles the last dim by head_dim); smaller
+        # heads (CogVideoX d=64, Latte/STDiT3 d=72) take the transpose path.
+        return flash_attention_bshd(q, k, v, scale=scale, kv_len=kv_len,
+                                    fixed_max=fixed_max,
+                                    interpret=(impl == "pallas_interpret"))
+    if impl in ("pallas", "pallas_interpret"):
+        qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
         out = flash_attention_bhsd(qt, kt, vt, scale=scale, kv_len=kv_len,
-                                   fixed_max=fixed_max)
-    elif impl == "pallas_interpret":
-        out = flash_attention_bhsd(qt, kt, vt, scale=scale, kv_len=kv_len,
-                                   fixed_max=fixed_max, interpret=True)
-    elif impl == "xla":
+                                   fixed_max=fixed_max,
+                                   interpret=(impl == "pallas_interpret"))
+        return out.transpose(0, 2, 1, 3)
+    if impl == "xla":
+        qt = q.transpose(0, 2, 1, 3)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
         d = q.shape[-1]
         out = _xla_attention_bhsd(
             qt, kt, vt, scale=(1.0 / math.sqrt(d)) if scale is None else scale,
             kv_len=kv_len)
-    else:
-        raise ValueError(f"unknown attention impl {impl!r}")
-    return out.transpose(0, 2, 1, 3)
+        return out.transpose(0, 2, 1, 3)
+    raise ValueError(f"unknown attention impl {impl!r}")

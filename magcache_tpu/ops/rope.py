@@ -16,6 +16,7 @@ elements (x0,x1), (x2,x3), ... — NOT the split-half convention of LLaMA.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax.numpy as jnp
@@ -67,21 +68,43 @@ def wan_axis_dims(head_dim: int) -> Tuple[int, int, int]:
     return head_dim - 2 * hw, hw, hw
 
 
+@functools.lru_cache(maxsize=None)
+def _pair_swap_matrix(d: int) -> np.ndarray:
+    """[d, d] permutation-with-sign P such that (x @ P)[2i] = -x[2i+1] and
+    (x @ P)[2i+1] = x[2i] — the 90° rotation partner of each interleaved pair
+    as a single tiny MXU matmul (one nonzero per column, so the contraction
+    is exact in f32). Cached as numpy (a cached jnp array would leak tracers
+    when first materialized inside a jit trace)."""
+    P = np.zeros((d, d), np.float32)
+    idx = np.arange(0, d, 2)
+    P[idx + 1, idx] = -1.0
+    P[idx, idx + 1] = 1.0
+    return P
+
+
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
     """Rotate ``x[..., seq, heads, head_dim]`` by (cos, sin) of ``[seq, head_dim/2]``.
 
     Interleaved-pair convention: (x_even, x_odd) -> (x_e*cos - x_o*sin,
     x_e*sin + x_o*cos). Rotation math runs in f32 (parity with the reference's
     float64/float32 complex path) and returns the input dtype.
+
+    Lowering note: the naive ``reshape(.., d/2, 2)`` + ``stack`` formulation
+    forces XLA onto size-2-minor-dim T(2,128) layouts — at Wan-480p that cost
+    ~300 ms of relayout copies per forward. Instead the identical rotation is
+    computed as ``x * C + (x @ P) * S`` with full-width duplicated tables and
+    the pair-swap-with-sign permutation ``P`` (one 128x128 f32 matmul on the
+    MXU, bit-exact since each output has exactly one contraction term); every
+    tensor stays in the standard {2,1,0} layout and the elementwise work
+    fuses into the attention prologue.
     """
     dtype = x.dtype
+    d = x.shape[-1]
     x32 = x.astype(jnp.float32)
-    x_pairs = x32.reshape(*x32.shape[:-1], -1, 2)
-    xe, xo = x_pairs[..., 0], x_pairs[..., 1]
-    # cos/sin: [seq, d/2] -> broadcast over batch and heads axes
-    cos = cos[..., :, None, :]
-    sin = sin[..., :, None, :]
-    re = xe * cos - xo * sin
-    im = xe * sin + xo * cos
-    out = jnp.stack([re, im], axis=-1).reshape(x.shape)
+    # [seq, d/2] -> [seq, d] duplicated per pair; loop-invariant, so XLA
+    # hoists it out of the block scan
+    cos2 = jnp.repeat(cos.astype(jnp.float32), 2, axis=-1)[..., :, None, :]
+    sin2 = jnp.repeat(sin.astype(jnp.float32), 2, axis=-1)[..., :, None, :]
+    partner = x32 @ jnp.asarray(_pair_swap_matrix(d))
+    out = x32 * cos2 + partner * sin2
     return out.astype(dtype)

@@ -184,3 +184,30 @@ def test_flash_block_env_knobs(monkeypatch):
     small = flash_attention_bhsd(q, k, v, interpret=True)
     np.testing.assert_allclose(np.asarray(small), np.asarray(base),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_bshd_kernel_ragged_tails_match_xla():
+    # Non-block-divisible seq + kv: the ragged tails come straight from the
+    # grid (no zero-pad), so uninitialized v rows must be masked in-kernel
+    # (0 * NaN would otherwise poison the accumulator — regression test).
+    import math
+
+    from magcache_tpu.ops.attention import (
+        _xla_attention_bhsd,
+        flash_attention_bshd,
+    )
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, s, h, d, skv = 2, 300, 3, 64, 77
+    q = jax.random.normal(kq, (b, s, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, skv, h, d), jnp.float32)
+    v = jax.random.normal(kv, (b, skv, h, d), jnp.float32)
+    for fm in (None, 16.0):
+        out = flash_attention_bshd(q, k, v, kv_len=50, fixed_max=fm,
+                                   interpret=True, block_q=128, block_k=128)
+        want = _xla_attention_bhsd(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), scale=1 / math.sqrt(d),
+            kv_len=50).transpose(0, 2, 1, 3)
+        assert jnp.max(jnp.abs(out - want)) < 3e-5
+        assert not bool(jnp.any(jnp.isnan(out)))
