@@ -220,12 +220,13 @@ def _wan_block(cfg: WanConfig, rope, ctx_split, p, carry):
 
     # self-attention
     xn = (layer_norm(x, eps=cfg.eps) * (1 + e_chunks[1]) + e_chunks[0]).astype(x.dtype)
-    q = rms_norm(linear(p["q"], xn), p["norm_q"], eps=cfg.eps)
-    k = rms_norm(linear(p["k"], xn), p["norm_k"], eps=cfg.eps)
-    v = linear(p["v"], xn)
-    q, k, v = _heads(q, cfg.heads), _heads(k, cfg.heads), _heads(v, cfg.heads)
-    q = _apply_rope_pairs(q, cos, sin)
-    k = _apply_rope_pairs(k, cos, sin)
+    # fused RMSNorm + RoPE prologue (one VMEM pass; ops/fused_prologue.py)
+    from magcache_tpu.ops.fused_prologue import rms_norm_rope
+    q = rms_norm_rope(linear(p["q"], xn), p["norm_q"], cos, sin, cfg.heads,
+                      eps=cfg.eps, norm_scope="token")
+    k = rms_norm_rope(linear(p["k"], xn), p["norm_k"], cos, sin, cfg.heads,
+                      eps=cfg.eps, norm_scope="token")
+    v = _heads(linear(p["v"], xn), cfg.heads)
     a = attention(q, k, v, fixed_max=QKNORM_FIXED_MAX).reshape(x.shape)
     y = linear(p["o"], a)
     x = x + (y.astype(jnp.float32) * e_chunks[2]).astype(x.dtype)

@@ -1,0 +1,141 @@
+"""Fused attention-prologue kernel: RMSNorm + interleaved-pair RoPE.
+
+At Wan-480p the unfused lowering of ``rms_norm -> heads -> apply_rope`` costs
+~4 ms/block in relayout copies and standalone VPU passes (profiled; see
+NOTES.md): XLA picks {1,3,2,0}/{3,1,2,0} layouts around the per-head rope
+matmul and inserts full-tensor copies back to {2,1,0} for the attention
+kernel. This Pallas kernel does norm + rotation in one VMEM-resident pass
+over the fused ``[B, S, H*D]`` projection output — one HBM read, one write,
+all layouts standard.
+
+Math parity: replicates ``ops.norms.rms_norm`` (f32 statistics,
+``reciprocal(sqrt(var+eps))``, gain multiply, round to input dtype) followed
+by ``ops.rope.apply_rope`` (f32 rotation of the *rounded* normed value, the
+same intermediate rounding the unfused path has), with the rotation partner
+computed per head as an in-kernel ``[d, d]`` pair-swap matmul (single ±1
+contraction term per output -> exact).
+
+Two norm scopes:
+- ``norm_scope="token"``: RMS over the full H*D dim (Wan's WanRMSNorm —
+  norm before head split, magcache_generate.py:236-246).
+- ``norm_scope="head"``: RMS per head over D (FLUX/Hunyuan/Qwen-style
+  per-head qk norm applied after head split).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from magcache_tpu.ops.norms import rms_norm
+from magcache_tpu.ops.rope import _pair_swap_matrix, apply_rope
+
+__all__ = ["rms_norm_rope"]
+
+
+def _kernel(x_ref, g_ref, cos_ref, sin_ref, p_ref, o_ref, *, heads: int,
+            d: int, eps: float, scope: str):
+    x32 = x_ref[...].astype(jnp.float32)            # [bs, H*D]
+    if scope == "token":
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        y = x32 * jnp.reciprocal(jnp.sqrt(var + eps))
+    else:                                           # per-head RMS
+        parts = []
+        for h in range(heads):
+            seg = x32[:, h * d:(h + 1) * d]
+            var = jnp.mean(seg * seg, axis=-1, keepdims=True)
+            parts.append(seg * jnp.reciprocal(jnp.sqrt(var + eps)))
+        y = jnp.concatenate(parts, axis=-1)
+    y = y * g_ref[...].astype(jnp.float32)
+    # the unfused path rounds the normed value to the activation dtype before
+    # rotating in f32 — replicate for bit parity with rms_norm + apply_rope
+    yb = y.astype(o_ref.dtype).astype(jnp.float32)
+    cos_t = jnp.tile(cos_ref[...], (1, heads))      # [bs, d] -> [bs, H*D]
+    sin_t = jnp.tile(sin_ref[...], (1, heads))
+    P = p_ref[...]
+    partner = jnp.concatenate(
+        [jax.lax.dot(yb[:, h * d:(h + 1) * d], P,
+                     preferred_element_type=jnp.float32)
+         for h in range(heads)], axis=-1)
+    o_ref[...] = (yb * cos_t + partner * sin_t).astype(o_ref.dtype)
+
+
+def rms_norm_rope(
+    x: jnp.ndarray,
+    gain: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    heads: int,
+    *,
+    eps: float = 1e-5,
+    norm_scope: str = "token",
+    block_s: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``rms_norm(x, gain) -> split heads -> apply_rope`` in one fused pass.
+
+    x: [B, S, H*D] projection output; gain: [H*D]; cos/sin: [S, D/2] tables
+    (the apply_rope convention). Returns [B, S, H, D].
+
+    Falls back to the unfused composition off-TPU, for ragged head dims the
+    kernel can't tile (D % 128 != 0), and under ``MAGCACHE_FUSED_PROLOGUE=0``.
+    """
+    import os
+
+    from magcache_tpu.parallel.mesh import _ACTIVE
+
+    b, s, hd = x.shape
+    d = hd // heads
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    enabled = os.environ.get("MAGCACHE_FUSED_PROLOGUE", "1") != "0"
+    # under an active mesh plan the trunk is declaratively sharded — a raw
+    # pallas_call would not partition; take the jnp composition (XLA shards it)
+    if not interpret and (not on_tpu or not enabled or d % 128 != 0
+                          or hd % 128 != 0 or _ACTIVE.get() is not None):
+        if norm_scope == "token":
+            yh = rms_norm(x, gain, eps=eps).reshape(b, s, heads, d)
+        else:
+            g = gain if gain.size == d else gain.reshape(heads, d)
+            yh = rms_norm(x.reshape(b, s, heads, d), g, eps=eps)
+        return apply_rope(yh, cos, sin)
+
+    cos2 = jnp.repeat(jnp.asarray(cos, jnp.float32), 2, axis=-1)   # [S, d]
+    sin2 = jnp.repeat(jnp.asarray(sin, jnp.float32), 2, axis=-1)
+    P = jnp.asarray(_pair_swap_matrix(d))
+    g_full = jnp.tile(jnp.asarray(gain).reshape(-1),
+                      heads if gain.size == d else 1)
+    g2 = g_full.reshape(1, hd)
+    block_s = min(block_s, max(8, 1 << (s - 1).bit_length()))
+    ns = -(-s // block_s)
+    out = pl.pallas_call(
+        functools.partial(_kernel, heads=heads, d=d, eps=eps,
+                          scope=norm_scope),
+        grid=(b, ns),
+        in_specs=[
+            pl.BlockSpec((None, block_s, hd), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, d), lambda bi, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, d), lambda bi, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_s, hd), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, hd), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, g2, cos2, sin2, P)
+    return out.reshape(b, s, heads, d)
