@@ -182,15 +182,27 @@ def _double_block(cfg: FluxConfig, rope, p, carry):
     # joint attention over [txt; img]
     img_n = layer_norm(img) * (1 + i_scale1) + i_shift1
     txt_n = layer_norm(txt) * (1 + t_scale1) + t_shift1
-    iq, ik, iv = _qkv_split(linear(p["img_qkv"], img_n.astype(img.dtype)), heads)
-    tq, tk, tv = _qkv_split(linear(p["txt_qkv"], txt_n.astype(txt.dtype)), heads)
-    iq, ik = _qk_norm(iq, ik, p["img_qk_scale"])
-    tq, tk = _qk_norm(tq, tk, p["txt_qk_scale"])
+    from magcache_tpu.ops.fused_prologue import rms_norm_rope
+    iqkv = linear(p["img_qkv"], img_n.astype(img.dtype))
+    tqkv = linear(p["txt_qkv"], txt_n.astype(txt.dtype))
+    iqf, ikf, iv3 = jnp.split(iqkv, 3, axis=-1)
+    tqf, tkf, tv3 = jnp.split(tqkv, 3, axis=-1)
+    # fused per-head RMSNorm + RoPE, per stream with that stream's slice of
+    # the [txt; img] rope table (== norm-then-concat-then-rope unfused)
+    c_txt, s_txt = cos[:txt_len], sin[:txt_len]
+    c_img, s_img = cos[txt_len:], sin[txt_len:]
+    iq = rms_norm_rope(iqf, p["img_qk_scale"][0], c_img, s_img, heads,
+                       eps=1e-6, norm_scope="head")
+    ik = rms_norm_rope(ikf, p["img_qk_scale"][1], c_img, s_img, heads,
+                       eps=1e-6, norm_scope="head")
+    tq = rms_norm_rope(tqf, p["txt_qk_scale"][0], c_txt, s_txt, heads,
+                       eps=1e-6, norm_scope="head")
+    tk = rms_norm_rope(tkf, p["txt_qk_scale"][1], c_txt, s_txt, heads,
+                       eps=1e-6, norm_scope="head")
+    rs = lambda t: t.reshape(t.shape[0], t.shape[1], heads, -1)
     q = jnp.concatenate([tq, iq], axis=1)
     k = jnp.concatenate([tk, ik], axis=1)
-    v = jnp.concatenate([tv, iv], axis=1)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    v = jnp.concatenate([rs(tv3), rs(iv3)], axis=1)
     o = attention(q, k, v, fixed_max=QKNORM_FIXED_MAX)
     o = o.reshape(o.shape[0], o.shape[1], -1)
     t_attn, i_attn = o[:, :txt_len], o[:, txt_len:]
@@ -218,10 +230,13 @@ def _single_block(cfg: FluxConfig, rope, p, carry):
     h_n = (layer_norm(h) * (1 + scale) + shift).astype(h.dtype)
     proj = linear(p["lin1"], h_n)
     qkv, mlp = proj[..., : 3 * d], proj[..., 3 * d:]
-    q, k, v = _qkv_split(qkv, heads)
-    q, k = _qk_norm(q, k, p["qk_scale"])
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    from magcache_tpu.ops.fused_prologue import rms_norm_rope
+    qf, kf, vf = jnp.split(qkv, 3, axis=-1)
+    q = rms_norm_rope(qf, p["qk_scale"][0], cos, sin, heads,
+                      eps=1e-6, norm_scope="head")
+    k = rms_norm_rope(kf, p["qk_scale"][1], cos, sin, heads,
+                      eps=1e-6, norm_scope="head")
+    v = vf.reshape(vf.shape[0], vf.shape[1], heads, -1)
     o = attention(q, k, v, fixed_max=QKNORM_FIXED_MAX).reshape(h.shape[0], h.shape[1], -1)
     out = linear(p["lin2"], jnp.concatenate([o, jax.nn.gelu(mlp, approximate=True)], -1))
     return h + (gate * out.astype(jnp.float32)).astype(h.dtype), vec

@@ -180,15 +180,14 @@ def _run_blocks(cfg: OmniGen2Config, p, x, temb, rope, remat=False):
         n = rms_norm(x, bp["norm1"], eps=cfg.eps)
         if s_msa is not None:
             n = (n.astype(jnp.float32) * (1 + s_msa)).astype(x.dtype)
-        q = linear(bp["q"], n).reshape(b, -1, hq, hd)
+        from magcache_tpu.ops.fused_prologue import rms_norm_rope
         kv = linear(bp["kv"], n)
-        k, v = jnp.split(kv, 2, axis=-1)
-        k = k.reshape(b, -1, hk, hd)
-        v = v.reshape(b, -1, hk, hd)
-        q = rms_norm(q, bp["q_norm"], eps=cfg.eps)
-        k = rms_norm(k, bp["k_norm"], eps=cfg.eps)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        kf, vf = jnp.split(kv, 2, axis=-1)
+        q = rms_norm_rope(linear(bp["q"], n), bp["q_norm"], cos, sin, hq,
+                          eps=cfg.eps, norm_scope="head")
+        k = rms_norm_rope(kf, bp["k_norm"], cos, sin, hk,
+                          eps=cfg.eps, norm_scope="head")
+        v = vf.reshape(b, -1, hk, hd)
         # GQA: repeat kv heads to match q heads
         rep = hq // hk
         k = jnp.repeat(k, rep, axis=2)

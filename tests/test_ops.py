@@ -211,3 +211,37 @@ def test_bshd_kernel_ragged_tails_match_xla():
             kv_len=50).transpose(0, 2, 1, 3)
         assert jnp.max(jnp.abs(out - want)) < 3e-5
         assert not bool(jnp.any(jnp.isnan(out)))
+
+
+def test_fused_prologue_matches_unfused_composition():
+    # rms_norm -> heads -> apply_rope == the fused Pallas kernel, both norm
+    # scopes (token = Wan WanRMSNorm-before-head-split; head = FLUX/Hunyuan
+    # per-head qk norm), including ragged sequence tails.
+    import numpy as np
+
+    from magcache_tpu.ops.fused_prologue import rms_norm_rope
+    from magcache_tpu.ops.norms import rms_norm
+    from magcache_tpu.ops.rope import apply_rope, rope_freqs_1d
+
+    rng = np.random.default_rng(2)
+    for (b, s, heads, d, scope, gsize) in [
+        (2, 300, 3, 128, "token", 3 * 128),
+        (1, 512, 2, 128, "token", 2 * 128),
+        (2, 300, 3, 128, "head", 128),
+        (2, 130, 2, 256, "head", 256),
+    ]:
+        hd = heads * d
+        xb = jnp.asarray(rng.standard_normal((b, s, hd)) * 2, jnp.bfloat16)
+        g = jnp.asarray(rng.standard_normal(gsize), jnp.float32)
+        cos, sin = rope_freqs_1d(np.arange(s), d)
+        out = rms_norm_rope(xb, g, jnp.array(cos), jnp.array(sin), heads,
+                            eps=1e-6, norm_scope=scope, interpret=True,
+                            block_s=128)
+        if scope == "token":
+            y = rms_norm(xb, g, eps=1e-6).reshape(b, s, heads, d)
+        else:
+            y = rms_norm(xb.reshape(b, s, heads, d), g, eps=1e-6)
+        want = apply_rope(y, jnp.array(cos), jnp.array(sin))
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                    - want.astype(jnp.float32))))
+        assert err < 2e-2, (scope, b, s, err)  # bf16 rounding ties only
