@@ -219,9 +219,9 @@ def _wan_block(cfg: WanConfig, rope, ctx_split, p, carry):
     e_chunks = [e[:, i][:, None, :] for i in range(6)]
 
     # self-attention
-    xn = (layer_norm(x, eps=cfg.eps) * (1 + e_chunks[1]) + e_chunks[0]).astype(x.dtype)
-    # fused RMSNorm + RoPE prologue (one VMEM pass; ops/fused_prologue.py)
-    from magcache_tpu.ops.fused_prologue import rms_norm_rope
+    from magcache_tpu.ops.fused_prologue import layer_norm_mod, rms_norm_rope
+    # fused LayerNorm+AdaLN and RMSNorm+RoPE prologues (ops/fused_prologue.py)
+    xn = layer_norm_mod(x, scale=e_chunks[1], shift=e_chunks[0], eps=cfg.eps)
     q = rms_norm_rope(linear(p["q"], xn), p["norm_q"], cos, sin, cfg.heads,
                       eps=cfg.eps, norm_scope="token")
     k = rms_norm_rope(linear(p["k"], xn), p["norm_k"], cos, sin, cfg.heads,
@@ -232,7 +232,8 @@ def _wan_block(cfg: WanConfig, rope, ctx_split, p, carry):
     x = x + (y.astype(jnp.float32) * e_chunks[2]).astype(x.dtype)
 
     # cross-attention (text, plus parallel CLIP branch for i2v)
-    xc = layer_norm(x, p["norm3_w"], p["norm3_b"], eps=cfg.eps).astype(x.dtype)
+    xc = layer_norm_mod(x, weight=p["norm3_w"], bias=p["norm3_b"],
+                        eps=cfg.eps)
     cq = _heads(rms_norm(linear(p["cross_q"], xc), p["cross_norm_q"], eps=cfg.eps), cfg.heads)
     if ctx_split is None:
         ctx_txt = context
@@ -249,7 +250,7 @@ def _wan_block(cfg: WanConfig, rope, ctx_split, p, carry):
     x = x + linear(p["cross_o"], ca)
 
     # FFN
-    xm = (layer_norm(x, eps=cfg.eps) * (1 + e_chunks[4]) + e_chunks[3]).astype(x.dtype)
+    xm = layer_norm_mod(x, scale=e_chunks[4], shift=e_chunks[3], eps=cfg.eps)
     y = linear(p["ffn2"], jax.nn.gelu(linear(p["ffn1"], xm), approximate=True))
     x = x + (y.astype(jnp.float32) * e_chunks[5]).astype(x.dtype)
     return maybe_shard(x, "tokens"), e0, context

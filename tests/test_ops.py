@@ -245,3 +245,36 @@ def test_fused_prologue_matches_unfused_composition():
         err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
                                     - want.astype(jnp.float32))))
         assert err < 2e-2, (scope, b, s, err)  # bf16 rounding ties only
+
+
+def test_fused_layer_norm_mod_matches_unfused():
+    import numpy as np
+
+    from magcache_tpu.ops.fused_prologue import layer_norm_mod
+    from magcache_tpu.ops.norms import layer_norm
+
+    rng = np.random.default_rng(4)
+    b, s, hd = 2, 300, 256
+    xb = jnp.asarray(rng.standard_normal((b, s, hd)) * 2, jnp.bfloat16)
+    # AdaLN modulate mode
+    sc = jnp.asarray(rng.standard_normal((b, 1, hd)) * 0.1, jnp.float32)
+    sh = jnp.asarray(rng.standard_normal((b, 1, hd)) * 0.1, jnp.float32)
+    out = layer_norm_mod(xb, scale=sc, shift=sh, eps=1e-6, interpret=True,
+                         block_s=128)
+    want = ((layer_norm(xb, eps=1e-6).astype(jnp.float32)) * (1 + sc)
+            + sh).astype(xb.dtype)
+    assert float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                 - want.astype(jnp.float32)))) < 2e-2
+    # affine mode
+    w = jnp.asarray(rng.standard_normal(hd), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(hd), jnp.float32)
+    out = layer_norm_mod(xb, weight=w, bias=bias, eps=1e-6, interpret=True,
+                         block_s=128)
+    want = layer_norm(xb, w, bias, eps=1e-6)
+    assert float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                 - want.astype(jnp.float32)))) < 2e-2
+    # plain mode
+    out = layer_norm_mod(xb, eps=1e-6, interpret=True, block_s=128)
+    want = layer_norm(xb, eps=1e-6)
+    assert float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                 - want.astype(jnp.float32)))) < 2e-2
