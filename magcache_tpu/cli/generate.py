@@ -140,6 +140,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "for the hunyuan/framepack tasks)")
     p.add_argument("--save_path", default=None,
                    help="alias for --save_file")
+    p.add_argument("--vae_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="Wan VAE conv compute dtype: float32 (default, "
+                        "official numerics) or bfloat16 (MXU fast path, "
+                        "~3x faster decode; norm stats stay f32)")
     p.add_argument("--enable_taylorseer", action="store_true",
                    help="TaylorSeer forecasting comparator (omnigen2 task; "
                         "mutually exclusive with --use_magcache, reference "
@@ -553,7 +558,8 @@ def main(argv=None):
             # qwen-image ships the Wan-lineage 3-D causal VAE applied to
             # single-frame video (diffusers AutoencoderKLQwenImage)
             from magcache_tpu.models.vae_wan import load_wan_vae_checkpoint
-            pipe.vae = load_wan_vae_checkpoint(args.vae_ckpt)
+            pipe.vae = load_wan_vae_checkpoint(
+                args.vae_ckpt, dtype=getattr(args, "vae_dtype", None))
         elif args.task.startswith("cogvideox"):
             from magcache_tpu.models.vae_cogvideox import (
                 CogVideoXVAE, CogVideoXVAEConfig, convert_cogvideox_vae_state_dict)

@@ -116,6 +116,9 @@ def causal_conv3d(x, w, b=None, stride=(1, 1, 1), tcache: Optional[jnp.ndarray] 
     else:
         stream, new_cache = x, None
     x_sp = jnp.pad(stream, ((0, 0), (0, 0), (ph, ph), (pw_, pw_), (0, 0)))
+    # (measured and rejected: decomposing the time axis into kt summed 2-D
+    # convs is ~20% SLOWER than XLA's native 5-D conv at Wan-VAE 480p decoder
+    # shapes, both f32 and bf16 — the 3-D conv tiling is already good)
     return conv3d(x_sp, w, b, stride), new_cache
 
 

@@ -176,3 +176,29 @@ def test_latent_normalization_roundtrip():
     y1 = normed.decode(m1, latent_chunk=None)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_compute_dtype_decode():
+    # bf16 conv path: chunked == whole stays exact (same ops, same dtype),
+    # output is f32, and values track the f32 path within bf16 tolerance
+    import dataclasses
+
+    cfg = WanVAEConfig.tiny()
+    key = jax.random.PRNGKey(5)
+    params = init_wan_vae_params(key, cfg)
+    z = jax.random.normal(key, (1, 5, 8, 8, cfg.z_channels), jnp.float32)
+
+    vae32 = WanVAE(cfg, params)
+    vae16 = WanVAE(dataclasses.replace(cfg, dtype="bfloat16"), params)
+    y32 = vae32.decode(z)
+    y16 = vae16.decode(z)
+    assert y16.dtype == jnp.float32
+    assert y16.shape == y32.shape
+    rel = float(jnp.max(jnp.abs(y16 - y32)) / (jnp.max(jnp.abs(y32)) + 1e-8))
+    assert rel < 0.05, rel
+    # streamed vs whole-clip in bf16: the two programs tile their convs
+    # differently, so the f32 accumulators reassociate — agreement is
+    # ulp-level rather than bit-exact (the f32 path keeps the bit-exact
+    # guarantee, test_streamed_decode_matches_whole)
+    y16_whole = vae16.decode(z, latent_chunk=None)
+    assert float(jnp.max(jnp.abs(y16 - y16_whole))) < 0.03
