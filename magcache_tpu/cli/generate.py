@@ -310,7 +310,8 @@ def _hunyuan_pipeline(args):
     else:
         w, h = (int(v) for v in args.size.split("*"))
     frame_num = args.video_length or args.frame_num
-    steps = args.infer_steps or args.sample_steps
+    # canonical flags win; aliases fill in when the canonical one is unset
+    steps = args.sample_steps or args.infer_steps
     is_fp = args.task.startswith("framepack")
     if args.tiny:
         w = h = 64 if is_fp else 32     # pyramid needs 64-divisible sizes
@@ -319,8 +320,10 @@ def _hunyuan_pipeline(args):
     if getattr(args, "embedded_cfg_scale", None) is not None:
         guidance = args.embedded_cfg_scale
     kw = {}
-    if getattr(args, "flow_shift", None) is not None:
-        kw["flow_shift"] = args.flow_shift
+    shift = (args.sample_shift if args.sample_shift is not None
+             else getattr(args, "flow_shift", None))
+    if shift is not None:
+        kw["flow_shift"] = shift
     cfg = FramePackPipelineConfig(
         model=preset if not is_fp else args.task,
         height=h, width=w,
@@ -452,8 +455,10 @@ def _omnigen2_pipeline(args):
               dtype=args.dtype, tiny=args.tiny)
     if getattr(args, "teacache_thresh", None) is not None:
         kw["teacache_thresh"] = args.teacache_thresh
-    if getattr(args, "teacache_rel_l1_thresh", None) is not None:
-        # reference flag name (OmniGen2 inference.py --teacache_rel_l1_thresh)
+    if getattr(args, "teacache_rel_l1_thresh", None) is not None \
+            and getattr(args, "teacache_thresh", None) is None:
+        # reference flag name (OmniGen2 inference.py --teacache_rel_l1_thresh);
+        # the canonical --teacache_thresh wins when both are given
         kw["teacache_thresh"] = args.teacache_rel_l1_thresh
     if getattr(args, "text_guidance_scale", None) is not None:
         kw["text_guidance_scale"] = args.text_guidance_scale
@@ -505,6 +510,11 @@ def main(argv=None):
     if getattr(args, "neg_prompt", None) is not None \
             and args.negative_prompt is None:
         args.negative_prompt = args.neg_prompt
+    if args.negative_prompt is not None and (
+            args.task.startswith("hunyuan") or args.task.startswith("framepack")):
+        print("WARNING: negative prompts need classifier-free guidance; the "
+              "distilled Hunyuan/FramePack path runs one forward per step "
+              "(magcache_sample_video.py:29-158) — --neg_prompt is ignored.")
     if getattr(args, "cfg_scale", None) not in (None, 1.0):
         print("WARNING: --cfg_scale != 1.0 requires an undistilled Hunyuan "
               "model; the MagCache adapter (and this port) run the distilled "
@@ -580,6 +590,17 @@ def main(argv=None):
                 SDVAE, load_sd_vae_checkpoint)
             vcfg, vparams = load_sd_vae_checkpoint(args.vae_ckpt)
             pipe.vae = SDVAE(vcfg, vparams)
+    if getattr(args, "vae_dtype", None) and not args.vae_ckpt:
+        from magcache_tpu.models.vae_wan import WanVAE as _WanVAE
+        if isinstance(getattr(pipe, "vae", None), _WanVAE):
+            import dataclasses as _dc
+            pipe.vae = _WanVAE(
+                _dc.replace(pipe.vae.cfg, dtype=args.vae_dtype),
+                pipe.vae.params)
+        else:
+            print("WARNING: --vae_dtype only applies to the Wan VAE; this "
+                  "pipeline has no Wan VAE attached (pass --vae_ckpt) — "
+                  "flag ignored.")
     _extend_prompt(args)
     gen_kwargs = {}
     if getattr(args, "negative_prompt", None) is not None \

@@ -151,19 +151,6 @@ def flux_rope_tables(cfg: FluxConfig, txt_len: int, grid_h: int, grid_w: int):
             np.concatenate([txt_sin, img_sin], 0))
 
 
-def _qkv_split(x: jnp.ndarray, heads: int):
-    b, s, _ = x.shape
-    q, k, v = jnp.split(x, 3, axis=-1)
-    reshape = lambda t: t.reshape(b, s, heads, -1)
-    return reshape(q), reshape(k), reshape(v)
-
-
-def _qk_norm(q, k, scale):
-    q = rms_norm(q, scale[0], eps=1e-6)
-    k = rms_norm(k, scale[1], eps=1e-6)
-    return q, k
-
-
 def _mod(vec: jnp.ndarray, p, n: int):
     """Modulation: silu(vec) -> linear -> n chunks of [B, 1, D] (f32)."""
     out = linear(p, jax.nn.silu(vec.astype(p["w"].dtype)))

@@ -189,6 +189,9 @@ def layer_norm_mod(
     from magcache_tpu.parallel.mesh import _ACTIVE
 
     b, s, hd = x.shape
+    assert weight is None or scale is None, (
+        "layer_norm_mod: affine weight/bias and AdaLN scale/shift are "
+        "separate modes — compose them explicitly if ever needed")
     on_tpu = jax.default_backend() in ("tpu", "axon")
     enabled = os.environ.get("MAGCACHE_FUSED_PROLOGUE", "1") != "0"
     if not interpret and (not on_tpu or not enabled or hd % 128 != 0
