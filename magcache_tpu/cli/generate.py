@@ -140,6 +140,49 @@ def build_parser() -> argparse.ArgumentParser:
                         "for the hunyuan/framepack tasks)")
     p.add_argument("--save_path", default=None,
                    help="alias for --save_file")
+    # OmniGen2 inference.py surface (reference flag names map onto the
+    # shared canonical flags)
+    p.add_argument("--instruction", default=None,
+                   help="omnigen2 alias for --prompt")
+    p.add_argument("--input_image_path", default=None, nargs="+",
+                   help="omnigen2 alias for --image (first path used; the "
+                        "edit task conditions on one reference image)")
+    p.add_argument("--output_image_path", default=None,
+                   help="omnigen2 alias for --save_file")
+    p.add_argument("--height", type=int, default=None,
+                   help="omnigen2 alias: output height (with --width)")
+    p.add_argument("--width", type=int, default=None,
+                   help="omnigen2 alias: output width (with --height)")
+    p.add_argument("--num_inference_step", type=int, default=None,
+                   help="omnigen2 alias for --sample_steps")
+    p.add_argument("--seed", type=int, default=None,
+                   help="alias for --base_seed")
+    p.add_argument("--enable_magcache", action="store_true",
+                   help="omnigen2 alias for --use_magcache")
+    p.add_argument("--scheduler", default=None,
+                   choices=["euler", "dpmsolver++"],
+                   help="omnigen2 scheduler; euler (the reference default) "
+                        "is implemented, dpmsolver++ falls back to euler "
+                        "with a warning")
+    p.add_argument("--num_images_per_prompt", type=int, default=None,
+                   help="accepted for parity; batched sampling rides the dp "
+                        "mesh axis (generate_batch) instead")
+    p.add_argument("--max_input_image_pixels", type=int, default=None,
+                   help="accepted for parity (input images are resized to "
+                        "the model grid)")
+    p.add_argument("--model_path", default=None,
+                   help="omnigen2 alias for --ckpt_dir")
+    p.add_argument("--transformer_path", default=None,
+                   help="omnigen2 alias for --ckpt_dir (transformer dir)")
+    p.add_argument("--transformer_lora_path", default=None,
+                   help="accepted for parity; LoRA merging is not implemented "
+                        "— pass merged weights via --ckpt_dir")
+    p.add_argument("--enable_model_cpu_offload", action="store_true",
+                   help="accepted for parity; no host offload cycle on TPU")
+    p.add_argument("--enable_sequential_cpu_offload", action="store_true",
+                   help="accepted for parity; no-op")
+    p.add_argument("--enable_group_offload", action="store_true",
+                   help="accepted for parity; no-op")
     p.add_argument("--vae_dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="Wan VAE conv compute dtype: float32 (default, "
@@ -505,6 +548,34 @@ def _load_image(path: str) -> np.ndarray:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if getattr(args, "instruction", None) is not None:
+        args.prompt = args.instruction
+    if getattr(args, "input_image_path", None):
+        paths = args.input_image_path
+        if len(paths) > 1:
+            print("WARNING: multi-image conditioning uses the first image "
+                  "only on this port.")
+        args.image = args.image or paths[0]
+    if getattr(args, "output_image_path", None) and not args.save_file:
+        args.save_file = args.output_image_path
+    if getattr(args, "height", None) and getattr(args, "width", None):
+        args.size = f"{args.width}*{args.height}"
+    if getattr(args, "num_inference_step", None) and not args.sample_steps:
+        args.sample_steps = args.num_inference_step
+    if getattr(args, "seed", None) is not None:
+        args.base_seed = args.seed
+    if getattr(args, "enable_magcache", False):
+        args.use_magcache = True
+    if getattr(args, "scheduler", None) == "dpmsolver++":
+        print("WARNING: the dpmsolver++ scheduler is not implemented for "
+              "omnigen2 — falling back to euler (the reference default).")
+    for alias in ("model_path", "transformer_path"):
+        if getattr(args, alias, None) and not args.ckpt_dir:
+            args.ckpt_dir = getattr(args, alias)
+    if getattr(args, "transformer_lora_path", None):
+        print("WARNING: --transformer_lora_path accepted for parity but LoRA "
+              "merging is not implemented; pass merged weights via "
+              "--ckpt_dir.")
     if getattr(args, "save_path", None) and not args.save_file:
         args.save_file = args.save_path
     if getattr(args, "neg_prompt", None) is not None \

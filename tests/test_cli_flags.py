@@ -83,3 +83,18 @@ def test_wan22_parity_flags_accepted():
         "--offload_model", "True", "--t5_cpu",
     ])
     assert args.convert_model_dtype
+
+
+def test_omnigen2_inference_alias_surface():
+    # inference.py flag names canonicalize in main() — check the parser
+    # accepts them and the mapping logic is importable (no generation)
+    args = _parse([
+        "--task", "omnigen2", "--tiny",
+        "--instruction", "a fox", "--num_inference_step", "7",
+        "--seed", "3", "--enable_magcache", "--scheduler", "euler",
+        "--output_image_path", "/tmp/x", "--height", "64", "--width", "32",
+        "--enable_model_cpu_offload", "--max_input_image_pixels", "1048576",
+    ])
+    assert args.instruction == "a fox"
+    assert args.num_inference_step == 7
+    assert args.enable_magcache
