@@ -188,6 +188,13 @@ def main():
             "reference_full_s_A800": 189.0,
             "reference_magcache_s_A800": 87.0,
             "peak_tflops": {"v5e": V5E_PEAK_TFLOPS, "A800": A800_PEAK_TFLOPS},
+            # absolute wall-clock vs the reference's published A800 numbers
+            # (>1 = this port is faster on strictly weaker-peak silicon);
+            # only meaningful on the full-size run (quick mode uses tiny shapes)
+            "speed_vs_reference_absolute": {
+                "full": round(189.0 / t_full, 3),
+                "magcache_E012K2R02": round(87.0 / t_cached, 3),
+            },
             # sec/video x chip peak TFLOPs (lower = better use of silicon)
             "peak_normalized_full_ours": round(t_full * V5E_PEAK_TFLOPS, 0),
             "peak_normalized_full_ref": round(189.0 * A800_PEAK_TFLOPS, 0),
