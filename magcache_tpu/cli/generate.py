@@ -161,9 +161,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="omnigen2 alias for --use_magcache")
     p.add_argument("--scheduler", default=None,
                    choices=["euler", "dpmsolver++"],
-                   help="omnigen2 scheduler; euler (the reference default) "
-                        "is implemented, dpmsolver++ falls back to euler "
-                        "with a warning")
+                   help="omnigen2 scheduler (inference.py:41-47): euler "
+                        "(default) or flow-match DPM-Solver++ 2M")
     p.add_argument("--num_images_per_prompt", type=int, default=None,
                    help="accepted for parity; batched sampling rides the dp "
                         "mesh axis (generate_batch) instead")
@@ -507,6 +506,8 @@ def _omnigen2_pipeline(args):
         kw["text_guidance_scale"] = args.text_guidance_scale
     if getattr(args, "image_guidance_scale", None) is not None:
         kw["image_guidance_scale"] = args.image_guidance_scale
+    if getattr(args, "scheduler", None) is not None:
+        kw["scheduler"] = args.scheduler
     if (getattr(args, "cfg_range_start", None) is not None
             or getattr(args, "cfg_range_end", None) is not None):
         lo = args.cfg_range_start if args.cfg_range_start is not None else 0.0
@@ -566,9 +567,7 @@ def main(argv=None):
         args.base_seed = args.seed
     if getattr(args, "enable_magcache", False):
         args.use_magcache = True
-    if getattr(args, "scheduler", None) == "dpmsolver++":
-        print("WARNING: the dpmsolver++ scheduler is not implemented for "
-              "omnigen2 — falling back to euler (the reference default).")
+
     for alias in ("model_path", "transformer_path"):
         if getattr(args, alias, None) and not args.ckpt_dir:
             args.ckpt_dir = getattr(args, alias)

@@ -254,6 +254,7 @@ def sample_euler(
     noise_scales: Optional[np.ndarray] = None,
     noise_key: Optional[jax.Array] = None,
     dynamic_skip=None,
+    dpm_coeffs=None,
 ) -> jnp.ndarray:
     """Linear-update sampler: ``x <- cx_i * x + dt_i * v [+ ns_i * z_i]`` per
     step, with MagCache. ``x_coeffs`` defaults to ones (plain Euler);
@@ -278,6 +279,12 @@ def sample_euler(
     per-lane skip policy; the static schedule slot then carries the policy's
     forced-compute mask and skip bits are computed in-graph each step (same
     contract as `unipc_executor`). Mutually exclusive with ``cache_cfg``.
+
+    ``dpm_coeffs`` (`schedulers.dpm_flow.dpmpp_2m_flow_coeffs` dict): switch
+    the update rule to DPM-Solver++(2M) data prediction —
+    ``x0 = x - sigma_t * v; D = a*x0 + b*x0_prev; x <- c_x*x + c_d*D`` with
+    the previous step's x0 carried through the scan. Mutually exclusive with
+    ``x_coeffs``/``in_scales``/``noise_scales`` (``dts`` is ignored).
     """
     num_steps = len(timesteps)
     batch = x_init.shape[0]
@@ -311,13 +318,24 @@ def sample_euler(
     ancestral = noise_scales is not None
     if ancestral:
         assert noise_key is not None, "noise_scales needs a noise_key"
+    if dpm_coeffs is not None:
+        assert x_coeffs is None and in_scales is None and not ancestral, (
+            "dpm_coeffs replaces the linear-update coefficients")
+        dsig = jnp.asarray(dpm_coeffs["sigma_t"])
+        da = jnp.asarray(dpm_coeffs["a"])
+        db = jnp.asarray(dpm_coeffs["b"])
+        dcx = jnp.asarray(dpm_coeffs["c_x"])
+        dcd = jnp.asarray(dpm_coeffs["c_d"])
+    else:
+        z = jnp.zeros(num_steps, jnp.float32)
+        dsig = da = db = dcx = dcd = z
     skips = (jnp.asarray(skip_mask) if skip_mask_override is None
              else skip_mask_override)
     state0 = _init_trunk_state(core, params, x_l0, jnp.asarray(timesteps[:1]), cond)
 
     def body(carry, step_in):
-        x, cache, state = carry
-        t, dt, cx, cin, ns, skip_bits, idx = step_in
+        x, cache, state, x0_prev = carry
+        t, dt, cx, cin, ns, skip_bits, idx, dpc = step_in
         x2 = _stack_lanes(cin.astype(x.dtype) * x, n_lanes)
         tvec = jnp.full((x2.shape[0],), t, jnp.float32)
         hidden, ctx = core.prepare(params, x2, tvec, cond)
@@ -335,16 +353,24 @@ def sample_euler(
                 state, idx, partial_lanes=partial_lanes)
         out = core.head(params, h_out, ctx)
         v = _cfg_combine(out, guidance_scale, batch, combine_fn, n_lanes, idx)
-        x = cx.astype(x.dtype) * x + dt.astype(x.dtype) * v.astype(x.dtype)
+        if dpm_coeffs is not None:
+            sg, av, bv, cxd, cdd = (c.astype(x.dtype) for c in dpc)
+            x0 = x - sg * v.astype(x.dtype)
+            d = av * x0 + bv * x0_prev
+            x = cxd * x + cdd * d
+            x0_prev = x0
+        else:
+            x = cx.astype(x.dtype) * x + dt.astype(x.dtype) * v.astype(x.dtype)
         if ancestral:
             z = jax.random.normal(jax.random.fold_in(noise_key, idx),
                                   x.shape, x.dtype)
             x = x + ns.astype(x.dtype) * z
-        return (x, cache, state), None
+        return (x, cache, state, x0_prev), None
 
-    (x_fin, _, _), _ = jax.lax.scan(
-        body, (x_init, cache0, state0),
-        (ts, dts_a, cxs, cins, nss, skips, jnp.arange(num_steps)))
+    (x_fin, _, _, _), _ = jax.lax.scan(
+        body, (x_init, cache0, state0, jnp.zeros_like(x_init)),
+        (ts, dts_a, cxs, cins, nss, skips, jnp.arange(num_steps),
+         (dsig, da, db, dcx, dcd)))
     return x_fin
 
 

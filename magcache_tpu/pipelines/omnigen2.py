@@ -108,6 +108,9 @@ class OmniGen2PipelineConfig:
     enable_teacache: bool = False
     teacache_thresh: float = 0.1
     teacache_coeffs: tuple = (1.0, 0.0)
+    # reference --scheduler choice (inference.py:41-47): euler (default) or
+    # dpmsolver++ (flow-match DPM-Solver++ 2M, schedulers/dpm_flow.py)
+    scheduler: str = "euler"
     dtype: str = "float32"
     tiny: bool = False
     ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
@@ -196,11 +199,21 @@ class OmniGen2Pipeline(BasePipeline):
 
     def _sample_fn(self):
         k = (self.config.use_magcache, self.config.enable_taylorseer,
-             self.config.enable_teacache)
+             self.config.enable_teacache, self.config.scheduler)
         if k in self._jit_cache:
             return self._jit_cache[k]
         c = self.config
         sch = FlowMatchSchedule.create(c.num_inference_steps)
+        dpm = None
+        if c.scheduler == "dpmsolver++":
+            if c.enable_taylorseer or c.enable_teacache:
+                print("WARNING: dpmsolver++ is wired for the full-compute and "
+                      "MagCache paths; the TaylorSeer/TeaCache comparators "
+                      "run their reference euler loop.")
+            else:
+                from magcache_tpu.schedulers.dpm_flow import (
+                    dpmpp_2m_flow_coeffs)
+                dpm = dpmpp_2m_flow_coeffs(sch.sigmas)
         cache_cfg = None
         if c.use_magcache:
             cache_cfg = make_omnigen2_cache_config(
@@ -225,6 +238,12 @@ class OmniGen2Pipeline(BasePipeline):
             skips_b = jnp.asarray(mask[:, 1:2])
             ts = jnp.asarray(sch.timesteps.astype(np.float32))
             dts = jnp.asarray(np.diff(sch.sigmas).astype(np.float32))
+            if dpm is not None:
+                dpm_steps = tuple(jnp.asarray(dpm[kk]) for kk in
+                                  ("sigma_t", "a", "b", "c_x", "c_d"))
+            else:
+                dpm_steps = tuple(jnp.zeros(n, jnp.float32)
+                                  for _ in range(5))
 
             def fn(params, x, cond):
                 cond_a = {"txt": cond["txt"][jnp.asarray([0, 2])],
@@ -238,8 +257,8 @@ class OmniGen2Pipeline(BasePipeline):
                 rows_b = jnp.asarray([0])
 
                 def body(carry, step_in):
-                    x, ca, cb = carry
-                    t, dt, sa, sb, idx = step_in
+                    x, ca, cb, x0p = carry
+                    t, dt, sa, sb, idx, dpc = step_in
                     x2 = jnp.concatenate([x, x], axis=0)
                     tv2 = jnp.full((2,), t, jnp.float32)
                     ha, ctxa = core.prepare(params, x2, tv2, cond_a)
@@ -252,12 +271,19 @@ class OmniGen2Pipeline(BasePipeline):
                                               sb, rows_b)
                     outb = core_nor.head(params, hb, ctxb)
                     e = combine((outa[0:1], outb, outa[1:2]), idx)
-                    x = x + dt.astype(x.dtype) * e.astype(x.dtype)
-                    return (x, ca, cb), None
+                    if dpm is not None:
+                        sg, av, bv, cxd, cdd = (v.astype(x.dtype)
+                                                for v in dpc)
+                        x0 = x - sg * e.astype(x.dtype)
+                        x = cxd * x + cdd * (av * x0 + bv * x0p)
+                        x0p = x0
+                    else:
+                        x = x + dt.astype(x.dtype) * e.astype(x.dtype)
+                    return (x, ca, cb, x0p), None
 
-                (x_fin, _, _), _ = jax.lax.scan(
-                    body, (x, cache_a, cache_b),
-                    (ts, dts, skips_a, skips_b, jnp.arange(n)))
+                (x_fin, _, _, _), _ = jax.lax.scan(
+                    body, (x, cache_a, cache_b, jnp.zeros_like(x)),
+                    (ts, dts, skips_a, skips_b, jnp.arange(n), dpm_steps))
                 return x_fin
         else:
             def fn(params, x, cond):
@@ -265,7 +291,7 @@ class OmniGen2Pipeline(BasePipeline):
                                     timesteps=sch.timesteps,
                                     dts=np.diff(sch.sigmas),
                                     cache_cfg=cache_cfg, lanes=lanes,
-                                    combine_fn=combine)
+                                    combine_fn=combine, dpm_coeffs=dpm)
 
         jitted = jax.jit(fn)
         self._jit_cache[k] = jitted

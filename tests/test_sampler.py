@@ -278,3 +278,43 @@ def test_partial_lane_skip_runs_reduced_trunk():
         params, x, cond)
     # full trunk (4 rows = 2 lanes x batch 2) AND reduced trunk (2 rows)
     assert 4 in seen_rows and 2 in seen_rows, seen_rows
+
+
+def test_dpmpp_2m_flow_matches_eager_oracle():
+    # sample_euler(dpm_coeffs=...) == an eager transcription of the
+    # DPM-Solver++(2M) data-prediction update driven through the same core
+    from magcache_tpu.schedulers.dpm_flow import dpmpp_2m_flow_coeffs
+
+    core, params = make_toy(3)
+    n = 8
+    sigmas = np.linspace(1.0, 0.0, n + 1)
+    timesteps = (sigmas[:-1] * 1000.0).astype(np.float32)
+    co = dpmpp_2m_flow_coeffs(sigmas)
+    x0_in = jax.random.normal(jax.random.PRNGKey(1), (2, DIM))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 4))
+
+    got = sample_euler(core, params, x0_in, cond, timesteps=timesteps,
+                       dts=np.zeros(n), dpm_coeffs=co)
+
+    x = np.asarray(x0_in)
+    x0_prev = np.zeros_like(x)
+    for i in range(n):
+        tvec = jnp.full((2,), timesteps[i], jnp.float32)
+        h, ctx = core.prepare(params, jnp.asarray(x), tvec, cond)
+        v = np.asarray(core.head(params, core.trunk(params, h, ctx), ctx))
+        x0 = x - co["sigma_t"][i] * v
+        d = co["a"][i] * x0 + co["b"][i] * x0_prev
+        x = co["c_x"][i] * x + co["c_d"][i] * d
+        x0_prev = x0
+    rel = np.max(np.abs(np.asarray(got) - x)) / (np.max(np.abs(x)) + 1e-8)
+    assert rel < 1e-5, rel  # f32 reassociation only
+
+
+def test_dpmpp_final_step_returns_data_prediction():
+    # with sigma_end = 0 the last update must be exactly x0 = x - sigma*v
+    from magcache_tpu.schedulers.dpm_flow import dpmpp_2m_flow_coeffs
+
+    co = dpmpp_2m_flow_coeffs(np.array([1.0, 0.5, 0.0]))
+    assert co["c_x"][-1] == 0.0
+    assert abs(co["c_d"][-1] - 1.0) < 1e-7
+    assert co["a"][-1] == 1.0 and co["b"][-1] == 0.0
