@@ -528,11 +528,55 @@ def _omnigen2_pipeline(args):
         kw["magcache_K"] = args.magcache_K
     if args.retention_ratio is not None:
         kw["retention_ratio"] = args.retention_ratio
+    n_refs = len(getattr(args, "input_image_path", None) or
+                 ([args.image] if args.image else []))
+    if n_refs:
+        kw["ref_images"] = n_refs
     if args.tiny:
         kw.update(height=32, width=32, txt_len=6)
     kw["ckpt_dir"] = args.ckpt_dir
     cfg = OmniGen2PipelineConfig(**kw)
     return OmniGen2Pipeline(cfg), cfg
+
+
+def _omnigen2_ref_latents(pipe, images):
+    """Pixel reference images -> [1, R, gh*pp, gw*pp, c_in] latents.
+
+    With a loaded VAE (``--vae_ckpt``) each image is VAE-encoded; without
+    one (random-weights/tiny runs) images are nearest-resized onto the
+    latent grid and channel-tiled — shape-correct conditioning for smoke
+    runs, clearly meaningless as pixels (no real weights anywhere).
+    """
+    import jax.numpy as jnp
+    gh, gw = pipe.grid
+    pp = pipe.model_cfg.patch
+    c_in = pipe.model_cfg.in_channels
+    h_lat, w_lat = gh * pp, gw * pp
+    lats = []
+    vae = getattr(pipe, "vae", None)
+    for img in images:
+        if vae is not None and hasattr(vae, "encode"):
+            enc = vae.encode(np.asarray(img, np.float32)[None])
+            mean = enc[0] if isinstance(enc, tuple) else enc
+            lat = np.asarray(mean)[0]
+            if lat.ndim == 4:            # video VAE: [F, H, W, C] -> first
+                lat = lat[0]
+        else:
+            ys = (np.arange(h_lat) * img.shape[0] // h_lat).clip(
+                0, img.shape[0] - 1)
+            xs = (np.arange(w_lat) * img.shape[1] // w_lat).clip(
+                0, img.shape[1] - 1)
+            px = np.asarray(img, np.float32)[ys][:, xs]      # [h, w, 3]
+            reps = -(-c_in // px.shape[-1])
+            lat = np.tile(px, (1, 1, reps))[:, :, :c_in]
+        if lat.shape[:2] != (h_lat, w_lat):
+            ys = (np.arange(h_lat) * lat.shape[0] // h_lat).clip(
+                0, lat.shape[0] - 1)
+            xs = (np.arange(w_lat) * lat.shape[1] // w_lat).clip(
+                0, lat.shape[1] - 1)
+            lat = lat[ys][:, xs]
+        lats.append(lat)
+    return jnp.asarray(np.stack(lats)[None], jnp.float32)
 
 
 def _load_image(path: str) -> np.ndarray:
@@ -552,11 +596,9 @@ def main(argv=None):
     if getattr(args, "instruction", None) is not None:
         args.prompt = args.instruction
     if getattr(args, "input_image_path", None):
-        paths = args.input_image_path
-        if len(paths) > 1:
-            print("WARNING: multi-image conditioning uses the first image "
-                  "only on this port.")
-        args.image = args.image or paths[0]
+        # omnigen2 multi-image conditioning: every path becomes a reference
+        # token block with its own rope grid (magcache_utils.py:352-369)
+        args.image = args.image or args.input_image_path[0]
     if getattr(args, "output_image_path", None) and not args.save_file:
         args.save_file = args.output_image_path
     if getattr(args, "height", None) and getattr(args, "width", None):
@@ -676,6 +718,13 @@ def main(argv=None):
     if getattr(args, "negative_prompt", None) is not None \
             and args.task.startswith("omnigen2"):
         gen_kwargs["negative_prompt"] = args.negative_prompt
+    if args.task.startswith("omnigen2") and (
+            args.image or getattr(args, "input_image_path", None)):
+        paths = (getattr(args, "input_image_path", None)
+                 or [args.image])
+        gen_kwargs["ref_latents"] = _omnigen2_ref_latents(
+            pipe, [_load_image(p) for p in paths])
+        args.image = None   # consumed; don't pass the generic image kwarg
     if args.image:
         gen_kwargs["image"] = _load_image(args.image)
     if getattr(args, "first_frame", None):
