@@ -328,8 +328,13 @@ def _qwen_pipeline(args):
     w, h = (int(v) for v in args.size.split("*"))
     if args.tiny:
         w = h = 64
+    # an input image means the Edit pipeline (reference ships separate
+    # MagCache4QwenImage / MagCache4QwenImageEdit adapters)
+    model = args.task
+    if args.image and "edit" not in model:
+        model = "qwen-image-edit"
     cfg = QwenImagePipelineConfig(
-        model=args.task, height=h, width=w,
+        model=model, height=h, width=w,
         sample_steps=args.sample_steps or 50,
         true_cfg_scale=args.sample_guide_scale,
         txt_len=8 if args.tiny else 256,
@@ -539,6 +544,11 @@ def _omnigen2_pipeline(args):
     return OmniGen2Pipeline(cfg), cfg
 
 
+def jnp_asarray3(lat):
+    import jax.numpy as jnp
+    return jnp.asarray(lat, jnp.float32)[None]
+
+
 def _omnigen2_ref_latents(pipe, images):
     """Pixel reference images -> [1, R, gh*pp, gw*pp, c_in] latents.
 
@@ -577,6 +587,33 @@ def _omnigen2_ref_latents(pipe, images):
             lat = lat[ys][:, xs]
         lats.append(lat)
     return jnp.asarray(np.stack(lats)[None], jnp.float32)
+
+
+def _image_to_grid_latent(pipe, img, h_lat, w_lat, c_lat):
+    """Pixel image -> [h_lat, w_lat, c_lat]: VAE-encoded when the pipeline
+    has one loaded, nearest-resized + channel-tiled otherwise (shape-correct
+    conditioning for checkpoint-free smoke runs)."""
+    vae = getattr(pipe, "vae", None)
+    if vae is not None and hasattr(vae, "encode"):
+        enc = vae.encode(np.asarray(img, np.float32)[None])
+        mean = enc[0] if isinstance(enc, tuple) else enc
+        lat = np.asarray(mean)[0]
+        if lat.ndim == 4:
+            lat = lat[0]
+    else:
+        ys = (np.arange(h_lat) * img.shape[0] // h_lat).clip(0, img.shape[0] - 1)
+        xs = (np.arange(w_lat) * img.shape[1] // w_lat).clip(0, img.shape[1] - 1)
+        px = np.asarray(img, np.float32)[ys][:, xs]
+        reps = -(-c_lat // px.shape[-1])
+        return np.tile(px, (1, 1, reps))[:, :, :c_lat]
+    if lat.shape[:2] != (h_lat, w_lat) or lat.shape[-1] != c_lat:
+        ys = (np.arange(h_lat) * lat.shape[0] // h_lat).clip(0, lat.shape[0] - 1)
+        xs = (np.arange(w_lat) * lat.shape[1] // w_lat).clip(0, lat.shape[1] - 1)
+        lat = lat[ys][:, xs]
+        if lat.shape[-1] != c_lat:
+            reps = -(-c_lat // lat.shape[-1])
+            lat = np.tile(lat, (1, 1, reps))[:, :, :c_lat]
+    return lat
 
 
 def _load_image(path: str) -> np.ndarray:
@@ -725,6 +762,30 @@ def main(argv=None):
         gen_kwargs["ref_latents"] = _omnigen2_ref_latents(
             pipe, [_load_image(p) for p in paths])
         args.image = None   # consumed; don't pass the generic image kwarg
+    if args.image and args.task.startswith("flux"):
+        # Kontext edit: packed conditioning latents ride the sequence
+        from magcache_tpu.models.flux import pack_latents
+        gh, gw = pipe.grid
+        c_in = pipe.model_cfg.in_channels
+        lat = _image_to_grid_latent(pipe, _load_image(args.image),
+                                    gh * 2, gw * 2, c_in // 4)
+        gen_kwargs["cond_latents"] = np.asarray(
+            pack_latents(jnp_asarray3(lat)))
+        args.image = None
+    if args.image and args.task.startswith("qwen"):
+        gh, gw = pipe.grid
+        c_in = pipe.model_cfg.in_channels
+        lat = _image_to_grid_latent(pipe, _load_image(args.image),
+                                    gh, gw, c_in)
+        gen_kwargs["ref_latents"] = lat.reshape(1, gh * gw, c_in)
+        args.image = None
+    if args.image and (args.task.startswith("framepack")
+                       or args.task.startswith("hunyuan")):
+        hw = pipe.lat_shape[1:]
+        lat = _image_to_grid_latent(pipe, _load_image(args.image),
+                                    hw[0], hw[1], hw[2])
+        gen_kwargs["start_latent"] = lat[None]
+        args.image = None
     if args.image:
         gen_kwargs["image"] = _load_image(args.image)
     if getattr(args, "first_frame", None):

@@ -126,29 +126,41 @@ def init_flux_params(key: jax.Array, cfg: FluxConfig):
     return params
 
 
-def flux_rope_tables(cfg: FluxConfig, txt_len: int, grid_h: int, grid_w: int):
-    """(cos, sin) over the [txt; img] sequence.
+def flux_rope_tables(cfg: FluxConfig, txt_len: int, grid_h: int, grid_w: int,
+                     kontext: bool = False):
+    """(cos, sin) over the [txt; img(; kontext)] sequence.
 
     Text ids are all-zero (identity rotation); image ids are (0, y, x) over the
     latent patch grid, each axis rotating its `axes_dims` channel segment —
-    FLUX's pos_embed semantics.
+    FLUX's pos_embed semantics. With ``kontext``, a second image-id block with
+    first-axis position 1 follows (the Kontext conditioning-image tokens:
+    diffusers offsets their ids on the index axis so they are positionally
+    distinct from the noise tokens at the same (y, x)).
     """
     total = sum(cfg.axes_dims)
     assert total == cfg.head_dim
     img_len = grid_h * grid_w
     ys, xs = np.meshgrid(np.arange(grid_h), np.arange(grid_w), indexing="ij")
-    cos_parts, sin_parts = [], []
-    axis_pos = [np.zeros(img_len), ys.reshape(-1), xs.reshape(-1)]
-    for dim_a, pos in zip(cfg.axes_dims, axis_pos):
-        c, s = rope_freqs_1d(pos, dim_a, cfg.theta)
-        cos_parts.append(c)
-        sin_parts.append(s)
-    img_cos = np.concatenate(cos_parts, -1)
-    img_sin = np.concatenate(sin_parts, -1)
+
+    def img_block(t_pos):
+        cos_parts, sin_parts = [], []
+        axis_pos = [np.full(img_len, t_pos), ys.reshape(-1), xs.reshape(-1)]
+        for dim_a, pos in zip(cfg.axes_dims, axis_pos):
+            c, s = rope_freqs_1d(pos, dim_a, cfg.theta)
+            cos_parts.append(c)
+            sin_parts.append(s)
+        return (np.concatenate(cos_parts, -1), np.concatenate(sin_parts, -1))
+
+    img_cos, img_sin = img_block(0)
     txt_cos = np.ones((txt_len, cfg.head_dim // 2), np.float32)
     txt_sin = np.zeros((txt_len, cfg.head_dim // 2), np.float32)
-    return (np.concatenate([txt_cos, img_cos], 0),
-            np.concatenate([txt_sin, img_sin], 0))
+    cos = [txt_cos, img_cos]
+    sin = [txt_sin, img_sin]
+    if kontext:
+        kc, ks_ = img_block(1)
+        cos.append(kc)
+        sin.append(ks_)
+    return np.concatenate(cos, 0), np.concatenate(sin, 0)
 
 
 def _mod(vec: jnp.ndarray, p, n: int):
@@ -230,7 +242,7 @@ def _single_block(cfg: FluxConfig, rope, p, carry):
 
 
 def make_flux_core(cfg: FluxConfig, txt_len: int, grid_h: int, grid_w: int,
-                   rope_tables=None) -> DiTCore:
+                   rope_tables=None, kontext: bool = False) -> DiTCore:
     """Build the (prepare, trunk, head) triple for a static (text, grid) shape.
 
     cond = {"txt": f[B, txt_len, text_dim], "vec": f[B, vec_dim],
@@ -241,12 +253,21 @@ def make_flux_core(cfg: FluxConfig, txt_len: int, grid_h: int, grid_w: int,
     sequence — video MMDiTs (HunyuanVideo) pass 3-D tables here.
     """
     rope_np = rope_tables if rope_tables is not None else flux_rope_tables(
-        cfg, txt_len, grid_h, grid_w)
+        cfg, txt_len, grid_h, grid_w, kontext=kontext)
     rope = (jnp.asarray(rope_np[0]), jnp.asarray(rope_np[1]))
+    img_len = grid_h * grid_w
 
     def prepare(params, x, t, cond):
         dt_ = cfg.jdtype
         img = linear(params["img_in"], x.astype(dt_))
+        if kontext:
+            # Kontext: the conditioning image's packed latents join the
+            # sequence AFTER the noise tokens (diffusers cat([latents,
+            # image_latents], 1)); they share img_in and the trunk, and the
+            # cached residual covers them (magcache_flux_kontext.py measures
+            # on the full hidden_states)
+            kt = linear(params["img_in"], cond["kontext"].astype(dt_))
+            img = jnp.concatenate([img, kt], axis=1)
         if "img_pre_tokens" in cond:
             # already-embedded conditioning tokens (FramePack clean-latent
             # pyramid) join the image stream ahead of the noise window
@@ -291,6 +312,8 @@ def make_flux_core(cfg: FluxConfig, txt_len: int, grid_h: int, grid_w: int,
 
     def head(params, img, ctx):
         vec = ctx["vec"]
+        if kontext:
+            img = img[:, :img_len]   # drop the conditioning tokens
         shift, scale = _mod(vec, params["final_mod"], 2)
         h = layer_norm(img) * (1 + scale) + shift
         return linear(params["final_out"], h.astype(img.dtype)).astype(jnp.float32)

@@ -82,6 +82,7 @@ class FluxPipeline(BasePipeline):
         self.grid = config.packed_grid()
         self.vae = vae
         self.core = make_flux_core(self.model_cfg, config.txt_len, *self.grid)
+        self._core_kontext = None   # built lazily on first conditioned call
         self.text_encoder = text_encoder or MockTextEncoder(
             config.txt_len, self.model_cfg.text_dim, scale=0.5)
         self.pooled_encoder = pooled_encoder or MockPooledEncoder(self.model_cfg.vec_dim)
@@ -107,8 +108,8 @@ class FluxPipeline(BasePipeline):
         return FlowMatchSchedule.create(c.num_inference_steps, mu=mu,
                                         linspace_endpoint=True)
 
-    def _sample_fn(self, calibrate: bool):
-        k = ("cal" if calibrate else "gen", self.config.use_magcache)
+    def _sample_fn(self, calibrate: bool, kontext: bool = False):
+        k = ("cal" if calibrate else "gen", self.config.use_magcache, kontext)
         if k in self._jit_cache:
             return self._jit_cache[k]
         c = self.config
@@ -119,7 +120,14 @@ class FluxPipeline(BasePipeline):
             cache_cfg = make_config(c.model, c.num_inference_steps,
                                     thresh=c.magcache_thresh, K=c.magcache_K,
                                     retention_ratio=c.retention_ratio)
-        core = self.core
+        if kontext:
+            if self._core_kontext is None:
+                from magcache_tpu.models.flux import make_flux_core
+                self._core_kontext = make_flux_core(
+                    self.model_cfg, c.txt_len, *self.grid, kontext=True)
+            core = self._core_kontext
+        else:
+            core = self.core
         if calibrate:
             def fn(params, x, cond):
                 return calibrate_euler(core, params, x, cond,
@@ -145,13 +153,18 @@ class FluxPipeline(BasePipeline):
         }
         x0 = jax.random.normal(set_seed(seed),
                                (1, gh * gw, self.model_cfg.in_channels), jnp.float32)
+        if cond_latents is not None:
+            # Kontext editing: the conditioning image's packed latents ride
+            # the sequence with index-1 rope ids (models/flux.py kontext path)
+            cond["kontext"] = jnp.asarray(cond_latents, jnp.float32)
         if self.plan is not None:
             mesh = self.plan.mesh
             x0 = jax.device_put(x0, activation_sharding(mesh, "tokens", 3))
             cond = {k: jax.device_put(v, activation_sharding(
                 mesh, "context" if v.ndim == 3 else "latents", v.ndim))
                 for k, v in cond.items()}
-        fn = self._sample_fn(c.magcache_calibration)
+        fn = self._sample_fn(c.magcache_calibration,
+                             kontext=cond_latents is not None)
         with use_mesh(self.plan):
             out = fn(self.params, x0, cond)
         calibration = None

@@ -108,3 +108,26 @@ def test_bf16_trunk_runs(model):
     out = core.head(params, core.trunk(params, hidden, ctx), ctx)
     assert out.dtype == jnp.float32
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_kontext_conditioning_steers_output():
+    # FLUX-Kontext: conditioning-image latents join the sequence with
+    # index-1 rope ids; different conditioning must change the result and
+    # the unconditioned program must be unaffected
+    import numpy as np
+
+    from magcache_tpu.pipelines.flux import FluxPipeline, FluxPipelineConfig
+    cfg = FluxPipelineConfig(model="flux-kontext-dev", tiny=True, height=64,
+                             width=64, txt_len=8, num_inference_steps=3,
+                             use_magcache=True)
+    pipe = FluxPipeline(cfg)
+    gh, gw = pipe.grid
+    c_in = pipe.model_cfg.in_channels
+    lat0 = np.zeros((1, gh * gw, c_in), np.float32)
+    lat1 = np.full_like(lat0, 0.3)
+    a = np.asarray(pipe.generate("e", seed=0, cond_latents=lat0).latents)
+    b = np.asarray(pipe.generate("e", seed=0, cond_latents=lat1).latents)
+    n = np.asarray(pipe.generate("e", seed=0).latents)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert not np.allclose(a, b)
+    assert not np.allclose(n, a)
