@@ -544,11 +544,6 @@ def _omnigen2_pipeline(args):
     return OmniGen2Pipeline(cfg), cfg
 
 
-def jnp_asarray3(lat):
-    import jax.numpy as jnp
-    return jnp.asarray(lat, jnp.float32)[None]
-
-
 def _omnigen2_ref_latents(pipe, images):
     """Pixel reference images -> [1, R, gh*pp, gw*pp, c_in] latents.
 
@@ -767,10 +762,11 @@ def main(argv=None):
         from magcache_tpu.models.flux import pack_latents
         gh, gw = pipe.grid
         c_in = pipe.model_cfg.in_channels
+        import jax.numpy as jnp
         lat = _image_to_grid_latent(pipe, _load_image(args.image),
                                     gh * 2, gw * 2, c_in // 4)
         gen_kwargs["cond_latents"] = np.asarray(
-            pack_latents(jnp_asarray3(lat)))
+            pack_latents(jnp.asarray(lat, jnp.float32)[None]))
         args.image = None
     if args.image and args.task.startswith("qwen"):
         gh, gw = pipe.grid
