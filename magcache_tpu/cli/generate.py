@@ -502,6 +502,11 @@ def _omnigen2_pipeline(args):
               dtype=args.dtype, tiny=args.tiny)
     if getattr(args, "teacache_thresh", None) is not None:
         kw["teacache_thresh"] = args.teacache_thresh
+    if args.size != "832*480":
+        # explicitly-set --size (or the --height/--width aliases) overrides
+        # the omnigen2 reference default of 1024x1024
+        w, h = (int(v) for v in args.size.split("*"))
+        kw.update(height=h, width=w)
     if getattr(args, "teacache_rel_l1_thresh", None) is not None \
             and getattr(args, "teacache_thresh", None) is None:
         # reference flag name (OmniGen2 inference.py --teacache_rel_l1_thresh);
@@ -545,70 +550,57 @@ def _omnigen2_pipeline(args):
 
 
 def _omnigen2_ref_latents(pipe, images):
-    """Pixel reference images -> [1, R, gh*pp, gw*pp, c_in] latents.
-
-    With a loaded VAE (``--vae_ckpt``) each image is VAE-encoded; without
-    one (random-weights/tiny runs) images are nearest-resized onto the
-    latent grid and channel-tiled — shape-correct conditioning for smoke
-    runs, clearly meaningless as pixels (no real weights anywhere).
-    """
+    """Pixel reference images -> [1, R, gh*pp, gw*pp, c_in] latents (one
+    `_image_to_grid_latent` per image)."""
     import jax.numpy as jnp
     gh, gw = pipe.grid
     pp = pipe.model_cfg.patch
     c_in = pipe.model_cfg.in_channels
-    h_lat, w_lat = gh * pp, gw * pp
-    lats = []
-    vae = getattr(pipe, "vae", None)
-    for img in images:
-        if vae is not None and hasattr(vae, "encode"):
-            enc = vae.encode(np.asarray(img, np.float32)[None])
-            mean = enc[0] if isinstance(enc, tuple) else enc
-            lat = np.asarray(mean)[0]
-            if lat.ndim == 4:            # video VAE: [F, H, W, C] -> first
-                lat = lat[0]
-        else:
-            ys = (np.arange(h_lat) * img.shape[0] // h_lat).clip(
-                0, img.shape[0] - 1)
-            xs = (np.arange(w_lat) * img.shape[1] // w_lat).clip(
-                0, img.shape[1] - 1)
-            px = np.asarray(img, np.float32)[ys][:, xs]      # [h, w, 3]
-            reps = -(-c_in // px.shape[-1])
-            lat = np.tile(px, (1, 1, reps))[:, :, :c_in]
-        if lat.shape[:2] != (h_lat, w_lat):
-            ys = (np.arange(h_lat) * lat.shape[0] // h_lat).clip(
-                0, lat.shape[0] - 1)
-            xs = (np.arange(w_lat) * lat.shape[1] // w_lat).clip(
-                0, lat.shape[1] - 1)
-            lat = lat[ys][:, xs]
-        lats.append(lat)
+    lats = [_image_to_grid_latent(pipe, img, gh * pp, gw * pp, c_in)
+            for img in images]
     return jnp.asarray(np.stack(lats)[None], jnp.float32)
 
 
 def _image_to_grid_latent(pipe, img, h_lat, w_lat, c_lat):
-    """Pixel image -> [h_lat, w_lat, c_lat]: VAE-encoded when the pipeline
-    has one loaded, nearest-resized + channel-tiled otherwise (shape-correct
-    conditioning for checkpoint-free smoke runs)."""
+    """Pixel image -> [h_lat, w_lat, c_lat] conditioning latent.
+
+    With a VAE attached (``--vae_ckpt``): pixels go to [-1, 1] (the diffusers
+    preprocessing), video VAEs get a singleton frame axis, and SD-lineage
+    VAEs apply their shift/scale (``to_latent``) so the latents match what
+    the published transformers saw. Without a VAE: nearest-resize +
+    channel-tile (shape-correct conditioning for checkpoint-free smoke runs
+    only).
+    """
+    def resize(a, h, w):
+        ys = (np.arange(h) * a.shape[0] // h).clip(0, a.shape[0] - 1)
+        xs = (np.arange(w) * a.shape[1] // w).clip(0, a.shape[1] - 1)
+        return a[ys][:, xs]
+
     vae = getattr(pipe, "vae", None)
     if vae is not None and hasattr(vae, "encode"):
-        enc = vae.encode(np.asarray(img, np.float32)[None])
-        mean = enc[0] if isinstance(enc, tuple) else enc
+        from magcache_tpu.models.vae import CausalVAE
+        from magcache_tpu.models.vae_wan import WanVAE
+        px = np.asarray(img, np.float32) * 2.0 - 1.0
+        inp = (px[None, None] if isinstance(vae, (WanVAE, CausalVAE))
+               else px[None])
+        enc = vae.encode(inp)
+        mean = enc[0] if isinstance(enc, (tuple, list)) else enc
+        if hasattr(vae, "to_latent"):
+            mean = vae.to_latent(mean)
         lat = np.asarray(mean)[0]
-        if lat.ndim == 4:
+        if lat.ndim == 4:            # video VAE: [F, H, W, C] -> first frame
             lat = lat[0]
-    else:
-        ys = (np.arange(h_lat) * img.shape[0] // h_lat).clip(0, img.shape[0] - 1)
-        xs = (np.arange(w_lat) * img.shape[1] // w_lat).clip(0, img.shape[1] - 1)
-        px = np.asarray(img, np.float32)[ys][:, xs]
-        reps = -(-c_lat // px.shape[-1])
-        return np.tile(px, (1, 1, reps))[:, :, :c_lat]
-    if lat.shape[:2] != (h_lat, w_lat) or lat.shape[-1] != c_lat:
-        ys = (np.arange(h_lat) * lat.shape[0] // h_lat).clip(0, lat.shape[0] - 1)
-        xs = (np.arange(w_lat) * lat.shape[1] // w_lat).clip(0, lat.shape[1] - 1)
-        lat = lat[ys][:, xs]
+        if lat.shape[:2] != (h_lat, w_lat):
+            lat = resize(lat, h_lat, w_lat)
         if lat.shape[-1] != c_lat:
-            reps = -(-c_lat // lat.shape[-1])
-            lat = np.tile(lat, (1, 1, reps))[:, :, :c_lat]
-    return lat
+            raise SystemExit(
+                f"--image: the attached VAE produced {lat.shape[-1]} latent "
+                f"channels but this model conditions on {c_lat} — wrong VAE "
+                "for this task")
+        return lat
+    px = resize(np.asarray(img, np.float32), h_lat, w_lat)
+    reps = -(-c_lat // px.shape[-1])
+    return np.tile(px, (1, 1, reps))[:, :, :c_lat]
 
 
 def _load_image(path: str) -> np.ndarray:
@@ -625,7 +617,9 @@ def _load_image(path: str) -> np.ndarray:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if getattr(args, "instruction", None) is not None:
+    parser_defaults = build_parser().parse_args(["--task", args.task])
+    if getattr(args, "instruction", None) is not None \
+            and args.prompt == parser_defaults.prompt:
         args.prompt = args.instruction
     if getattr(args, "input_image_path", None):
         # omnigen2 multi-image conditioning: every path becomes a reference
@@ -633,11 +627,13 @@ def main(argv=None):
         args.image = args.image or args.input_image_path[0]
     if getattr(args, "output_image_path", None) and not args.save_file:
         args.save_file = args.output_image_path
-    if getattr(args, "height", None) and getattr(args, "width", None):
+    if getattr(args, "height", None) and getattr(args, "width", None) \
+            and args.size == parser_defaults.size:
         args.size = f"{args.width}*{args.height}"
     if getattr(args, "num_inference_step", None) and not args.sample_steps:
         args.sample_steps = args.num_inference_step
-    if getattr(args, "seed", None) is not None:
+    if getattr(args, "seed", None) is not None \
+            and args.base_seed == parser_defaults.base_seed:
         args.base_seed = args.seed
     if getattr(args, "enable_magcache", False):
         args.use_magcache = True
@@ -758,6 +754,10 @@ def main(argv=None):
             pipe, [_load_image(p) for p in paths])
         args.image = None   # consumed; don't pass the generic image kwarg
     if args.image and args.task.startswith("flux"):
+        if "kontext" not in args.task:
+            raise SystemExit("--image: only flux-kontext-dev conditions on "
+                             "an input image (FLUX.1-dev is t2i; its weights "
+                             "have no image-conditioning training)")
         # Kontext edit: packed conditioning latents ride the sequence
         from magcache_tpu.models.flux import pack_latents
         gh, gw = pipe.grid
@@ -769,11 +769,16 @@ def main(argv=None):
             pack_latents(jnp.asarray(lat, jnp.float32)[None]))
         args.image = None
     if args.image and args.task.startswith("qwen"):
+        # qwen tokens are 2x2-packed VAE latents (in_channels = 16ch x 4),
+        # same space-to-depth packing as flux
+        from magcache_tpu.models.flux import pack_latents
+        import jax.numpy as jnp
         gh, gw = pipe.grid
         c_in = pipe.model_cfg.in_channels
         lat = _image_to_grid_latent(pipe, _load_image(args.image),
-                                    gh, gw, c_in)
-        gen_kwargs["ref_latents"] = lat.reshape(1, gh * gw, c_in)
+                                    gh * 2, gw * 2, c_in // 4)
+        gen_kwargs["ref_latents"] = np.asarray(
+            pack_latents(jnp.asarray(lat, jnp.float32)[None]))
         args.image = None
     if args.image and (args.task.startswith("framepack")
                        or args.task.startswith("hunyuan")):

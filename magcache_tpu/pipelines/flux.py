@@ -122,7 +122,6 @@ class FluxPipeline(BasePipeline):
                                     retention_ratio=c.retention_ratio)
         if kontext:
             if self._core_kontext is None:
-                from magcache_tpu.models.flux import make_flux_core
                 self._core_kontext = make_flux_core(
                     self.model_cfg, c.txt_len, *self.grid, kontext=True)
             core = self._core_kontext

@@ -89,8 +89,9 @@ class FramePackPipelineConfig:
 class FramePackPipeline(BasePipeline):
     def __init__(self, config: FramePackPipelineConfig,
                  text_encoder: Optional[TextEncoder] = None, params=None,
-                 key: Optional[jax.Array] = None):
+                 vae=None, key: Optional[jax.Array] = None):
         self.config = config
+        self.vae = vae
         self.model_cfg = config.model_config()
         c = config
         self.grid = (c.latent_window_size, c.height // 16, c.width // 16)

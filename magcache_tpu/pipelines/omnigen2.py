@@ -145,8 +145,9 @@ class OmniGen2PipelineConfig:
 class OmniGen2Pipeline(BasePipeline):
     def __init__(self, config: OmniGen2PipelineConfig,
                  text_encoder: Optional[TextEncoder] = None, params=None,
-                 key: Optional[jax.Array] = None):
+                 vae=None, key: Optional[jax.Array] = None):
         self.config = config.validate()
+        self.vae = vae
         self.model_cfg = config.model_config()
         p = self.model_cfg.patch
         self.grid = (config.height // 8 // p, config.width // 8 // p)

@@ -61,8 +61,9 @@ class QwenImagePipelineConfig:
 class QwenImagePipeline(BasePipeline):
     def __init__(self, config: QwenImagePipelineConfig,
                  text_encoder: Optional[TextEncoder] = None, params=None,
-                 key: Optional[jax.Array] = None):
+                 vae=None, key: Optional[jax.Array] = None):
         self.config = config
+        self.vae = vae
         self.model_cfg = config.model_config()
         self.grid = (config.height // 16, config.width // 16)
         self.ref_images = 1 if "edit" in config.model else 0
