@@ -60,7 +60,11 @@ def main():
     frames = int(os.environ.get("MAGCACHE_BENCH_FRAMES", 21 if quick else 81))
     steps = int(os.environ.get("MAGCACHE_BENCH_STEPS", 8 if quick else 50))
     seg = int(os.environ.get("MAGCACHE_BENCH_SEG", 4 if quick else 5))
-    h_pix, w_pix = (192, 320) if quick else (480, 832)
+    if os.environ.get("MAGCACHE_BENCH_RES") == "720":
+        # 1280x720x81f -> 75.6k tokens; measured 13.79 s/step (NOTES.md #19)
+        h_pix, w_pix = 720, 1280
+    else:
+        h_pix, w_pix = (192, 320) if quick else (480, 832)
 
     cfg = dataclasses.replace(WAN_1_3B, dtype="bfloat16")
     lat_f = (frames - 1) // 4 + 1

@@ -9,6 +9,9 @@ Reference surfaces covered:
   --image_guidance_scale, --cfg_range_start/end, --teacache_rel_l1_thresh
 """
 
+import jax
+import numpy as np
+
 from magcache_tpu.cli.generate import (
     _hunyuan_pipeline,
     _omnigen2_pipeline,
@@ -98,3 +101,46 @@ def test_omnigen2_inference_alias_surface():
     assert args.instruction == "a fox"
     assert args.num_inference_step == 7
     assert args.enable_magcache
+
+
+def test_image_to_grid_latent_vae_paths():
+    # SD VAE: [-1,1] preprocessing + to_latent shift/scale must be applied;
+    # Wan video VAE: needs the singleton frame axis (5-D input)
+    import numpy as np
+
+    from magcache_tpu.cli.generate import _image_to_grid_latent
+    from magcache_tpu.models.vae_sd import SDVAE, SDVAEConfig, init_sd_vae_params
+    from magcache_tpu.models.vae_wan import (
+        WanVAE,
+        WanVAEConfig,
+        init_wan_vae_params,
+    )
+
+    class P:    # minimal pipe stand-in
+        pass
+
+    img = np.random.default_rng(0).random((32, 32, 3)).astype(np.float32)
+
+    scfg = SDVAEConfig.tiny(shift_factor=0.1)
+    p = P()
+    p.vae = SDVAE(scfg, init_sd_vae_params(jax.random.PRNGKey(0), scfg))
+    h_lat = 32 // scfg.spatial_down
+    lat = _image_to_grid_latent(p, img, h_lat, h_lat, scfg.z_channels)
+    assert lat.shape == (h_lat, h_lat, scfg.z_channels)
+    # to_latent applied: the raw posterior mean differs by shift/scale
+    enc = p.vae.encode((img * 2 - 1)[None])
+    mean = enc[0] if isinstance(enc, (tuple, list)) else enc
+    raw = np.asarray(mean)[0]
+    assert not np.allclose(raw, lat)
+
+    wcfg = WanVAEConfig.tiny()
+    p = P()
+    p.vae = WanVAE(wcfg, init_wan_vae_params(jax.random.PRNGKey(1), wcfg))
+    lat = _image_to_grid_latent(p, img, 16, 16, wcfg.z_channels)
+    assert lat.shape == (16, 16, wcfg.z_channels)
+    assert np.isfinite(lat).all()
+
+    # no VAE: mock path is shape-correct and channel-tiled
+    p = P()
+    lat = _image_to_grid_latent(p, img, 8, 8, 16)
+    assert lat.shape == (8, 8, 16)
