@@ -39,7 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frame_num", type=int, default=81)
     p.add_argument("--sample_steps", type=int, default=None)
     p.add_argument("--sample_shift", type=float, default=None)
-    p.add_argument("--sample_solver", default="unipc", choices=["unipc", "euler"])
+    p.add_argument("--sample_solver", default="unipc",
+                   choices=["unipc", "dpm++", "euler"],
+                   help="reference choices unipc/dpm++ "
+                        "(magcache_generate.py:728-731); euler kept for "
+                        "FramePack-style paths")
     p.add_argument("--sample_guide_scale", type=float, default=6.0)
     p.add_argument("--base_seed", type=int, default=0)
     p.add_argument("--prompt", default="Two anthropomorphic cats in comfy "

@@ -384,6 +384,7 @@ def calibrate_euler(
     dts: np.ndarray,
     lanes: int = 1,
     guidance_scale: Optional[float] = None,
+    dpm_coeffs=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full-compute run recording calibration stats.
 
@@ -399,10 +400,16 @@ def calibrate_euler(
     dts_a = jnp.asarray(np.asarray(dts, np.float32))
     rows = x_l0.shape[0]
     rows_per_lane = rows // lanes
+    n_cal = len(timesteps)
+    if dpm_coeffs is not None:
+        dpm_steps = tuple(jnp.asarray(dpm_coeffs[kk]) for kk in
+                          ("sigma_t", "a", "b", "c_x", "c_d"))
+    else:
+        dpm_steps = tuple(jnp.zeros(n_cal, jnp.float32) for _ in range(5))
 
     def body(carry, step_in):
-        x, cache = carry
-        t, dt = step_in
+        x, cache, x0p = carry
+        t, dt, dpc = step_in
         x2 = _stack_lanes(x, 2 if guidance_scale is not None else 1)
         tvec = jnp.full((x2.shape[0],), t, jnp.float32)
         hidden, ctx = core.prepare(params, x2, tvec, cond)
@@ -418,10 +425,18 @@ def calibrate_euler(
         stats = jnp.stack(per_lane)  # [lanes, 3]
         out = core.head(params, h, ctx)
         v = _cfg_combine(out, guidance_scale, batch)
-        x = x + dt.astype(x.dtype) * v.astype(x.dtype)
-        return (x, resid), stats
+        if dpm_coeffs is not None:
+            sg, av, bv, cxd, cdd = (c_.astype(x.dtype) for c_ in dpc)
+            x0 = x - sg * v.astype(x.dtype)
+            x = cxd * x + cdd * (av * x0 + bv * x0p)
+            x0p = x0
+        else:
+            x = x + dt.astype(x.dtype) * v.astype(x.dtype)
+        return (x, resid, x0p), stats
 
-    (x_fin, _), stats = jax.lax.scan(body, (x_init, cache0), (ts, dts_a))
+    (x_fin, _, _), stats = jax.lax.scan(
+        body, (x_init, cache0, jnp.zeros_like(x_init)),
+        (ts, dts_a, dpm_steps))
     return x_fin, stats[1:]  # step 0 has no previous residual
 
 

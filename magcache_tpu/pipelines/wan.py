@@ -66,7 +66,9 @@ class WanPipelineConfig:
     frame_num: int = 81
     sample_steps: int = 50
     sample_shift: float = 8.0
-    sample_solver: str = "unipc"         # unipc | euler
+    sample_solver: str = "unipc"         # unipc | dpm++ | euler (reference
+                                         # CLI choices are unipc/dpm++,
+                                         # magcache_generate.py:728-731)
     guide_scale: float = 6.0
     use_magcache: bool = False
     magcache_thresh: Optional[float] = None
@@ -313,6 +315,12 @@ class WanPipeline(BasePipeline):
             self._jit_cache[key] = jitted
             return jitted
 
+        dpm = None
+        if self.config.sample_solver == "dpm++":
+            # the reference's second Wan solver (fm_solvers' flow DPM++;
+            # magcache_generate.py:728-731) — 2M data-prediction multistep
+            from magcache_tpu.schedulers.dpm_flow import dpmpp_2m_flow_coeffs
+            dpm = dpmpp_2m_flow_coeffs(sch.sigmas)
         if calibrate:
             # Calibration must ride the SAME solver trajectory generation uses
             # (magcache_generate.py:921-928); recording from Euler while
@@ -326,7 +334,8 @@ class WanPipeline(BasePipeline):
                     return calibrate_euler(core, params, x, cond,
                                            timesteps=sch.timesteps,
                                            dts=np.diff(sch.sigmas),
-                                           lanes=2, guidance_scale=g)
+                                           lanes=2, guidance_scale=g,
+                                           dpm_coeffs=dpm)
         elif self.config.sample_solver == "unipc":
             def fn(params, x, cond):
                 return sample_unipc(core, params, x, cond, sch,
@@ -336,7 +345,8 @@ class WanPipeline(BasePipeline):
                 return sample_euler(core, params, x, cond,
                                     timesteps=sch.timesteps,
                                     dts=np.diff(sch.sigmas),
-                                    cache_cfg=cache_cfg, guidance_scale=g)
+                                    cache_cfg=cache_cfg, guidance_scale=g,
+                                    dpm_coeffs=dpm)
 
         jitted = jax.jit(fn)
         self._jit_cache[key] = jitted

@@ -42,3 +42,41 @@ def test_omnigen2_edit_split_lane_dpm_runs_and_differs_from_euler():
         lats[sched] = np.asarray(out.latents)
         assert np.isfinite(lats[sched]).all()
     assert not np.allclose(lats["euler"], lats["dpmsolver++"])
+
+
+def test_wan_dpm_solver_runs_and_differs_from_unipc():
+    # reference --sample_solver choices are unipc/dpm++
+    # (magcache_generate.py:728-731); both must run the cached pipeline and
+    # produce distinct trajectories
+    from magcache_tpu.pipelines.wan import WanPipeline, WanPipelineConfig
+    lats = {}
+    for solver in ("unipc", "dpm++"):
+        cfg = WanPipelineConfig(model="wan2.1-t2v-1.3B", tiny=True,
+                                size=(64, 32), frame_num=9,
+                                sample_steps=4, sample_solver=solver,
+                                use_magcache=True)
+        out = WanPipeline(cfg).generate("x", seed=0)
+        lats[solver] = np.asarray(out.latents)
+        assert np.isfinite(lats[solver]).all()
+    assert not np.allclose(lats["unipc"], lats["dpm++"])
+
+
+def test_dpm_calibration_rides_dpm_trajectory():
+    # calibrate_euler(dpm_coeffs=...) must record stats from the DPM++
+    # trajectory, not Euler's (SURVEY §7.4: calibration drift corrupts
+    # schedules) — toy-core check, the Wan pipeline passes dpm through
+    from magcache_tpu.core.sampler import calibrate_euler
+    from tests.test_sampler import DIM, make_toy
+
+    core, params = make_toy(5)
+    n = 6
+    sigmas = np.linspace(1.0, 0.0, n + 1)
+    timesteps = (sigmas[:-1] * 1000.0).astype(np.float32)
+    co = dpmpp_2m_flow_coeffs(sigmas)
+    x0 = jax.random.normal(jax.random.PRNGKey(4), (2, DIM))
+    cond = jax.random.normal(jax.random.PRNGKey(5), (2, 4))
+    _, s_eul = calibrate_euler(core, params, x0, cond, timesteps=timesteps,
+                               dts=np.diff(sigmas))
+    _, s_dpm = calibrate_euler(core, params, x0, cond, timesteps=timesteps,
+                               dts=np.zeros(n), dpm_coeffs=co)
+    assert not np.allclose(np.asarray(s_eul), np.asarray(s_dpm))
