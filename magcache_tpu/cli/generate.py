@@ -93,6 +93,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "diffusers AutoencoderKL for image-family tasks")
     p.add_argument("--clip_ckpt", default=None,
                    help="CLIP vision tower safetensors for i2v conditioning")
+    p.add_argument("--t5_ckpt", default=None,
+                   help="T5/umt5 encoder HF dir (weights + tokenizer) — the "
+                        "wan/open-sora text stack, run natively in JAX")
+    p.add_argument("--llm_ckpt", default=None,
+                   help="llava-llama text encoder HF dir — the hyvideo "
+                        "conditioning stack for hunyuan/framepack tasks")
+    p.add_argument("--clip_text_ckpt", default=None,
+                   help="CLIP-L text model HF dir — the pooled vector for "
+                        "flux/hunyuan/framepack tasks")
     p.add_argument("--save_file", default=None)
     # MagCache triple (reference flags)
     p.add_argument("--use_magcache", action="store_true")
@@ -265,7 +274,12 @@ def _wan_pipeline(args):
                          if getattr(args, "src_ref_images", None) else 0),
         tiny=args.tiny,
     )
-    return WanPipeline(cfg), cfg
+    text = None
+    if getattr(args, "t5_ckpt", None):
+        from magcache_tpu.models.text import JaxT5Encoder
+        text = JaxT5Encoder(args.t5_ckpt,
+                            seq_len=cfg.model_config().text_len)
+    return WanPipeline(cfg, text_encoder=text), cfg
 
 
 def _extend_prompt(args):
@@ -304,6 +318,24 @@ def _load_ratios(args):
         return tuple(json.load(f))
 
 
+def _real_encoders(args, txt_len: int):
+    """Build real text encoders from --t5_ckpt/--llm_ckpt/--clip_text_ckpt
+    (None entries fall back to the pipeline's mock). Matches the reference's
+    encoder stacks: wan T5 (magcache_generate.py t5_checkpoint), hyvideo
+    llava-llama + CLIP-L (magcache_sample_video.py:284-328), FLUX
+    CLIP pooled + T5."""
+    from magcache_tpu.models.text import (ClipTextEncoder, JaxT5Encoder,
+                                          LlamaTextEncoder)
+    text = pooled = None
+    if getattr(args, "t5_ckpt", None):
+        text = JaxT5Encoder(args.t5_ckpt, seq_len=txt_len)
+    if getattr(args, "llm_ckpt", None):
+        text = LlamaTextEncoder(args.llm_ckpt, out_len=txt_len)
+    if getattr(args, "clip_text_ckpt", None):
+        pooled = ClipTextEncoder(args.clip_text_ckpt)
+    return text, pooled
+
+
 def _flux_pipeline(args):
     from magcache_tpu.pipelines.flux import FluxPipeline, FluxPipelineConfig
 
@@ -321,7 +353,8 @@ def _flux_pipeline(args):
         dtype=args.dtype, dp=args.dp, sp=args.sp, tp=args.tp,
         ckpt_dir=args.ckpt_dir, tiny=args.tiny,
     )
-    return FluxPipeline(cfg), cfg
+    text, pooled = _real_encoders(args, cfg.txt_len)
+    return FluxPipeline(cfg, text_encoder=text, pooled_encoder=pooled), cfg
 
 
 def _qwen_pipeline(args):
@@ -391,7 +424,8 @@ def _hunyuan_pipeline(args):
         use_teacache=getattr(args, "enable_teacache", False),
         teacache_thresh=getattr(args, "teacache_thresh", None),
         dtype=args.dtype, tiny=args.tiny, ckpt_dir=args.ckpt_dir)
-    return FramePackPipeline(cfg), cfg
+    text, pooled = _real_encoders(args, cfg.txt_len)
+    return FramePackPipeline(cfg, text_encoder=text, pooled_encoder=pooled), cfg
 
 
 def _open_sora_pipeline(args):

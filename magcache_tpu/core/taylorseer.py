@@ -75,7 +75,9 @@ def taylorseer_schedule(cfg: TaylorSeerConfig):
     n, w, iv = cfg.num_steps, cfg.warmup, cfg.interval
     fresh = np.zeros(n, bool)
     for i in range(n):
-        fresh[i] = i < w or ((i - w) % iv == 0 if i >= w else False)
+        # published interval sampling: step % fresh_threshold == 0, plus the
+        # first_enhance warmup — phase anchored at step 0, not at warmup end
+        fresh[i] = i < w or i % iv == 0
     x_fc = np.zeros(n, np.float32)
     upd = np.ones(n, np.float32)
     hist = np.zeros(n, np.int32)

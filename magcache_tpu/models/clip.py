@@ -28,7 +28,9 @@ from magcache_tpu.ops.attention import attention
 from magcache_tpu.ops.norms import layer_norm
 
 __all__ = ["CLIPVisionConfig", "init_clip_vision_params", "clip_vision_forward",
-           "convert_clip_vision_state_dict", "preprocess_clip_image",
+           "convert_clip_vision_state_dict", "convert_hf_clip_vision_state_dict",
+           "CLIPTextConfig", "init_clip_text_params", "clip_text_forward",
+           "convert_clip_text_state_dict", "preprocess_clip_image",
            "CLIP_IMAGE_MEAN", "CLIP_IMAGE_STD"]
 
 CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
@@ -184,6 +186,225 @@ def convert_clip_vision_state_dict(sd: Dict[str, np.ndarray],
         },
         "post_norm_w": jnp.asarray(sd["post_norm.weight"], jnp.float32),
         "post_norm_b": jnp.asarray(sd["post_norm.bias"], jnp.float32),
+    }
+
+
+def convert_hf_clip_vision_state_dict(sd: Dict[str, np.ndarray],
+                                      cfg: CLIPVisionConfig) -> dict:
+    """Map a ``transformers.CLIPVisionModel`` state dict (``vision_model.``
+    prefix) onto our tree. HF keeps separate q/k/v projections; we fuse them.
+    HF's ``last_hidden_state`` is NOT post-layernormed, so penultimate-state
+    consumers should compare against ``hidden_states[-2]`` (tested in
+    tests/test_text_encoders.py)."""
+    if any(k.startswith("vision_model.") for k in sd):
+        sd = {k[len("vision_model."):]: v for k, v in sd.items()
+              if k.startswith("vision_model.")}
+    dt = cfg.jdtype
+    L, d, p = cfg.layers, cfg.dim, cfg.patch
+
+    def _lin(name):
+        w = np.asarray(sd[f"{name}.weight"], np.float32).T
+        out = {"w": jnp.asarray(w, dt)}
+        if f"{name}.bias" in sd:
+            out["b"] = jnp.asarray(sd[f"{name}.bias"], dt)
+        return out
+
+    def _qkv(i):
+        base = f"encoder.layers.{i}.self_attn"
+        w = np.concatenate([np.asarray(sd[f"{base}.{n}_proj.weight"],
+                                       np.float32).T for n in "qkv"], axis=-1)
+        b = np.concatenate([np.asarray(sd[f"{base}.{n}_proj.bias"], np.float32)
+                            for n in "qkv"])
+        return {"w": jnp.asarray(w, dt), "b": jnp.asarray(b, dt)}
+
+    def _stack(parts):
+        return {k: jnp.stack([q[k] for q in parts]) for k in parts[0]}
+
+    def _ln(fmt, part):
+        return jnp.stack([jnp.asarray(sd[fmt.format(i=i) + f".{part}"],
+                                      jnp.float32) for i in range(L)])
+
+    pw_ = np.asarray(sd["embeddings.patch_embedding.weight"], np.float32)
+    pe = {"w": jnp.asarray(pw_.transpose(1, 2, 3, 0).reshape(3 * p * p, d), dt),
+          "b": (jnp.asarray(sd["embeddings.patch_embedding.bias"], dt)
+                if "embeddings.patch_embedding.bias" in sd
+                else jnp.zeros((d,), dt))}
+    return {
+        "patch_embed": pe,
+        "cls": jnp.asarray(np.asarray(sd["embeddings.class_embedding"],
+                                      np.float32).reshape(d)),
+        "pos": jnp.asarray(sd["embeddings.position_embedding.weight"],
+                           jnp.float32),
+        "pre_norm_w": jnp.asarray(sd["pre_layrnorm.weight"], jnp.float32),
+        "pre_norm_b": jnp.asarray(sd["pre_layrnorm.bias"], jnp.float32),
+        "blocks": {
+            "norm1_w": _ln("encoder.layers.{i}.layer_norm1", "weight"),
+            "norm1_b": _ln("encoder.layers.{i}.layer_norm1", "bias"),
+            "qkv": _stack([_qkv(i) for i in range(L)]),
+            "proj": _stack([_lin(f"encoder.layers.{i}.self_attn.out_proj")
+                            for i in range(L)]),
+            "norm2_w": _ln("encoder.layers.{i}.layer_norm2", "weight"),
+            "norm2_b": _ln("encoder.layers.{i}.layer_norm2", "bias"),
+            "mlp1": _stack([_lin(f"encoder.layers.{i}.mlp.fc1")
+                            for i in range(L)]),
+            "mlp2": _stack([_lin(f"encoder.layers.{i}.mlp.fc2")
+                            for i in range(L)]),
+        },
+        "post_norm_w": jnp.asarray(sd["post_layernorm.weight"], jnp.float32),
+        "post_norm_b": jnp.asarray(sd["post_layernorm.bias"], jnp.float32),
+    }
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    """CLIP text tower (CLIP-L/14 defaults) — the pooled-vector conditioning
+    encoder of FLUX (diffusers ``text_encoder``: CLIPTextModel pooled output)
+    and HunyuanVideo/FramePack (hyvideo ``text_encoder_2``, CLIP-L)."""
+
+    vocab_size: int = 49408
+    dim: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: int = 4
+    max_len: int = 77
+    eos_token_id: int = 49407
+    quick_gelu: bool = True          # released CLIP uses quick_gelu
+    eps: float = 1e-5
+    dtype: str = "float32"
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    def tiny(**kw):
+        d = dict(vocab_size=96, dim=32, layers=2, heads=4, max_len=16,
+                 eos_token_id=95)
+        d.update(kw)
+        return CLIPTextConfig(**d)
+
+    tiny = staticmethod(tiny)
+
+
+def init_clip_text_params(key: jax.Array, cfg: CLIPTextConfig):
+    d, L = cfg.dim, cfg.layers
+    ks = iter(jax.random.split(key, 10))
+    nxt = lambda: next(ks)
+
+    def st(i, o):
+        return linear_params(nxt(), i, o, depth=L, dtype=cfg.jdtype)
+
+    return {
+        "tok": (jax.random.normal(nxt(), (cfg.vocab_size, d), jnp.float32)
+                * 0.02).astype(cfg.jdtype),
+        "pos": (jax.random.normal(nxt(), (cfg.max_len, d), jnp.float32)
+                * 0.02).astype(cfg.jdtype),
+        "blocks": {
+            "norm1_w": jnp.ones((L, d), jnp.float32),
+            "norm1_b": jnp.zeros((L, d), jnp.float32),
+            "qkv": st(d, 3 * d),
+            "proj": st(d, d),
+            "norm2_w": jnp.ones((L, d), jnp.float32),
+            "norm2_b": jnp.zeros((L, d), jnp.float32),
+            "mlp1": st(d, cfg.mlp_ratio * d),
+            "mlp2": st(cfg.mlp_ratio * d, d),
+        },
+        "final_norm_w": jnp.ones((d,), jnp.float32),
+        "final_norm_b": jnp.zeros((d,), jnp.float32),
+    }
+
+
+def clip_text_forward(params, cfg: CLIPTextConfig, input_ids: jnp.ndarray,
+                      attention_mask=None):
+    """Causal-masked text tower. Returns ``(last_hidden f32[B, S, d],
+    pooled f32[B, d])`` — pooled is the final-norm hidden state at the first
+    EOS position (``CLIPTextTransformer`` pooling)."""
+    b, s = input_ids.shape
+    h = params["tok"][input_ids] + params["pos"][:s]
+
+    causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
+    keep = causal
+    if attention_mask is not None:
+        keep = jnp.logical_and(
+            keep, attention_mask[:, None, None, :].astype(bool))
+    bias = jnp.where(keep, 0.0, -jnp.inf).astype(jnp.float32)
+
+    act = ((lambda v: v * jax.nn.sigmoid(1.702 * v)) if cfg.quick_gelu
+           else (lambda v: jax.nn.gelu(v, approximate=False)))
+    heads = cfg.heads
+    hd = cfg.dim // heads
+    scale = 1.0 / float(np.sqrt(hd))
+
+    def block(bp, h):
+        n = layer_norm(h, bp["norm1_w"], bp["norm1_b"], eps=cfg.eps)
+        q, k, v = jnp.split(linear(bp["qkv"], n), 3, axis=-1)
+        rs = lambda t: t.reshape(b, s, heads, hd).astype(jnp.float32)
+        sc = jnp.einsum("bqhd,bkhd->bhqk", rs(q), rs(k)) * scale + bias
+        p = jax.nn.softmax(sc, axis=-1)
+        a = jnp.einsum("bhqk,bkhd->bqhd", p, rs(v)).reshape(b, s, cfg.dim)
+        h = h + linear(bp["proj"], a.astype(h.dtype))
+        n = layer_norm(h, bp["norm2_w"], bp["norm2_b"], eps=cfg.eps)
+        return h + linear(bp["mlp2"], act(linear(bp["mlp1"], n)))
+
+    h, _ = jax.lax.scan(lambda c, bp: (block(bp, c), None), h,
+                        params["blocks"])
+    h = layer_norm(h, params["final_norm_w"], params["final_norm_b"],
+                   eps=cfg.eps).astype(jnp.float32)
+    eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32),
+                         axis=-1)
+    pooled = h[jnp.arange(b), eos_pos]
+    return h, pooled
+
+
+def convert_clip_text_state_dict(sd: Dict[str, np.ndarray],
+                                 cfg: CLIPTextConfig) -> dict:
+    """Map a ``transformers.CLIPTextModel`` state dict (``text_model.``
+    prefix) onto our tree (q/k/v fused)."""
+    if any(k.startswith("text_model.") for k in sd):
+        sd = {k[len("text_model."):]: v for k, v in sd.items()
+              if k.startswith("text_model.")}
+    dt = cfg.jdtype
+    L = cfg.layers
+
+    def _lin(name):
+        return {"w": jnp.asarray(np.asarray(sd[f"{name}.weight"],
+                                            np.float32).T, dt),
+                "b": jnp.asarray(sd[f"{name}.bias"], dt)}
+
+    def _qkv(i):
+        base = f"encoder.layers.{i}.self_attn"
+        w = np.concatenate([np.asarray(sd[f"{base}.{n}_proj.weight"],
+                                       np.float32).T for n in "qkv"], axis=-1)
+        b = np.concatenate([np.asarray(sd[f"{base}.{n}_proj.bias"], np.float32)
+                            for n in "qkv"])
+        return {"w": jnp.asarray(w, dt), "b": jnp.asarray(b, dt)}
+
+    def _stack(parts):
+        return {k: jnp.stack([q[k] for q in parts]) for k in parts[0]}
+
+    def _ln(fmt, part):
+        return jnp.stack([jnp.asarray(sd[fmt.format(i=i) + f".{part}"],
+                                      jnp.float32) for i in range(L)])
+
+    return {
+        "tok": jnp.asarray(np.asarray(
+            sd["embeddings.token_embedding.weight"], np.float32), dt),
+        "pos": jnp.asarray(np.asarray(
+            sd["embeddings.position_embedding.weight"], np.float32), dt),
+        "blocks": {
+            "norm1_w": _ln("encoder.layers.{i}.layer_norm1", "weight"),
+            "norm1_b": _ln("encoder.layers.{i}.layer_norm1", "bias"),
+            "qkv": _stack([_qkv(i) for i in range(L)]),
+            "proj": _stack([_lin(f"encoder.layers.{i}.self_attn.out_proj")
+                            for i in range(L)]),
+            "norm2_w": _ln("encoder.layers.{i}.layer_norm2", "weight"),
+            "norm2_b": _ln("encoder.layers.{i}.layer_norm2", "bias"),
+            "mlp1": _stack([_lin(f"encoder.layers.{i}.mlp.fc1")
+                            for i in range(L)]),
+            "mlp2": _stack([_lin(f"encoder.layers.{i}.mlp.fc2")
+                            for i in range(L)]),
+        },
+        "final_norm_w": jnp.asarray(sd["final_layer_norm.weight"], jnp.float32),
+        "final_norm_b": jnp.asarray(sd["final_layer_norm.bias"], jnp.float32),
     }
 
 

@@ -241,6 +241,17 @@ def _single_block(cfg: FluxConfig, rope, p, carry):
     return h + (gate * out.astype(jnp.float32)).astype(h.dtype), vec
 
 
+def first_block_modulated(params, img, ctx):
+    """TeaCache decision signal for flux-core trunks (FLUX / HunyuanVideo /
+    FramePack): the FIRST double block's AdaLN-modulated image-stream input —
+    the published packed-transformer teacache hook
+    (``transformer_blocks[0].norm1(hidden, emb=temb)``), i.e. the signal the
+    shipped rescale polynomials were fitted to."""
+    p0 = jax.tree.map(lambda a: a[0], params["double"]["img_mod"])
+    shift1, scale1 = _mod(ctx["vec"], p0, 6)[:2]
+    return layer_norm(img) * (1 + scale1) + shift1
+
+
 def make_flux_core(cfg: FluxConfig, txt_len: int, grid_h: int, grid_w: int,
                    rope_tables=None, kontext: bool = False) -> DiTCore:
     """Build the (prepare, trunk, head) triple for a static (text, grid) shape.

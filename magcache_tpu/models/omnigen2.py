@@ -226,6 +226,24 @@ def _patchify(cfg: OmniGen2Config, img):
     return x.reshape(b, (hh // pp) * (ww // pp), pp * pp * c)
 
 
+def make_teacache_signal(cfg: OmniGen2Config):
+    """TeaCache decision signal: the FIRST main layer's LuminaRMSNormZero-
+    modulated attention input, ``norm1(x) * (1 + s_msa)`` — the hook the
+    published Lumina-family teacache polynomials are fitted to (the raw trunk
+    input has a different distribution and would shift skip decisions)."""
+
+    def fn(params, hidden, ctx):
+        bp = jax.tree.map(
+            lambda a: a[0],
+            {"mod": params["layers"]["mod"], "norm1": params["layers"]["norm1"]})
+        mod = linear(bp["mod"], jax.nn.silu(ctx["temb"])).astype(jnp.float32)
+        s_msa = mod[:, None, :cfg.hidden]
+        n = rms_norm(hidden, bp["norm1"], eps=cfg.eps)
+        return n.astype(jnp.float32) * (1 + s_msa)
+
+    return fn
+
+
 def make_omnigen2_core(cfg: OmniGen2Config, txt_len: int,
                        grid: Tuple[int, int], ref_images: int = 0) -> DiTCore:
     """cond = {"txt": f[B, txt_len, text_dim], "ref": f[B, R, H, W, C]

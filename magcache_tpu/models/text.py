@@ -112,6 +112,160 @@ class JaxT5Encoder:
                             jnp.asarray(attention_mask))
 
 
+# hyvideo's llava-llama prompt template for video description conditioning
+# (hyvideo/constants.py PROMPT_TEMPLATE_ENCODE_VIDEO; magcache_sample_video.py
+# conditions through it with crop_start=95 — the template prefix is removed
+# from the hidden states before they reach the DiT).
+HYVIDEO_PROMPT_TEMPLATE = (
+    "<|start_header_id|>system<|end_header_id|>\n\nDescribe the video by "
+    "detailing the following aspects: 1. The main content and theme of the "
+    "video.2. The color, shape, size, texture, quantity, text, and spatial "
+    "relationships of the objects.3. Actions, events, behaviors temporal "
+    "relationships, physical movement changes of the objects.4. background "
+    "environment, light, style and atmosphere.5. camera angles, movements, "
+    "and transitions used in the video.<|eot_id|>"
+    "<|start_header_id|>user<|end_header_id|>\n\n{}<|eot_id|>")
+HYVIDEO_CROP_START = 95
+
+
+class ClipTextEncoder:
+    """CLIP text tower running natively in JAX — the pooled-vector encoder of
+    FLUX (diffusers CLIPTextModel ``pooler_output``) and HunyuanVideo/
+    FramePack (hyvideo ``text_encoder_2``). Returns the pooled EOS-position
+    vector per prompt; ``states=True`` returns the token states instead.
+
+    ``path_or_config``: HF checkpoint dir (weights + tokenizer on disk) or a
+    ``CLIPTextConfig`` for random-init structural runs/tests."""
+
+    def __init__(self, path_or_config, seq_len: Optional[int] = None,
+                 tokenizer=None, params=None, states: bool = False):
+        from magcache_tpu.models.clip import (CLIPTextConfig,
+                                              clip_text_forward,
+                                              convert_clip_text_state_dict,
+                                              init_clip_text_params)
+
+        if isinstance(path_or_config, str):
+            from transformers import AutoTokenizer
+
+            from magcache_tpu.models.convert import load_safetensors_dir
+            sd = load_safetensors_dir(path_or_config)
+            import json
+            import os
+            with open(os.path.join(path_or_config, "config.json")) as f:
+                hf = json.load(f)
+            hf = hf.get("text_config", hf)
+            self.cfg = CLIPTextConfig(
+                vocab_size=hf["vocab_size"], dim=hf["hidden_size"],
+                layers=hf["num_hidden_layers"],
+                heads=hf["num_attention_heads"],
+                mlp_ratio=hf["intermediate_size"] // hf["hidden_size"],
+                max_len=hf["max_position_embeddings"],
+                eos_token_id=hf.get("eos_token_id", 49407),
+                quick_gelu=hf.get("hidden_act", "quick_gelu") == "quick_gelu")
+            self.params = convert_clip_text_state_dict(sd, self.cfg)
+            self.tokenizer = tokenizer or AutoTokenizer.from_pretrained(
+                path_or_config)
+        else:
+            self.cfg = path_or_config
+            self.params = params if params is not None else (
+                init_clip_text_params(jax.random.key(0), self.cfg))
+            self.tokenizer = tokenizer
+        self.seq_len = seq_len or self.cfg.max_len
+        self.states = states
+        self._fwd = jax.jit(
+            lambda p, ids, m: clip_text_forward(p, self.cfg, ids, m))
+
+    def __call__(self, prompts: Sequence[str]) -> jnp.ndarray:
+        assert self.tokenizer is not None, "tokenizer required for raw prompts"
+        tok = self.tokenizer(list(prompts), padding="max_length",
+                             truncation=True, max_length=self.seq_len,
+                             return_tensors="np")
+        h, pooled = self._fwd(self.params, jnp.asarray(tok["input_ids"]),
+                              jnp.asarray(tok["attention_mask"]))
+        return h if self.states else pooled
+
+    def encode_ids(self, input_ids: np.ndarray, attention_mask=None):
+        if attention_mask is None:
+            attention_mask = np.ones_like(input_ids)
+        return self._fwd(self.params, jnp.asarray(input_ids),
+                         jnp.asarray(attention_mask))
+
+
+class LlamaTextEncoder:
+    """Llama-architecture LM as a text encoder — the hyvideo llava-llama
+    conditioning stack (``magcache_sample_video.py`` text_encoder): prompts
+    ride ``template``, the hidden state after ``layers - skip_layers`` blocks
+    is taken, and the first ``crop_start`` (template-prefix) tokens are
+    dropped. Output is zero-padded/truncated to ``out_len`` tokens with
+    padding masked to zero (the DiT consumes fixed-shape context)."""
+
+    def __init__(self, path_or_config, out_len: int = 256,
+                 skip_layers: int = 2,
+                 template: Optional[str] = HYVIDEO_PROMPT_TEMPLATE,
+                 crop_start: int = HYVIDEO_CROP_START,
+                 tokenizer=None, params=None):
+        from magcache_tpu.models.llama import (LlamaConfig,
+                                               convert_llama_state_dict,
+                                               init_llama_params,
+                                               llama_hidden_states)
+
+        if isinstance(path_or_config, str):
+            from transformers import AutoTokenizer
+
+            from magcache_tpu.models.convert import load_safetensors_dir
+            import json
+            import os
+            sd = load_safetensors_dir(path_or_config)
+            with open(os.path.join(path_or_config, "config.json")) as f:
+                hf = json.load(f)
+            hf = hf.get("text_config", hf)
+            self.cfg = LlamaConfig(
+                vocab_size=hf["vocab_size"], hidden=hf["hidden_size"],
+                layers=hf["num_hidden_layers"],
+                heads=hf["num_attention_heads"],
+                kv_heads=hf.get("num_key_value_heads",
+                                hf["num_attention_heads"]),
+                intermediate=hf["intermediate_size"],
+                rope_theta=hf.get("rope_theta", 10000.0),
+                eps=hf.get("rms_norm_eps", 1e-5))
+            self.params = convert_llama_state_dict(sd, self.cfg)
+            self.tokenizer = tokenizer or AutoTokenizer.from_pretrained(
+                path_or_config)
+        else:
+            self.cfg = path_or_config
+            self.params = params if params is not None else (
+                init_llama_params(jax.random.key(0), self.cfg))
+            self.tokenizer = tokenizer
+        self.out_len = out_len
+        self.skip_layers = skip_layers
+        self.template = template
+        self.crop_start = crop_start if template else 0
+        self._fwd = jax.jit(lambda p, ids, m: llama_hidden_states(
+            p, self.cfg, ids, m, skip_layers=self.skip_layers))
+
+    def __call__(self, prompts: Sequence[str]) -> jnp.ndarray:
+        assert self.tokenizer is not None, "tokenizer required for raw prompts"
+        texts = ([self.template.format(p) for p in prompts]
+                 if self.template else list(prompts))
+        tok = self.tokenizer(texts, padding="max_length", truncation=True,
+                             max_length=self.out_len + self.crop_start,
+                             return_tensors="np")
+        h = self._fwd(self.params, jnp.asarray(tok["input_ids"]),
+                      jnp.asarray(tok["attention_mask"]))
+        mask = jnp.asarray(tok["attention_mask"])[..., None]
+        h = (h * mask)[:, self.crop_start:self.crop_start + self.out_len]
+        pad = self.out_len - h.shape[1]
+        if pad > 0:
+            h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        return h
+
+    def encode_ids(self, input_ids: np.ndarray, attention_mask=None):
+        if attention_mask is None:
+            attention_mask = np.ones_like(input_ids)
+        return self._fwd(self.params, jnp.asarray(input_ids),
+                         jnp.asarray(attention_mask))
+
+
 class HFTextEncoder:
     """Wrap a local HuggingFace encoder (e.g. T5EncoderModel) on CPU torch.
 

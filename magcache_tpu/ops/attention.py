@@ -164,7 +164,10 @@ def _flash_kernel_fixed_max(q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
     if mask_kv:
         key_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(key_pos < kv_len, s, _NEG_INF)
-    p = jnp.exp2(s - m_const)
+    # guard: token-scope qk-norm does not bound per-head scores, so clamp at
+    # exp2's overflow edge — a no-op while the shift assumption holds, score
+    # saturation (not NaN) if a trained checkpoint ever violates it
+    p = jnp.exp2(jnp.minimum(s, m_const + 126.0) - m_const)
     l_ref[:, :1] = l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] + jax.lax.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32)
@@ -365,7 +368,8 @@ def _flash_kernel_bshd_fixed_max(q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
         row_pos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, v.shape, 0)
         v = jnp.where(row_pos < kv_len, v, jnp.zeros_like(v))
-    p = jnp.exp2(s - m_const)
+    # overflow guard — see _flash_kernel_fixed_max
+    p = jnp.exp2(jnp.minimum(s, m_const + 126.0) - m_const)
     l_ref[:, :1] = l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] + jax.lax.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32)

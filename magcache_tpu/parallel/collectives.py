@@ -41,10 +41,19 @@ def split_sequence(x: jnp.ndarray, mesh: Mesh, dim: int = 1) -> jnp.ndarray:
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
 
-def gather_sequence(x: jnp.ndarray, mesh: Mesh, dim: int = 1) -> jnp.ndarray:
-    """Constrain x to be replicated along ``dim`` (reference gather_sequence)."""
-    spec = [None] * x.ndim
-    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+def gather_sequence(x: jnp.ndarray, mesh: Mesh, dim: int = 1,
+                    spec: Optional[tuple] = None) -> jnp.ndarray:
+    """All-gather x along ``dim`` over the sp axis, leaving every other
+    axis's sharding untouched (reference gather_sequence). ``spec`` is the
+    input's PartitionSpec entries; defaults to sp-on-dim only."""
+    if spec is None:
+        in_spec = [None] * x.ndim
+        in_spec[dim] = AXIS_SP
+    else:
+        in_spec = list(spec) + [None] * (x.ndim - len(spec))
+    out = list(in_spec)
+    out[dim] = None
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*out)))
 
 
 def all_to_all_switch(x: jnp.ndarray, mesh: Mesh, scatter_dim: int,

@@ -88,7 +88,8 @@ class FramePackPipelineConfig:
 
 class FramePackPipeline(BasePipeline):
     def __init__(self, config: FramePackPipelineConfig,
-                 text_encoder: Optional[TextEncoder] = None, params=None,
+                 text_encoder: Optional[TextEncoder] = None,
+                 pooled_encoder=None, params=None,
                  vae=None, key: Optional[jax.Array] = None):
         self.config = config
         self.vae = vae
@@ -108,7 +109,8 @@ class FramePackPipeline(BasePipeline):
             self.core = None  # built per distinct section padding
         self.text_encoder = text_encoder or MockTextEncoder(
             c.txt_len, self.model_cfg.text_dim, scale=0.5)
-        self.pooled_encoder = MockPooledEncoder(self.model_cfg.vec_dim)
+        self.pooled_encoder = pooled_encoder or MockPooledEncoder(
+            self.model_cfg.vec_dim)
         key = key if key is not None else jax.random.PRNGKey(0)
         if params is None and getattr(c, 'ckpt_dir', None):
             from magcache_tpu.models.convert import load_hunyuan_checkpoint
@@ -142,14 +144,17 @@ class FramePackPipeline(BasePipeline):
             from magcache_tpu.core.teacache import (FRAMEPACK_TEA_COEFFS,
                                                     FRAMEPACK_TEA_THRESH,
                                                     TeaCacheLanes)
+            from magcache_tpu.models.flux import first_block_modulated
             # single lane; forced compute on the first and last step (the
-            # packed-transformer teacache rule), signal = trunk input
+            # packed-transformer teacache rule); signal = the first double
+            # block's AdaLN-modulated input, which the published FramePack
+            # coefficients were fitted to
             tea = TeaCacheLanes(
                 thresh=(c.teacache_thresh if c.teacache_thresh is not None
                         else FRAMEPACK_TEA_THRESH),
                 coefficients=FRAMEPACK_TEA_COEFFS,
                 ret_steps=1, cutoff_steps=c.steps - 1, lanes=1,
-                signal_fn=lambda p, h, ctx: h)
+                signal_fn=first_block_modulated)
         if pad is None:
             core = self.core
         else:

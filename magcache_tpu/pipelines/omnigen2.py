@@ -106,7 +106,8 @@ class OmniGen2PipelineConfig:
     # reference tree — plug the published coefficients via teacache_coeffs;
     # the default is the raw relative-L1 distance.
     enable_teacache: bool = False
-    teacache_thresh: float = 0.1
+    # reference default: inference.py --teacache_rel_l1_thresh 0.05
+    teacache_thresh: float = 0.05
     teacache_coeffs: tuple = (1.0, 0.0)
     # reference --scheduler choice (inference.py:41-47): euler (default) or
     # dpmsolver++ (flow-match DPM-Solver++ 2M, schedulers/dpm_flow.py)
@@ -385,19 +386,23 @@ class OmniGen2Pipeline(BasePipeline):
         per branch and sets is_first_or_last_step, magcache_utils.py:446-521).
         t2i rides the generic dual-lane sampler; edit keeps the split-lane
         structure with a 2-lane policy on the with-refs program and a 1-lane
-        policy on the ref-free one. Signal = the trunk input."""
+        policy on the ref-free one. Signal = the first main layer's
+        LuminaRMSNormZero-modulated input (what the published polynomials
+        are fitted to)."""
         from magcache_tpu.core.sampler import _cached_trunk
         from magcache_tpu.core.teacache import TeaCacheLanes
+        from magcache_tpu.models.omnigen2 import make_teacache_signal
 
         c = self.config
         n = c.num_inference_steps
         core, lanes, combine = self.core, self.lanes, self._combine()
+        signal = make_teacache_signal(self.model_cfg)
 
         def policy(L):
             return TeaCacheLanes(
                 thresh=c.teacache_thresh, coefficients=c.teacache_coeffs,
                 ret_steps=L, cutoff_steps=(n - 1) * L, lanes=L,
-                signal_fn=lambda p, h, ctx: h)
+                signal_fn=signal)
 
         if c.mode != "edit":
             tea = policy(lanes)

@@ -27,18 +27,18 @@ from tests.test_sampler import DIM, make_toy
 def test_schedule_statics():
     cfg = TaylorSeerConfig(num_steps=12, interval=4, order=2, warmup=3)
     fresh, x_fc, upd, hist = taylorseer_schedule(cfg)
-    # warmup 0,1,2 fresh; then every 4th from 3: 3, 7, 11
-    assert list(np.where(fresh)[0]) == [0, 1, 2, 3, 7, 11]
+    # warmup 0,1,2 fresh; then published interval sampling i % 4 == 0: 4, 8
+    assert list(np.where(fresh)[0]) == [0, 1, 2, 4, 8]
     # forecast distances count from the last fresh step
-    assert x_fc[4] == 1.0 and x_fc[5] == 2.0 and x_fc[6] == 3.0
-    assert x_fc[8] == 1.0 and x_fc[10] == 3.0
-    # update spans: consecutive warmup steps are 1 apart, then 4
-    assert upd[1] == 1.0 and upd[2] == 1.0 and upd[3] == 1.0
-    assert upd[7] == 4.0 and upd[11] == 4.0
+    assert x_fc[3] == 1.0 and x_fc[5] == 1.0 and x_fc[6] == 2.0
+    assert x_fc[7] == 3.0 and x_fc[9] == 1.0 and x_fc[11] == 3.0
+    # update spans: consecutive warmup steps are 1 apart, then 2 / 4
+    assert upd[1] == 1.0 and upd[2] == 1.0 and upd[4] == 2.0
+    assert upd[8] == 4.0
     # history depth strictly-before semantics
-    assert hist[0] == 0 and hist[1] == 1 and hist[3] == 3 and hist[7] == 4
+    assert hist[0] == 0 and hist[1] == 1 and hist[4] == 3 and hist[8] == 4
     # fresh steps at forecast positions carry zero distance
-    assert x_fc[0] == 0.0 and x_fc[7] == 0.0
+    assert x_fc[0] == 0.0 and x_fc[8] == 0.0
 
 
 def eager_taylorseer(core, params, x, cond, timesteps, dts, cfg):
@@ -46,8 +46,7 @@ def eager_taylorseer(core, params, x, cond, timesteps, dts, cfg):
     derivs, last, seen = None, None, 0
     order = cfg.order
     for i, (t, dt) in enumerate(zip(timesteps, dts)):
-        fresh = i < cfg.warmup or (i >= cfg.warmup
-                                   and (i - cfg.warmup) % cfg.interval == 0)
+        fresh = i < cfg.warmup or i % cfg.interval == 0
         tvec = jnp.full((x.shape[0],), t, jnp.float32)
         hidden, ctx = core.prepare(params, x, tvec, cond)
         if fresh:
@@ -151,7 +150,7 @@ def test_lanes_with_combine_fn():
     derivs, last, seen = None, None, 0
     xs = x
     for i, (t, dt) in enumerate(zip(sch.timesteps, dts)):
-        fresh = i < cfg.warmup or (i - cfg.warmup) % cfg.interval == 0
+        fresh = i < cfg.warmup or i % cfg.interval == 0
         x2 = jnp.concatenate([xs, xs], axis=0)
         tvec = jnp.full((2,), t, jnp.float32)
         hidden, ctx = core.prepare(params, x2, tvec, cond)

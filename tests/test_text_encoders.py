@@ -1,5 +1,6 @@
 """Text encoder tests: deterministic mock + native JAX T5 wrapper."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -47,3 +48,131 @@ def test_jax_t5_encoder_sharded():
     JaxT5Encoder.__init__(enc, cfg, seq_len=10, mesh=build_mesh(dp=1, sp=1, tp=8))
     out = enc.encode_ids(ids)
     assert out.shape == (1, 10, 32)
+
+
+# ---------------------------------------------------------------------------
+# Real-torch-module parity (the T5 pattern of test_convert.py:378): our JAX
+# towers running CONVERTED weights from randomly initialized transformers
+# modules must match those modules numerically.
+# ---------------------------------------------------------------------------
+
+
+def test_clip_text_parity_vs_torch():
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from magcache_tpu.models.clip import (
+        CLIPTextConfig, clip_text_forward, convert_clip_text_state_dict)
+
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=16, eos_token_id=95, bos_token_id=94,
+        hidden_act="quick_gelu")
+    with torch.no_grad():
+        tm = transformers.CLIPTextModel(hf_cfg).eval()
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+        cfg = CLIPTextConfig.tiny()
+        params = convert_clip_text_state_dict(sd, cfg)
+        ids = np.array([[94, 3, 7, 12, 95, 0, 0, 0],
+                        [94, 20, 95, 0, 0, 0, 0, 0]], np.int64)
+        mask = (ids != 0).astype(np.int64)
+        t_out = tm(input_ids=torch.tensor(ids),
+                   attention_mask=torch.tensor(mask))
+    h, pooled = clip_text_forward(params, cfg, jnp.asarray(ids),
+                                  jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(h),
+                               t_out.last_hidden_state.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pooled),
+                               t_out.pooler_output.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_clip_vision_parity_vs_torch():
+    """Penultimate-block states (the Wan i2v conditioning slice) vs a real
+    transformers.CLIPVisionModel's hidden_states[-2]."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from magcache_tpu.models.clip import (
+        CLIPVisionConfig, clip_vision_forward,
+        convert_hf_clip_vision_state_dict)
+
+    hf_cfg = transformers.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, image_size=32, patch_size=8,
+        hidden_act="quick_gelu")
+    with torch.no_grad():
+        tm = transformers.CLIPVisionModel(hf_cfg).eval()
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+        cfg = CLIPVisionConfig.tiny(layers=3, quick_gelu=True)
+        params = convert_hf_clip_vision_state_dict(sd, cfg)
+        pix = np.random.default_rng(0).normal(
+            0, 1, (2, 3, 32, 32)).astype(np.float32)
+        t_out = tm(pixel_values=torch.tensor(pix), output_hidden_states=True)
+        ref = t_out.hidden_states[-2].numpy()
+    img = jnp.asarray(pix.transpose(0, 2, 3, 1))
+    out = clip_vision_forward(params, cfg, img)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("skip_layers", [0, 2])
+def test_llama_parity_vs_torch(skip_layers):
+    """Our Llama encoder (converted weights) vs transformers.LlamaModel
+    hidden_states[-(skip+1)] — the hyvideo hidden_state_skip_layer slice."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from magcache_tpu.models.llama import (
+        LlamaConfig, convert_llama_state_dict, llama_hidden_states)
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10000.0, rms_norm_eps=1e-5,
+        attn_implementation="eager")
+    with torch.no_grad():
+        tm = transformers.LlamaModel(hf_cfg).eval()
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+        cfg = LlamaConfig.tiny(layers=3)
+        params = convert_llama_state_dict(sd, cfg)
+        ids = np.array([[3, 5, 7, 11, 2, 0, 0, 0]], np.int64)
+        mask = (ids != 0).astype(np.int64)
+        t_out = tm(input_ids=torch.tensor(ids),
+                   attention_mask=torch.tensor(mask),
+                   output_hidden_states=True)
+        ref = t_out.hidden_states[-(skip_layers + 1)].numpy()
+    # transformers appends the final-normed state as hidden_states[-1]
+    out = llama_hidden_states(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                              skip_layers=skip_layers,
+                              final_norm=(skip_layers == 0))
+    valid = np.asarray(mask[0], bool)
+    np.testing.assert_allclose(np.asarray(out)[0, valid], ref[0, valid],
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_llama_encoder_wrapper_crop_and_pad():
+    """LlamaTextEncoder: template crop + fixed-length output without a real
+    tokenizer (ids path)."""
+    from magcache_tpu.models.llama import LlamaConfig
+    from magcache_tpu.models.text import LlamaTextEncoder
+
+    cfg = LlamaConfig.tiny()
+    enc = LlamaTextEncoder(cfg, out_len=6, skip_layers=1, template=None)
+    ids = np.array([[3, 5, 7, 1, 0, 0]], np.int64)
+    out = enc.encode_ids(ids)
+    assert out.shape == (1, 6, cfg.hidden)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_clip_text_encoder_wrapper_pooled_shape():
+    from magcache_tpu.models.clip import CLIPTextConfig
+    from magcache_tpu.models.text import ClipTextEncoder
+
+    cfg = CLIPTextConfig.tiny()
+    enc = ClipTextEncoder(cfg)
+    ids = np.array([[94, 3, 95, 0, 0, 0, 0, 0]], np.int64)
+    h, pooled = enc.encode_ids(ids, (ids != 0).astype(np.int64))
+    assert h.shape == (1, 8, cfg.dim)
+    assert pooled.shape == (1, cfg.dim)
