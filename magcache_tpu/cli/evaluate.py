@@ -37,43 +37,179 @@ def build_parser():
     return p
 
 
+def _norm_latents(lat) -> "np.ndarray":
+    """Min-max normalize raw latents into [0,1] for the structural metric.
+    NOTE: the resulting PSNR/SSIM are **latent-space** numbers (no VAE decode
+    here, random init) — a structural cache-fidelity gate, not a perceptual
+    video metric; keys are prefixed ``latent_`` to say so."""
+    import numpy as np
+    lat = np.asarray(lat)
+    while lat.ndim > 4:
+        lat = lat[0]
+    if lat.ndim == 3:                       # [H, W, C] image -> 1-frame video
+        lat = lat[None]
+    lo, hi = lat.min(), lat.max()
+    return ((lat[..., :3] - lo) / max(hi - lo, 1e-8)).astype(np.float32)
+
+
+def _skip_count(skips) -> dict:
+    import numpy as np
+    a = np.asarray(skips).astype(bool)
+    return {"skipped": int(a.sum()), "total": int(a.size)}
+
+
+def _latent_metrics(a, b) -> dict:
+    from magcache_tpu.eval.compare import compare_videos
+    m = compare_videos(a, b, metrics=("psnr", "ssim"))
+    return {f"latent_{k}": v for k, v in m.items()}
+
+
 def _self_check(args) -> dict:
-    """Full-compute vs MagCache on the tiny Wan model, same seed — the
+    """Full-compute vs cached variants on tiny models, same seed — the
     structural analogue of the reference's golden comparison
-    (``common_metrics/eval.py:76-150``) runnable without checkpoints."""
+    (``common_metrics/eval.py:76-150``) runnable without checkpoints.
+
+    Every cached variant records its **realized per-step skip bits** (the
+    sampler's ``return_skips`` output) and the check fails loudly if a
+    comparator performed zero skips — a cached run that never caches is not
+    evidence (the round-2 artifact's teacache PSNR=100.0 failure mode).
+    Thresholds are forced to values that provably skip on an 8-step
+    random-init model; they gate the *mechanism*, not reference quality."""
     import numpy as np
 
-    from magcache_tpu.eval.compare import compare_videos
-    from magcache_tpu.pipelines.wan import WanPipeline, WanPipelineConfig
-
-    outs = {}
+    result = {
+        "mode": ("tiny-self-consistency (random init; latent-space metrics; "
+                 "structural cache gate only — thresholds forced to skip)"),
+        "steps": args.steps,
+        "seed": args.seed,
+    }
     times = {}
+
+    # ---- Wan t2v (UniPC, dual-lane): full / magcache / teacache ----------
+    from magcache_tpu.pipelines.wan import WanPipeline, WanPipelineConfig
+    outs, skips = {}, {}
     params = None
     for variant in ("full", "magcache", "teacache"):
         cfg = WanPipelineConfig(
             task="t2v", tiny=True, size=(64, 64), frame_num=9,
             sample_steps=args.steps, sample_solver="unipc", dtype="float32",
             use_magcache=(variant == "magcache"),
-            enable_teacache=(variant == "teacache"))
+            # loose threshold + no retention floor: provably skips at 8 steps
+            magcache_thresh=0.3, retention_ratio=0.1,
+            enable_teacache=(variant == "teacache"),
+            # teacache skips while accumulated rel-L1 < thresh; the rescale
+            # polynomial emits O(1e4) values on a random-init model, so the
+            # mechanism gate forces an enormous threshold: every step inside
+            # the ret/cutoff window must skip
+            teacache_thresh=1e9)
         pipe = WanPipeline(cfg, params=params)
+        pipe.record_skips = variant != "full"
         params = pipe.params                      # share weights across runs
         t0 = time.time()
         out = pipe.generate("a calico cat on a windowsill", seed=args.seed)
-        times[variant] = time.time() - t0
-        lat = np.asarray(out.latents)[0]          # [T, H, W, C]
-        lo, hi = lat.min(), lat.max()
-        outs[variant] = ((lat[..., :3] - lo) / max(hi - lo, 1e-8)).astype(np.float32)
-
-    return {
-        "mode": "tiny-self-consistency (random init; structural gate only)",
-        "steps": args.steps,
-        "seed": args.seed,
-        "metrics_magcache_vs_full": compare_videos(
-            outs["magcache"], outs["full"], metrics=("psnr", "ssim")),
-        "metrics_teacache_vs_full": compare_videos(
-            outs["teacache"], outs["full"], metrics=("psnr", "ssim")),
-        "seconds": times,
+        times[f"wan_{variant}"] = time.time() - t0
+        outs[variant] = _norm_latents(out.latents)
+        if out.skips is not None:
+            skips[variant] = _skip_count(out.skips)
+    result["wan"] = {
+        "magcache_vs_full": _latent_metrics(outs["magcache"], outs["full"]),
+        "teacache_vs_full": _latent_metrics(outs["teacache"], outs["full"]),
+        "skips": skips,
     }
+
+    # ---- FLUX (single-lane Euler): full / magcache ----------------------
+    from magcache_tpu.models.flux import unpack_latents
+    from magcache_tpu.pipelines.flux import FluxPipeline, FluxPipelineConfig
+    fouts, fskips = {}, {}
+    params = None
+    for variant in ("full", "magcache"):
+        cfg = FluxPipelineConfig(
+            tiny=True, height=64, width=64, txt_len=32,
+            num_inference_steps=args.steps, dtype="float32",
+            use_magcache=(variant == "magcache"),
+            magcache_thresh=0.3, retention_ratio=0.1)
+        pipe = FluxPipeline(cfg, params=params)
+        pipe.record_skips = variant != "full"
+        params = pipe.params
+        t0 = time.time()
+        out = pipe.generate("a calico cat on a windowsill", seed=args.seed)
+        times[f"flux_{variant}"] = time.time() - t0
+        gh, gw = pipe.grid            # packed tokens -> spatial latent grid
+        fouts[variant] = _norm_latents(unpack_latents(out.latents, gh, gw))
+        if out.skips is not None:
+            fskips[variant] = _skip_count(out.skips)
+    result["flux"] = {
+        "magcache_vs_full": _latent_metrics(fouts["magcache"], fouts["full"]),
+        "skips": fskips,
+    }
+
+    # ---- FramePack (per-section loop): full / teacache ------------------
+    from magcache_tpu.pipelines.framepack import (FramePackPipeline,
+                                                  FramePackPipelineConfig)
+    pouts, pskips = {}, {}
+    params = None
+    for variant in ("full", "teacache"):
+        cfg = FramePackPipelineConfig(
+            tiny=True, pyramid=False, height=64, width=64, txt_len=16,
+            latent_window_size=3, total_sections=2, steps=args.steps,
+            use_teacache=(variant == "teacache"), teacache_thresh=1e9)
+        pipe = FramePackPipeline(cfg, params=params)
+        pipe.record_skips = variant != "full"
+        params = pipe.params
+        t0 = time.time()
+        out = pipe.generate("a calico cat on a windowsill", seed=args.seed)
+        times[f"framepack_{variant}"] = time.time() - t0
+        pouts[variant] = _norm_latents(out.latents)
+        if out.skips is not None:
+            pskips[variant] = _skip_count(out.skips)
+            pskips[variant]["sections"] = int(np.asarray(out.skips).shape[0])
+    result["framepack"] = {
+        "teacache_vs_full": _latent_metrics(pouts["teacache"], pouts["full"]),
+        "skips": pskips,
+    }
+
+    # ---- OmniGen2 (3-branch): full / taylorseer -------------------------
+    from magcache_tpu.core.taylorseer import (TaylorSeerConfig,
+                                              taylorseer_schedule)
+    from magcache_tpu.pipelines.omnigen2 import (OmniGen2Pipeline,
+                                                 OmniGen2PipelineConfig)
+    oouts, oskips = {}, {}
+    params = None
+    for variant in ("full", "taylorseer"):
+        cfg = OmniGen2PipelineConfig(
+            tiny=True, num_inference_steps=args.steps, dtype="float32",
+            enable_taylorseer=(variant == "taylorseer"),
+            taylorseer_warmup=2, taylorseer_interval=3)
+        pipe = OmniGen2Pipeline(cfg, params=params)
+        params = pipe.params
+        t0 = time.time()
+        out = pipe.generate("a calico cat on a windowsill", seed=args.seed)
+        times[f"omnigen2_{variant}"] = time.time() - t0
+        oouts[variant] = _norm_latents(out.latents)
+    # TaylorSeer's schedule is host-static: skip bits == ~fresh
+    fresh, _, _, _ = taylorseer_schedule(TaylorSeerConfig(
+        num_steps=args.steps, warmup=2, interval=3))
+    oskips["taylorseer"] = {"skipped": int((~fresh).sum()),
+                            "total": int(fresh.size)}
+    result["omnigen2"] = {
+        "taylorseer_vs_full": _latent_metrics(oouts["taylorseer"],
+                                              oouts["full"]),
+        "skips": oskips,
+    }
+
+    # ---- the gate: a comparator that never skipped proves nothing -------
+    for fam, key in (("wan", "magcache"), ("wan", "teacache"),
+                     ("flux", "magcache"), ("framepack", "teacache"),
+                     ("omnigen2", "taylorseer")):
+        sc = result[fam]["skips"].get(key)
+        assert sc and sc["skipped"] > 0, (
+            f"self-check: {fam}/{key} performed zero skips - vacuous artifact")
+
+    # legacy top-level aliases (round-2 artifact layout)
+    result["metrics_magcache_vs_full"] = result["wan"]["magcache_vs_full"]
+    result["metrics_teacache_vs_full"] = result["wan"]["teacache_vs_full"]
+    result["seconds"] = times
+    return result
 
 
 def main(argv=None):

@@ -255,10 +255,15 @@ def sample_euler(
     noise_key: Optional[jax.Array] = None,
     dynamic_skip=None,
     dpm_coeffs=None,
+    return_skips: bool = False,
 ) -> jnp.ndarray:
     """Linear-update sampler: ``x <- cx_i * x + dt_i * v [+ ns_i * z_i]`` per
     step, with MagCache. ``x_coeffs`` defaults to ones (plain Euler);
     CogVideoX's DDIM passes its host-precomputed (c_x, c_v=dts) pair.
+
+    ``return_skips=True``: also return the realized per-step skip bits
+    bool[num_steps, lanes] (static-schedule bits, or the in-graph decisions
+    when ``dynamic_skip`` is set) — the evaluator's per-variant skip counter.
 
     ``in_scales``: per-step scaling of the *model input only*
     (``x_model = in_i * x`` — diffusers ``scale_model_input`` for k-sigma
@@ -365,12 +370,16 @@ def sample_euler(
             z = jax.random.normal(jax.random.fold_in(noise_key, idx),
                                   x.shape, x.dtype)
             x = x + ns.astype(x.dtype) * z
-        return (x, cache, state, x0_prev), None
+        emitted = (skip_now if dynamic_skip is not None
+                   else skip_bits) if return_skips else None
+        return (x, cache, state, x0_prev), emitted
 
-    (x_fin, _, _, _), _ = jax.lax.scan(
+    (x_fin, _, _, _), emitted = jax.lax.scan(
         body, (x_init, cache0, state0, jnp.zeros_like(x_init)),
         (ts, dts_a, cxs, cins, nss, skips, jnp.arange(num_steps),
          (dsig, da, db, dcx, dcd)))
+    if return_skips:
+        return x_fin, emitted
     return x_fin
 
 
@@ -452,8 +461,12 @@ def unipc_executor(
     batch: int = 1,
     calibrate: bool = False,
     dynamic_skip=None,
+    emit_skips: bool = False,
 ):
     """Build the UniPC step machinery without committing to a dispatch shape.
+
+    ``emit_skips=True``: the body emits the realized per-step skip bits
+    bool[lanes] as scan outputs (mutually exclusive with ``calibrate``).
 
     Returns ``(init_carry, step_inputs, body)`` where ``body(params, cond)``
     yields a scan-compatible ``f(carry, step_in) -> (carry, None)``. Callers
@@ -479,6 +492,7 @@ def unipc_executor(
     if calibrate:
         cache_cfg = None
         skip_mask_override = None
+        assert not emit_skips, "emit_skips and calibrate are exclusive"
     n = schedule.num_steps
     order = schedule.order
     # carry `order` previous data predictions: predictor at step i uses
@@ -549,6 +563,7 @@ def unipc_executor(
             tvec = jnp.full((x2.shape[0],), t, jnp.float32)
             hidden, ctx = core.prepare(params, x2, tvec, cond)
             stats = None
+            skip_now = skip_bits
             if calibrate:
                 assert core.init_state is None, "calibration needs a stateless trunk"
                 h_out = core.trunk(params, hidden, ctx)
@@ -587,7 +602,8 @@ def unipc_executor(
             x_next = (pcx * x_cur + pcm0 * m + jnp.tensordot(pw, m_hist, axes=1))
 
             m_hist = jnp.concatenate([m[None], m_hist[:-1]], axis=0)
-            return (x_next, x_cur, m_hist, cache), stats
+            return (x_next, x_cur, m_hist, cache), (
+                skip_now if emit_skips else stats)
         return f
 
     return init_carry, step_in, body
@@ -631,18 +647,22 @@ def sample_unipc(
     combine_fn: Optional[Callable] = None,
     skip_mask_override: Optional[jnp.ndarray] = None,
     dynamic_skip=None,
+    return_skips: bool = False,
 ) -> jnp.ndarray:
     """UniPC predictor-corrector flow sampler with MagCache (single-dispatch
-    `lax.scan` over `unipc_executor`'s step machinery)."""
+    `lax.scan` over `unipc_executor`'s step machinery). ``return_skips=True``
+    also returns the realized skip bits bool[num_steps, lanes]."""
     init_carry, step_in, body = unipc_executor(
         core, schedule, cache_cfg=cache_cfg, guidance_scale=guidance_scale,
         lanes=lanes, combine_fn=combine_fn,
         skip_mask_override=skip_mask_override, batch=x_init.shape[0],
-        dynamic_skip=dynamic_skip)
+        dynamic_skip=dynamic_skip, emit_skips=return_skips)
     carry0 = init_carry(params, x_init, cond)
-    (x_fin, _, _, _), _ = jax.lax.scan(body(params, cond), carry0, step_in)
+    (x_fin, _, _, _), aux = jax.lax.scan(body(params, cond), carry0, step_in)
     # after the final step the "predictor" output for sigma=0 is x_fin; the
     # corrected final sample is x_fin itself (terminal sigma 0 => x = m).
+    if return_skips:
+        return x_fin, aux
     return x_fin
 
 

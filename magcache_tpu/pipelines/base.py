@@ -22,6 +22,7 @@ class PipelineOutput:
     image: Optional[np.ndarray] = None   # [H, W, 3] uint8 when decoded
     calibration: Optional[dict] = None   # calibration-mode artifacts
     timings: Optional[dict] = None
+    skips: Optional[np.ndarray] = None   # realized skip bits (record_skips)
 
 
 class BasePipeline:

@@ -109,7 +109,9 @@ class FluxPipeline(BasePipeline):
                                         linspace_endpoint=True)
 
     def _sample_fn(self, calibrate: bool, kontext: bool = False):
-        k = ("cal" if calibrate else "gen", self.config.use_magcache, kontext)
+        rs = bool(getattr(self, "record_skips", False)) and not calibrate
+        k = ("cal" if calibrate else "gen", self.config.use_magcache, kontext,
+             rs)
         if k in self._jit_cache:
             return self._jit_cache[k]
         c = self.config
@@ -135,7 +137,7 @@ class FluxPipeline(BasePipeline):
             def fn(params, x, cond):
                 return sample_euler(core, params, x, cond,
                                     timesteps=sch.timesteps, dts=dts,
-                                    cache_cfg=cache_cfg)
+                                    cache_cfg=cache_cfg, return_skips=rs)
         jitted = jax.jit(fn)
         self._jit_cache[k] = jitted
         return jitted
@@ -167,6 +169,11 @@ class FluxPipeline(BasePipeline):
         with use_mesh(self.plan):
             out = fn(self.params, x0, cond)
         calibration = None
+        skips = None
+        if (getattr(self, "record_skips", False)
+                and not c.magcache_calibration):
+            out, skips = out
+            skips = np.asarray(jax.device_get(skips))
         if c.magcache_calibration:
             latents, stats = out
             s = np.asarray(jax.device_get(stats)).reshape(-1, 3)
@@ -183,5 +190,5 @@ class FluxPipeline(BasePipeline):
             lat_img = unpack_latents(latents, gh, gw)
             image = np.asarray(self.vae.decode(lat_img))
         return PipelineOutput(latents=latents, image=image,
-                              calibration=calibration,
+                              calibration=calibration, skips=skips,
                               timings={"total_s": time.time() - t0})

@@ -124,10 +124,11 @@ class FramePackPipeline(BasePipeline):
         same timeline padding (fresh cache carry each call == the reference's
         per-section reset). In pyramid mode each distinct ``pad`` value gets
         its own compiled program (the padding schedule uses at most 4)."""
+        rs = bool(getattr(self, "record_skips", False))
         if self._section_fn is None:
             self._section_fn = {}
-        if pad in self._section_fn:
-            return self._section_fn[pad]
+        if (pad, rs) in self._section_fn:
+            return self._section_fn[(pad, rs)]
         c = self.config
         sch = FlowMatchSchedule.create(c.steps, shift=c.flow_shift)
         dts = np.diff(sch.sigmas)
@@ -165,10 +166,11 @@ class FramePackPipeline(BasePipeline):
         def fn(params, x, cond):
             return sample_euler(core, params, x, cond,
                                 timesteps=sch.timesteps, dts=dts,
-                                cache_cfg=cache_cfg, dynamic_skip=tea)
+                                cache_cfg=cache_cfg, dynamic_skip=tea,
+                                return_skips=rs)
 
-        self._section_fn[pad] = jax.jit(fn)
-        return self._section_fn[pad]
+        self._section_fn[(pad, rs)] = jax.jit(fn)
+        return self._section_fn[(pad, rs)]
 
     def generate(self, prompt: str, seed: int = 31337, on_section=None,
                  start_latent=None) -> PipelineOutput:
@@ -186,6 +188,17 @@ class FramePackPipeline(BasePipeline):
             "guidance": jnp.full((1,), c.guidance, jnp.float32),
         }
         history: List[np.ndarray] = []
+        rs = bool(getattr(self, "record_skips", False))
+        sec_skips: List[np.ndarray] = []
+
+        def _run(fn, x0, cond):
+            out = fn(self.params, x0, cond)
+            if rs:
+                out, sk = out
+                sec_skips.append(np.asarray(jax.device_get(sk)))
+            out.block_until_ready()
+            return out
+
         key = set_seed(seed)
         hw = self.lat_shape[1:]
         if c.pyramid and c.model.endswith("f1"):
@@ -207,8 +220,7 @@ class FramePackPipeline(BasePipeline):
                 cond["clean"] = jnp.concatenate([start, c1x], axis=1)
                 cond["clean_2x"] = c2x
                 cond["clean_4x"] = c4x
-                lat = fn(self.params, x0, cond)
-                lat.block_until_ready()
+                lat = _run(fn, x0, cond)
                 hbuf = jnp.concatenate([hbuf, lat], axis=1)
                 sec = np.asarray(lat)
                 history.append(sec)
@@ -234,8 +246,7 @@ class FramePackPipeline(BasePipeline):
                 cond["clean"] = jnp.concatenate([start, post], axis=1)
                 cond["clean_2x"] = c2x
                 cond["clean_4x"] = c4x
-                lat = fn(self.params, x0, cond)
-                lat.block_until_ready()
+                lat = _run(fn, x0, cond)
                 if pad == 0:  # last section: prepend the start latent
                     lat = jnp.concatenate([start, lat], axis=1)
                 hbuf = jnp.concatenate([lat, hbuf], axis=1)
@@ -257,8 +268,7 @@ class FramePackPipeline(BasePipeline):
                 cond = dict(base_cond)
                 if hf:
                     cond["history"] = hbuf
-                lat = fn(self.params, x0, cond)
-                lat.block_until_ready()
+                lat = _run(fn, x0, cond)
                 if hf:
                     hbuf = lat[:, -hf:]
                 sec = np.asarray(lat)
@@ -268,4 +278,5 @@ class FramePackPipeline(BasePipeline):
         full = jnp.asarray(np.concatenate(history, axis=1))
         return PipelineOutput(latents=full,
                               timings={"total_s": time.time() - t0,
-                                       "sections": c.total_sections})
+                                       "sections": c.total_sections},
+                              skips=(np.stack(sec_skips) if rs else None))

@@ -289,8 +289,9 @@ class WanPipeline(BasePipeline):
                              signal_fn=signal)
 
     def _sample_fn(self, calibrate: bool):
+        rs = bool(getattr(self, "record_skips", False)) and not calibrate
         key = ("cal" if calibrate else "gen", self.config.use_magcache,
-               self.config.enable_teacache)
+               self.config.enable_teacache, rs)
         if key in self._jit_cache:
             return self._jit_cache[key]
         sch = self._schedule()
@@ -309,7 +310,8 @@ class WanPipeline(BasePipeline):
 
             def fn(params, x, cond):
                 return sample_unipc(core, params, x, cond, sch,
-                                    guidance_scale=g, dynamic_skip=tea)
+                                    guidance_scale=g, dynamic_skip=tea,
+                                    return_skips=rs)
 
             jitted = jax.jit(fn)
             self._jit_cache[key] = jitted
@@ -339,14 +341,15 @@ class WanPipeline(BasePipeline):
         elif self.config.sample_solver == "unipc":
             def fn(params, x, cond):
                 return sample_unipc(core, params, x, cond, sch,
-                                    cache_cfg=cache_cfg, guidance_scale=g)
+                                    cache_cfg=cache_cfg, guidance_scale=g,
+                                    return_skips=rs)
         else:
             def fn(params, x, cond):
                 return sample_euler(core, params, x, cond,
                                     timesteps=sch.timesteps,
                                     dts=np.diff(sch.sigmas),
                                     cache_cfg=cache_cfg, guidance_scale=g,
-                                    dpm_coeffs=dpm)
+                                    dpm_coeffs=dpm, return_skips=rs)
 
         jitted = jax.jit(fn)
         self._jit_cache[key] = jitted
@@ -603,6 +606,11 @@ class WanPipeline(BasePipeline):
             with use_mesh(self.plan):
                 out = fn(self.params, x0, cond)
         calibration = None
+        skips = None
+        if (getattr(self, "record_skips", False) and not calibrate
+                and self.config.moe_boundary is None):
+            out, skips = out
+            skips = np.asarray(jax.device_get(skips))
         if calibrate:
             latents, stats = out
             stats = np.asarray(jax.device_get(stats))
@@ -625,7 +633,8 @@ class WanPipeline(BasePipeline):
         if self.vae is not None:
             video = np.asarray(self.vae.decode(latents))
         return PipelineOutput(latents=latents, video=video,
-                              calibration=calibration, timings=timings)
+                              calibration=calibration, timings=timings,
+                              skips=skips)
 
     # ---- batched generation ----------------------------------------------
     def generate_batch(self, prompts, negative_prompt: str = DEFAULT_NEGATIVE,

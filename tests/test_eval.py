@@ -192,4 +192,9 @@ def test_evaluate_cli_self_check(tmp_path):
                 "--json", str(out)])
     assert out.exists()
     m = res["metrics_magcache_vs_full"]
-    assert np.isfinite(m["psnr"]) and np.isfinite(m["ssim"])
+    assert np.isfinite(m["latent_psnr"]) and np.isfinite(m["latent_ssim"])
+    # anti-vacuity: every comparator variant actually skipped
+    for fam, key in (("wan", "magcache"), ("wan", "teacache"),
+                     ("flux", "magcache"), ("framepack", "teacache"),
+                     ("omnigen2", "taylorseer")):
+        assert res[fam]["skips"][key]["skipped"] > 0
