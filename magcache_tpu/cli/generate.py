@@ -223,6 +223,34 @@ def build_parser() -> argparse.ArgumentParser:
                    help="toy-size model for checkpoint-free smoke runs")
     p.add_argument("--enable_pab", action="store_true",
                    help="Pyramid Attention Broadcast (open-sora task)")
+    # Open-Sora conditioning surface (pipeline_open_sora.py:426-456)
+    p.add_argument("--resolution", default=None,
+                   help="open-sora bucket resolution (480p, 720p, ...); "
+                        "overrides --size via the training bucket tables")
+    p.add_argument("--aspect_ratio", default=None,
+                   help="open-sora bucket aspect ratio (9:16, 16:9, ...)")
+    p.add_argument("--loop", type=int, default=1,
+                   help="open-sora looped generation count")
+    p.add_argument("--ms", "--mask_strategy", dest="ms", default="",
+                   help="open-sora mask strategy "
+                        "'loop,ref,ref_start,target_start,len,edit_ratio;...'")
+    p.add_argument("--refs", "--reference_path", dest="refs", default="",
+                   help="open-sora reference paths (';'-separated .npy "
+                        "latents or images)")
+    p.add_argument("--aes", type=float, default=6.5,
+                   help="aesthetic score appended to the prompt")
+    p.add_argument("--flow_score", type=float, default=None,
+                   help="motion score appended to the prompt")
+    p.add_argument("--camera_motion", default=None,
+                   help="camera motion tag appended to the prompt")
+    p.add_argument("--condition_frame_length", type=int, default=5,
+                   help="latent frames handed to the next loop")
+    p.add_argument("--condition_frame_edit", type=float, default=0.0,
+                   help="edit ratio of the hand-off frames")
+    p.add_argument("--align", type=int, default=5,
+                   help="mask-strategy index alignment")
+    p.add_argument("--no_text_preprocessing", action="store_true",
+                   help="skip the T5 caption cleaning")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon sitecustomize "
                         "force-registers the TPU; env vars don't override it)")
@@ -439,6 +467,8 @@ def _open_sora_pipeline(args):
         args.frame_num = 8
     cfg = OpenSoraPipelineConfig(
         num_frames=args.frame_num, height=h, width=w,
+        resolution=getattr(args, "resolution", None),
+        aspect_ratio=getattr(args, "aspect_ratio", None),
         num_sampling_steps=args.sample_steps or 30,
         cfg_scale=args.sample_guide_scale,
         caption_len=6 if args.tiny else 300,
@@ -825,6 +855,26 @@ def main(argv=None):
                                     hw[0], hw[1], hw[2])
         gen_kwargs["start_latent"] = lat[None]
         args.image = None
+    if args.task.startswith("open-sora") and not args.task.startswith(
+            "open-sora-plan"):
+        # conditioning image -> first-frame reference + mask strategy
+        # (the reference README's i2v recipe: refs=image, ms='0,0,0,0,1,0')
+        if args.image:
+            hw = pipe.latent_shape[1:]
+            lat = _image_to_grid_latent(pipe, _load_image(args.image),
+                                        hw[0], hw[1], hw[2])
+            ref_path = "/tmp/opensora_i2v_ref.npy"
+            np.save(ref_path, lat[None])          # [T=1, H, W, C]
+            args.refs = ref_path
+            if not args.ms:
+                args.ms = "0,0,0,0,1,0"
+            args.image = None
+        gen_kwargs.update(
+            loop=args.loop, ms=args.ms, refs=args.refs, aes=args.aes,
+            flow=args.flow_score, camera_motion=args.camera_motion,
+            condition_frame_length=args.condition_frame_length,
+            condition_frame_edit=args.condition_frame_edit, align=args.align,
+            use_text_preprocessing=not args.no_text_preprocessing)
     if args.image:
         gen_kwargs["image"] = _load_image(args.image)
     if getattr(args, "first_frame", None):

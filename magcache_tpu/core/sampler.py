@@ -383,6 +383,86 @@ def sample_euler(
     return x_fin
 
 
+def sample_rflow_masked(
+    core: DiTCore,
+    params,
+    x_init: jnp.ndarray,            # [B, T, H, W, C] with refs already pasted
+    cond,
+    *,
+    timesteps: np.ndarray,
+    dts: np.ndarray,                # (t_i - t_{i+1})/T per step
+    num_train_timesteps: int,
+    mask: jnp.ndarray,              # f32[B, T]: 1=condition frame, (0,1)=edit
+    noise_key: jax.Array,
+    lanes: int = 2,
+    combine_fn: Optional[Callable] = None,
+    guidance_scale: Optional[float] = None,
+    cache_cfg=None,
+    return_skips: bool = False,
+) -> jnp.ndarray:
+    """RFLOW Euler sampling with Open-Sora masked-frame conditioning
+    (``scheduling_rflow_open_sora.py:215-255``): per step, frames whose
+    ``mask * T >= t`` become *active* — on their first active step they are
+    re-noised to the current level (``add_noise``; frames with mask==1 are
+    pre-marked as noised and stay clean), the model sees them under the t=0
+    modulation path (``x_mask``), and after the Euler update inactive frames
+    revert to their pre-update latents.
+
+    The frame mask changes per step, so this is a dedicated scan rather than a
+    ``sample_euler`` mode; the single-lane MagCache residual cache composes
+    the same way (static schedule, skip => hidden + cached residual).
+    """
+    num_steps = len(timesteps)
+    batch = x_init.shape[0]
+    skip_mask, cache_lanes = _lane_masks(cache_cfg, num_steps)
+    assert cache_lanes == 1, (
+        "masked RFLOW uses the joint-CFG single cache lane (the Open-Sora "
+        "configuration); per-lane caches are not defined for it")
+    lane_rows = jnp.asarray(np.zeros(batch * lanes, int), jnp.int32)
+
+    x_l0 = _stack_lanes(x_init, lanes)
+    cache0 = _init_cache(core, params, x_l0, jnp.asarray(timesteps[:1]), cond)
+    state0 = _init_trunk_state(core, params, x_l0, jnp.asarray(timesteps[:1]),
+                               cond)
+    ts = jnp.asarray(np.asarray(timesteps, np.float32))
+    dts_a = jnp.asarray(np.asarray(dts, np.float32))
+    noise_added0 = mask >= 1.0                      # bool[B, T]
+
+    def body(carry, step_in):
+        x, noise_added, cache, state = carry
+        t, dt, skip_bits, idx = step_in
+        x0 = x
+        upper = (mask * num_train_timesteps) >= t   # bool[B, T]
+        add = upper & (~noise_added)
+        tp = 1.0 - t / num_train_timesteps          # add_noise timepoint
+        noise = jax.random.normal(jax.random.fold_in(noise_key, idx),
+                                  x.shape, x.dtype)
+        x_noise = tp.astype(x.dtype) * x0 + (1.0 - tp).astype(x.dtype) * noise
+        bcast = add[:, :, None, None, None]
+        xm = jnp.where(bcast, x_noise, x0)
+
+        x2 = _stack_lanes(xm, lanes)
+        tvec = jnp.full((x2.shape[0],), t, jnp.float32)
+        cond2 = dict(cond)
+        cond2["x_mask"] = _stack_lanes(upper, lanes)
+        hidden, ctx = core.prepare(params, x2, tvec, cond2)
+        h_out, cache, state = _cached_trunk(core, params, hidden, ctx, cache,
+                                            skip_bits, lane_rows, state, idx)
+        out = core.head(params, h_out, ctx)
+        v = _cfg_combine(out, guidance_scale, batch, combine_fn, lanes, idx)
+        x = xm + dt.astype(x.dtype) * v.astype(x.dtype)
+        x = jnp.where(upper[:, :, None, None, None], x, x0)
+        emitted = skip_bits if return_skips else None
+        return (x, upper, cache, state), emitted
+
+    (x_fin, _, _, _), emitted = jax.lax.scan(
+        body, (x_init, noise_added0, cache0, state0),
+        (ts, dts_a, jnp.asarray(skip_mask), jnp.arange(num_steps)))
+    if return_skips:
+        return x_fin, emitted
+    return x_fin
+
+
 def calibrate_euler(
     core: DiTCore,
     params,

@@ -50,6 +50,7 @@ class STDiT3Config:
     freq_dim: int = 256
     caption_max_len: int = 300          # y_embedder token_num (model_max_length)
     qk_norm: bool = True                # v1.2 ckpts: RMSNorm on q/k heads
+    input_sq_size: int = 512            # multi-res pos-embed base resolution
     eps: float = 1e-6
     dtype: str = "float32"
 
@@ -118,15 +119,25 @@ def init_stdit3_params(key: jax.Array, cfg: STDiT3Config):
     }
 
 
-def _pos_embed_2d(dim: int, gh: int, gw: int, scale: float = 1.0) -> np.ndarray:
-    """2-D sincos position embedding over the spatial patch grid."""
+def _pos_embed_2d(dim: int, gh: int, gw: int, scale: float = 1.0,
+                  base_size: Optional[int] = None) -> np.ndarray:
+    """2-D sincos position embedding over the spatial patch grid.
+
+    ``scale``/``base_size`` implement the multi-resolution coordinate
+    normalization (OpenSoraPositionEmbedding2D, ``embeddings.py:246-270``):
+    coords = arange(g)/scale * base_size/g, with scale =
+    sqrt(H_px*W_px)/input_sq_size chosen by the caller."""
     def emb_1d(pos, d):
         omega = 1.0 / 10000.0 ** (np.arange(d // 2) / (d / 2))
         out = pos[:, None] * omega[None]
         return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
-    ys, xs = np.meshgrid(np.arange(gh) / scale, np.arange(gw) / scale,
-                         indexing="ij")
+    hh = np.arange(gh) / scale
+    ww = np.arange(gw) / scale
+    if base_size is not None:
+        hh = hh * (base_size / gh)
+        ww = ww * (base_size / gw)
+    ys, xs = np.meshgrid(hh, ww, indexing="ij")
     e = np.concatenate([emb_1d(ys.reshape(-1), dim // 2),
                         emb_1d(xs.reshape(-1), dim // 2)], axis=1)
     return e.astype(np.float32)  # [gh*gw, dim]
@@ -161,16 +172,28 @@ def make_stdit3_core(
     *,
     pab: Optional[PABConfig] = None,
     timesteps: Optional[np.ndarray] = None,  # required when pab is set
+    pixel_size: Optional[Tuple[int, int]] = None,  # (H_px, W_px) multi-res
 ) -> DiTCore:
     """cond = {"y": f[rows, caption_len, caption_dim], "fps": f[rows]}.
 
     x = latent video f[rows, T*pt, H*ph, W*pw, C] (rows includes the joint CFG
     batch); output channels = 2*C (RFLOW slices the first C).
+
+    ``pixel_size`` switches on the multi-resolution position-embedding
+    normalization (``open_sora_transformer_3d.py:528-533``): scale =
+    sqrt(H_px*W_px)/input_sq_size, base_size = round(sqrt(S)) — both static
+    at trace time, so the resolution conditioning costs nothing per step.
     """
     T, H, W = grid
     S = H * W
     d = cfg.hidden
-    pos2d = jnp.asarray(_pos_embed_2d(d, H, W))
+    if pixel_size is not None:
+        scale = float(np.sqrt(pixel_size[0] * pixel_size[1])
+                      / cfg.input_sq_size)
+        pos2d = jnp.asarray(_pos_embed_2d(d, H, W, scale=scale,
+                                          base_size=round(np.sqrt(S))))
+    else:
+        pos2d = jnp.asarray(_pos_embed_2d(d, H, W))
     t_cos, t_sin = rope_freqs_1d(np.arange(T), cfg.head_dim)
     t_rope = (jnp.asarray(t_cos), jnp.asarray(t_sin))
 

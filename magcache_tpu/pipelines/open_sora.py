@@ -8,13 +8,26 @@ joint batch — exactly the eval harness's configuration
 (``eval/magcache/experiments/opensora.py:229-373``, E=0.12 K=3 skip_time=6).
 PAB is the alternative cache (``videosys/core/pab_mgr.py``); both compile into
 the same scanned loop.
+
+Conditioning parity (round 3):
+- prompt preprocessing: JSON extraction, per-loop ``|0|...`` segments,
+  aesthetic/motion/camera score appending, twice-applied T5 caption cleaning
+  (``pipeline_open_sora.py:532-605`` — helpers in ``open_sora_cond``);
+- multi-resolution info: bucketed (resolution, aspect_ratio) sizes, fps with
+  the IMG_FPS single-frame rule, pos-embed scale/base_size normalization
+  (``data_process.py:791-807``, ``open_sora_transformer_3d.py:528-533``);
+- masked-frame conditioning (i2v/v2v/extend): mask_strategy parsing, reference
+  pasting, per-step re-noising + t0-modulation in the sampler
+  (``pipeline_open_sora.py:797-871``, ``scheduling_rflow_open_sora.py:215-255``
+  — device loop in ``core.sampler.sample_rflow_masked``);
+- looped generation with condition-frame hand-off (``append_generated``).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,13 +35,14 @@ import numpy as np
 
 from magcache_tpu.core.pab import OPEN_SORA_PAB, PABConfig
 from magcache_tpu.core.presets import make_config
-from magcache_tpu.core.sampler import sample_euler
+from magcache_tpu.core.sampler import sample_euler, sample_rflow_masked
 from magcache_tpu.models.stdit3 import (
     STDiT3Config,
     init_stdit3_params,
     make_stdit3_core,
 )
 from magcache_tpu.models.text import MockTextEncoder, TextEncoder
+from magcache_tpu.pipelines import open_sora_cond as oc
 from magcache_tpu.pipelines.base import BasePipeline, PipelineOutput
 from magcache_tpu.schedulers.rflow import RFlowSchedule
 from magcache_tpu.utils.misc import set_seed
@@ -39,6 +53,10 @@ class OpenSoraPipelineConfig:
     num_frames: int = 51
     height: int = 480
     width: int = 848
+    # named bucket selection (reference generate() args); when set these
+    # override height/width via the training bucket tables
+    resolution: Optional[str] = None          # "480p", "720p", ...
+    aspect_ratio: Optional[str] = None        # "9:16", "16:9", ...
     num_sampling_steps: int = 30
     cfg_scale: float = 7.0
     caption_len: int = 300
@@ -56,6 +74,12 @@ class OpenSoraPipelineConfig:
     tiny: bool = False
     ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
 
+    def __post_init__(self):
+        if self.resolution is not None:
+            ar = self.aspect_ratio or "9:16"
+            self.height, self.width = oc.get_image_size(self.resolution, ar)
+        self.num_frames = oc.get_num_frames(self.num_frames)
+
     def model_config(self) -> STDiT3Config:
         if self.tiny:
             return STDiT3Config.tiny(dtype=self.dtype)
@@ -68,6 +92,11 @@ class OpenSoraPipelineConfig:
 
 VAE_STRIDE = (17, 8, 8)  # OpenSora: micro-frame 17 -> 5 latents? handled below
 
+
+def dframe_to_frame(num: int) -> int:
+    """Latent frames -> video frames (``pipeline_open_sora.py:877-879``)."""
+    assert num % 5 == 0, f"Invalid num: {num}"
+    return num // 5 * 17
 
 
 class OpenSoraPipeline(BasePipeline):
@@ -93,7 +122,8 @@ class OpenSoraPipeline(BasePipeline):
         self.core = make_stdit3_core(
             self.model_cfg, self.grid, c.caption_len,
             pab=c.pab_config if c.enable_pab else None,
-            timesteps=self.schedule.timesteps)
+            timesteps=self.schedule.timesteps,
+            pixel_size=(c.height, c.width))
         self.text_encoder = text_encoder or MockTextEncoder(
             c.caption_len, self.model_cfg.caption_dim, scale=0.5)
         key = key if key is not None else jax.random.PRNGKey(0)
@@ -103,20 +133,19 @@ class OpenSoraPipeline(BasePipeline):
         self.params = params if params is not None else init_stdit3_params(
             key, self.model_cfg)
         self._fn = None
+        self._fn_masked = None
 
-    def _sample_fn(self):
-        if self._fn is not None:
-            return self._fn
+    def _cache_cfg(self):
         c = self.config
-        sch = self.schedule
-        dts = np.array([sch.dt(i) for i in range(sch.num_steps)], np.float32)
-        cache_cfg = None
-        if c.use_magcache:
-            # single-lane over the joint CFG batch (experiments/opensora.py:420-433)
-            cache_cfg = make_config("opensora-v1.2", c.num_sampling_steps,
-                                    thresh=c.magcache_thresh, K=c.magcache_K,
-                                    retention_ratio=c.retention_ratio)
-        core, g = self.core, c.cfg_scale
+        if not c.use_magcache:
+            return None
+        # single-lane over the joint CFG batch (experiments/opensora.py:420-433)
+        return make_config("opensora-v1.2", c.num_sampling_steps,
+                           thresh=c.magcache_thresh, K=c.magcache_K,
+                           retention_ratio=c.retention_ratio)
+
+    def _combine(self):
+        g = self.config.cfg_scale
         C = self.model_cfg.in_channels
 
         def combine(chunks):
@@ -126,27 +155,171 @@ class OpenSoraPipeline(BasePipeline):
             uncond_o = chunks[1][..., :C]
             return uncond_o + g * (cond_o - uncond_o)
 
+        return combine
+
+    def _sample_fn(self):
+        if self._fn is not None:
+            return self._fn
+        c = self.config
+        sch = self.schedule
+        dts = np.array([sch.dt(i) for i in range(sch.num_steps)], np.float32)
+        cache_cfg = self._cache_cfg()
+        core, combine = self.core, self._combine()
+        rs = bool(getattr(self, "record_skips", False))
+
         def fn(params, z, cond):
             # joint batch of 2 rides the row axis through a single forward
             return sample_euler(core, params, z, cond, timesteps=sch.timesteps,
                                 dts=dts, cache_cfg=cache_cfg, lanes=2,
-                                combine_fn=combine)
+                                combine_fn=combine, return_skips=rs)
 
         self._fn = jax.jit(fn)
         return self._fn
 
-    def generate(self, prompt: str, negative_prompt: str = "", seed: int = 0
-                 ) -> PipelineOutput:
+    def _sample_fn_masked(self):
+        if self._fn_masked is not None:
+            return self._fn_masked
+        c = self.config
+        sch = self.schedule
+        dts = np.array([sch.dt(i) for i in range(sch.num_steps)], np.float32)
+        cache_cfg = self._cache_cfg()
+        core, combine = self.core, self._combine()
+        rs = bool(getattr(self, "record_skips", False))
+        ntt = sch.num_train_timesteps
+
+        def fn(params, z, cond, mask, noise_key):
+            return sample_rflow_masked(
+                core, params, z, cond, timesteps=sch.timesteps, dts=dts,
+                num_train_timesteps=ntt, mask=mask, noise_key=noise_key,
+                lanes=2, combine_fn=combine, cache_cfg=cache_cfg,
+                return_skips=rs)
+
+        self._fn_masked = jax.jit(fn)
+        return self._fn_masked
+
+    # ---- reference collection -------------------------------------------
+    def _collect_references(self, reference_paths: List[Optional[str]]
+                            ) -> List[list]:
+        """Per-batch lists of reference latents [T, H, W, C]
+        (``pipeline_open_sora.py:736-751``). Accepts ``.npy`` latent files
+        directly; image/video files are decoded with PIL and encoded through
+        the pipeline VAE (requires ``vae``)."""
+        refs_x = []
+        for reference_path in reference_paths:
+            if not reference_path:
+                refs_x.append([])
+                continue
+            ref = []
+            for r_path in reference_path.split(";"):
+                if r_path.endswith(".npy"):
+                    lat = np.asarray(np.load(r_path), np.float32)
+                    assert lat.ndim == 4, "latent refs are [T, H, W, C]"
+                else:
+                    from PIL import Image
+                    img = Image.open(r_path).convert("RGB")
+                    h, w = self.config.height, self.config.width
+                    # resize_crop: scale to cover, center-crop
+                    s = max(h / img.height, w / img.width)
+                    img = img.resize((round(img.width * s),
+                                      round(img.height * s)))
+                    left = (img.width - w) // 2
+                    top = (img.height - h) // 2
+                    img = img.crop((left, top, left + w, top + h))
+                    frame = np.asarray(img, np.float32) / 127.5 - 1.0
+                    assert self.vae is not None, (
+                        "image references need the pipeline VAE")
+                    lat = np.asarray(self.vae.encode(
+                        frame[None, None]))            # [1, T, H, W, C]
+                    lat = lat[0]
+                ref.append(lat)
+            refs_x.append(ref)
+        return refs_x
+
+    # ---- generation ------------------------------------------------------
+    def generate(self, prompt: str, negative_prompt: str = "", seed: int = 0,
+                 loop: int = 1, ms: str = "", refs: str = "",
+                 aes: Optional[float] = 6.5, flow: Optional[float] = None,
+                 camera_motion: Optional[str] = None,
+                 condition_frame_length: int = 5, align: int = 5,
+                 condition_frame_edit: float = 0.0,
+                 use_text_preprocessing: bool = True) -> PipelineOutput:
+        """Full reference surface (``pipeline_open_sora.py:426-656``): score
+        appending + caption cleaning, mask-strategy conditioning, looped
+        generation with condition-frame hand-off.
+
+        Without ``ms``/``refs``/``loop>1`` this is the plain t2v path (one
+        jitted cached scan). With them, the masked sampler re-noises
+        conditioning frames per step. Loop hand-off conditions on the previous
+        clip's *latents* directly (the reference re-encodes decoded video —
+        equivalent up to a VAE round-trip, and one less decode/encode pair)."""
         t0 = time.time()
         c = self.config
-        y = self.text_encoder([prompt, negative_prompt])
-        cond = {"y": y, "fps": jnp.full((2,), float(c.fps), jnp.float32)}
-        z = jax.random.normal(set_seed(seed), (1,) + self.latent_shape,
-                              jnp.float32)
-        latents = self._sample_fn()(self.params, z, cond)
-        latents.block_until_ready()
+        rs = bool(getattr(self, "record_skips", False))
+
+        batch_prompts, refs_l, ms_l = oc.extract_json_from_prompts(
+            [prompt], [refs], [ms])
+        refs_x = self._collect_references(refs_l)
+
+        # prompt segments -> scores -> T5 cleaning -> merged loop prompt
+        seg_lists, loop_idxs = [], []
+        for p in batch_prompts:
+            segs, idxs = oc.split_prompt(p)
+            segs = oc.append_score_to_prompts(segs, aes=aes, flow=flow,
+                                              camera_motion=camera_motion)
+            segs = [oc.text_preprocessing(s, use_text_preprocessing)
+                    for s in segs]
+            seg_lists.append(segs)
+            loop_idxs.append(idxs)
+        batch_prompts = [oc.merge_prompt(s, i)
+                         for s, i in zip(seg_lists, loop_idxs)]
+
+        key = set_seed(seed)
+        clips: List[np.ndarray] = []
+        all_skips: List[np.ndarray] = []
+        for loop_i in range(loop):
+            prompts_loop = oc.extract_prompts_loop(batch_prompts, loop_i)
+            if loop_i > 0:
+                refs_x, ms_l = oc.append_generated(
+                    None, [clips[-1][0]], refs_x, ms_l, loop_i,
+                    condition_frame_length, condition_frame_edit)
+
+            y = self.text_encoder([prompts_loop[0], negative_prompt])
+            fps = float(c.fps if self.latent_shape[0] > 1 else oc.IMG_FPS)
+            cond = {"y": y, "fps": jnp.full((2,), fps, jnp.float32)}
+
+            key, zkey, nkey = jax.random.split(key, 3)
+            z = np.array(jax.random.normal(
+                zkey, (1,) + self.latent_shape, jnp.float32))  # writable copy
+            masks = oc.apply_mask_strategy(z, refs_x, ms_l, loop_i,
+                                           align=align)
+            if masks is not None and (masks >= 1.0).all():
+                # all-ones mask (no strategy touched this loop) is the plain
+                # t2v path — the reference runs its masked loop anyway, which
+                # is a per-frame no-op; routing to the static scan keeps the
+                # cheaper compiled program
+                masks = None
+            if masks is None:
+                out = self._sample_fn()(self.params, jnp.asarray(z), cond)
+            else:
+                out = self._sample_fn_masked()(
+                    self.params, jnp.asarray(z), cond,
+                    jnp.asarray(masks, jnp.float32), nkey)
+            if rs:
+                out, sk = out
+                all_skips.append(np.asarray(jax.device_get(sk)))
+            out.block_until_ready()
+            clips.append(np.asarray(out))
+
+        # trim each follow-on clip's conditioning frames, then concat in time
+        # (:640-642; latent-space trim — dframe_to_frame is its video-space
+        # equivalent when decoding per clip)
+        for i in range(1, loop):
+            clips[i] = clips[i][:, condition_frame_length:]
+        latents = jnp.asarray(np.concatenate(clips, axis=1))
+
         video = None
         if self.vae is not None:
             video = np.asarray(self.vae.decode(latents))
         return PipelineOutput(latents=latents, video=video,
+                              skips=(np.stack(all_skips) if rs else None),
                               timings={"total_s": time.time() - t0})
