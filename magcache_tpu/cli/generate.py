@@ -108,6 +108,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--magcache_thresh", type=float, default=None)
     p.add_argument("--magcache_K", type=int, default=None)
     p.add_argument("--retention_ratio", type=float, default=None)
+    p.add_argument("--cache_policy", choices=("adapter", "rolling"),
+                   default="adapter",
+                   help="MagCache decision rule: the release adapter rule, "
+                        "or the Wan eval scripts' rolling variant that "
+                        "produced the published VBench numbers "
+                        "(wan_magcache.py:683-817; wan tasks only)")
     p.add_argument("--magcache_calibration", action="store_true")
     p.add_argument("--enable_teacache", action="store_true",
                    help="TeaCache comparator on Wan tasks (per-lane even/odd "
@@ -289,6 +295,7 @@ def _wan_pipeline(args):
         use_magcache=args.use_magcache,
         magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
         retention_ratio=args.retention_ratio,
+        cache_policy=getattr(args, "cache_policy", "adapter"),
         magcache_calibration=args.magcache_calibration,
         mag_ratios_override=_load_ratios(args),
         enable_teacache=getattr(args, "enable_teacache", False),

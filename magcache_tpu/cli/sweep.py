@@ -18,7 +18,7 @@ import json
 def build_parser():
     p = argparse.ArgumentParser("magcache-tpu sweep")
     p.add_argument("--variant", default="magcache",
-                   choices=["full", "magcache", "teacache"])
+                   choices=["full", "magcache", "teacache", "rolling"])
     p.add_argument("--teacache_thresh", type=float, default=0.2)
     p.add_argument("--use_ret_steps", action="store_true")
     p.add_argument("--prompts", default=None, help="txt file, one prompt/line")

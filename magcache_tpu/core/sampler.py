@@ -70,7 +70,12 @@ def _lane_masks(cache_cfg: Optional[MagCacheConfig], num_steps: int):
     if cache_cfg is None:
         lanes = 1
         return np.zeros((num_steps, 1), bool), lanes
-    sched = compute_skip_schedule(cache_cfg)
+    if hasattr(cache_cfg, "skip_schedule"):
+        # alternative static policies (e.g. core.rolling's eval-variant
+        # schedule) provide their own per-forward bits
+        sched = np.asarray(cache_cfg.skip_schedule())
+    else:
+        sched = compute_skip_schedule(cache_cfg)
     lanes = cache_cfg.lanes
     assert cache_cfg.num_steps == num_steps * lanes, (
         f"cache num_steps {cache_cfg.num_steps} != sampler steps {num_steps} * lanes {lanes}"

@@ -52,7 +52,7 @@ def load_prompts(path: Optional[str]) -> List[str]:
 
 @dataclasses.dataclass
 class SweepConfig:
-    variant: str = "magcache"            # full | magcache | teacache
+    variant: str = "magcache"            # full | magcache | teacache | rolling
     prompts_file: Optional[str] = None
     start_index: int = 0
     end_index: Optional[int] = None      # exclusive; None = all
@@ -98,7 +98,9 @@ def run_sweep(cfg: SweepConfig, pipeline=None) -> dict:
         pcfg = WanPipelineConfig(
             model=cfg.model, size=tuple(cfg.size), frame_num=cfg.frame_num,
             sample_steps=cfg.sample_steps, sample_solver=cfg.sample_solver,
-            use_magcache=(cfg.variant == "magcache"),
+            use_magcache=(cfg.variant in ("magcache", "rolling")),
+            cache_policy=("rolling" if cfg.variant == "rolling"
+                          else "adapter"),
             enable_teacache=(cfg.variant == "teacache"),
             teacache_thresh=cfg.teacache_thresh,
             use_ret_steps=cfg.use_ret_steps,

@@ -75,6 +75,11 @@ class WanPipelineConfig:
     magcache_K: Optional[int] = None
     retention_ratio: Optional[float] = None
     magcache_calibration: bool = False
+    # "adapter" = the release MagCache4Wan2.1 decision rule; "rolling" = the
+    # C2 eval-variant rule that produced the published VBench numbers
+    # (forward-indexed 20% retention, cache_time=10 ratio table, inclusive K;
+    # core/rolling.py, wan_magcache.py:683-817)
+    cache_policy: str = "adapter"
     # TeaCache comparator — the reference Wan eval's per-lane (even/odd)
     # activation-gated cache (wan_teacache.py:533-590,899-928); mutually
     # exclusive with use_magcache, unipc solver only
@@ -204,6 +209,19 @@ class WanPipeline(BasePipeline):
         c = self.config
         if not c.use_magcache:
             return None
+        if c.cache_policy == "rolling":
+            from magcache_tpu.core.rolling import RollingCacheConfig
+            assert c.moe_boundary is None, (
+                "the rolling policy is the Wan2.1 eval variant "
+                "(no MoE split there)")
+            return RollingCacheConfig(
+                num_steps=c.sample_steps * 2,
+                thresh=(0.015 if c.magcache_thresh is None
+                        else c.magcache_thresh),
+                K=(-1 if c.magcache_K is None else c.magcache_K),
+                retention=(0.2 if c.retention_ratio is None
+                           else c.retention_ratio))
+        assert c.cache_policy == "adapter", c.cache_policy
         split_step = None
         mode = "t2v"
         if c.moe_boundary is not None:
