@@ -45,7 +45,11 @@ def log(*a):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    if jax.default_backend() != "cpu":
+        # persistent cache only helps (and is only portable) on the TPU
+        # backend; CPU AOT entries are machine-feature-pinned and loading one
+        # compiled on a different host stalls or SIGILLs
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 
     import jax.numpy as jnp
 
@@ -66,7 +70,18 @@ def main():
     else:
         h_pix, w_pix = (192, 320) if quick else (480, 832)
 
-    cfg = dataclasses.replace(WAN_1_3B, dtype="bfloat16")
+    # quick mode is a code-path smoke check (usually on CPU, where bf16 is
+    # emulated ~50x slower); the measured runs are always bf16.
+    # MAGCACHE_BENCH_TINY=1 additionally shrinks the model to the toy config —
+    # CI-only validation that every bench code path executes; numbers from it
+    # are meaningless and the JSON is tagged accordingly.
+    tiny = os.environ.get("MAGCACHE_BENCH_TINY") == "1"
+    if tiny:
+        from magcache_tpu.models.wan import WanConfig
+        cfg = WanConfig.tiny(dtype="float32")
+    else:
+        cfg = dataclasses.replace(WAN_1_3B,
+                                  dtype="float32" if quick else "bfloat16")
     lat_f = (frames - 1) // 4 + 1
     lat_h, lat_w = h_pix // 8, w_pix // 8
     grid = (lat_f, lat_h // 2, lat_w // 2)
@@ -150,6 +165,44 @@ def main():
         t_full = whole(no_skips, "full")
         method = "measured-whole-run"
 
+    # ---- whole-generate (apples-to-apples with the reference's timing span,
+    # wan_magcache.py:1157-1180: text encode + denoise + VAE decode) ---------
+    e2e = None
+    if not recon_only or os.environ.get("BENCH_E2E") == "1":
+        from magcache_tpu.models.text import MockTextEncoder
+        from magcache_tpu.models.vae_wan import (WanVAEConfig,
+                                                 init_wan_vae_params, WanVAE)
+
+        t0 = time.time()
+        enc = MockTextEncoder(cfg.text_len, cfg.text_dim, scale=0.5)
+        txt = enc(["a cinematic shot of a calico cat on a windowsill",
+                   "low quality, blurry"])
+        jax.block_until_ready(txt)
+        t_text = time.time() - t0
+
+        vcfg = (WanVAEConfig.tiny(z_channels=16) if tiny else WanVAEConfig())
+        vae = WanVAE(vcfg, init_wan_vae_params(jax.random.PRNGKey(3), vcfg))
+        lat_fin = jax.random.normal(jax.random.PRNGKey(4),
+                                    (1, lat_f, lat_h, lat_w, 16), jnp.float32)
+        dec = vae.decode(lat_fin)            # compile
+        jax.block_until_ready(dec)
+        t0 = time.time()
+        dec = vae.decode(lat_fin)
+        jax.block_until_ready(dec)
+        t_dec = time.time() - t0
+        log(f"e2e extras: text encode {t_text:.2f}s, "
+            f"VAE decode {t_dec:.2f}s ({tuple(dec.shape)})")
+        e2e = {
+            "sec_per_video_full_e2e": round(t_text + t_full + t_dec, 2),
+            "sec_per_video_magcache_e2e": round(t_text + t_cached + t_dec, 2),
+            "t_text_encode_s": round(t_text, 3),
+            "t_vae_decode_s": round(t_dec, 3),
+            "speedup_e2e": round((t_text + t_full + t_dec)
+                                 / (t_text + t_cached + t_dec), 3),
+            "span": "mock-T5 encode + denoise loop + streamed f32 VAE decode "
+                    "(one process, sequential, same seed inputs)",
+        }
+
     speedup = t_full / t_cached
     log(f"full {t_full:.1f}s  magcache {t_cached:.1f}s  speedup {speedup:.2f}x  "
         f"(t_compute {t_compute:.2f}s/step, t_skip {t_skip:.2f}s/step)")
@@ -193,18 +246,24 @@ def main():
             "reference_magcache_s_A800": 87.0,
             "peak_tflops": {"v5e": V5E_PEAK_TFLOPS, "A800": A800_PEAK_TFLOPS},
             # absolute wall-clock vs the reference's published A800 numbers
-            # (>1 = this port is faster on strictly weaker-peak silicon);
-            # only meaningful on the full-size run (quick mode uses tiny shapes)
+            # (>1 = this framework is faster on strictly weaker-peak silicon);
+            # the reference's span is whole-generate, so compare e2e when
+            # available; only meaningful on the full-size run
             "speed_vs_reference_absolute": {
-                "full": round(189.0 / t_full, 3),
-                "magcache_E012K2R02": round(87.0 / t_cached, 3),
+                "full": round(189.0 / (e2e["sec_per_video_full_e2e"]
+                                       if e2e else t_full), 3),
+                "magcache_E012K2R02": round(
+                    87.0 / (e2e["sec_per_video_magcache_e2e"]
+                            if e2e else t_cached), 3),
             },
             # sec/video x chip peak TFLOPs (lower = better use of silicon)
             "peak_normalized_full_ours": round(t_full * V5E_PEAK_TFLOPS, 0),
             "peak_normalized_full_ref": round(189.0 * A800_PEAK_TFLOPS, 0),
         },
         "other_configs": extra,
+        "e2e": e2e,
         "quick": quick,
+        "tiny_smoke": tiny,
     }
 
     print(json.dumps({

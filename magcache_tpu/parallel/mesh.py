@@ -160,21 +160,24 @@ def _param_spec(path: str, ndim: int) -> P:
     return P()  # replicate
 
 
-def shard_params(params, mesh: Mesh):
-    """device_put the param pytree with Megatron-style NamedShardings."""
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for a param tree (or its ShapeDtypeStructs) —
+    the Megatron-style specs without any device_put; feeds both real-weight
+    placement (`shard_params`) and AOT lowering of geometries too large to
+    materialize (the 14B derisk test)."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-
-    def path_str(kp):
-        return "/".join(
-            getattr(k, "key", getattr(k, "idx", str(k))) if not isinstance(k, str) else k
-            for k in (getattr(p, "key", p) for p in kp))
-
     out = []
     for kp, leaf in flat:
         path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
         spec = _param_spec(path, np.ndim(leaf))
-        out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
+        out.append(NamedSharding(mesh, spec))
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put the param pytree with Megatron-style NamedShardings."""
+    sh = param_shardings(params, mesh)
+    return jax.tree_util.tree_map(jax.device_put, params, sh)
 
 
 def activation_sharding(mesh: Mesh, kind: str, ndim: int) -> NamedSharding:
