@@ -951,5 +951,99 @@ def convert_omnigen2_state_dict(sd: Dict[str, np.ndarray], cfg) -> dict:
     }
 
 
-def load_omnigen2_checkpoint(ckpt_dir: str, cfg):
-    return convert_omnigen2_state_dict(load_safetensors_dir(ckpt_dir), cfg)
+def sniff_omnigen2_config(sd: Dict[str, np.ndarray], *, patch: int = 2,
+                          dtype: str = "float32"):
+    """Infer OmniGen2Config structural fields from the checkpoint's own
+    shapes (NOTES.md "Known gaps" #1 — the key layout was transcribed from
+    the public omnigen2 package without the real file):
+
+    hidden/text_dim/temb widths from the embedders, layer counts from the
+    max ``layers.N`` / ``noise_refiner.N`` indices, head geometry from
+    norm_q (head_dim) and to_q/to_k widths, exact SwiGLU inner width from
+    feed_forward.linear_1. ``patch`` comes from config.json when present
+    (shape-ambiguous: x_embedder folds in_channels * patch^2)."""
+    import re as _re
+
+    from magcache_tpu.models.omnigen2 import OmniGen2Config
+
+    def shape(k):
+        return tuple(np.asarray(sd[k]).shape)
+
+    hidden, pin = shape("x_embedder.weight")
+    head_dim = shape("layers.0.attn.norm_q.weight")[0]
+    heads = shape("layers.0.attn.to_q.weight")[0] // head_dim
+    kv_heads = shape("layers.0.attn.to_k.weight")[0] // head_dim
+    assert heads * head_dim == hidden, (heads, head_dim, hidden)
+
+    def depth(prefix):
+        pat = _re.compile(rf"{prefix}\.(\d+)\.")
+        idxs = [int(m.group(1)) for k in sd for m in [pat.match(k)] if m]
+        return max(idxs) + 1 if idxs else 0
+
+    temb_dim, time_embed_dim = shape(
+        "time_caption_embed.timestep_embedder.linear_1.weight")
+    ffn_dim = shape("layers.0.feed_forward.linear_1.weight")[0]
+    d3 = head_dim // 3
+    return OmniGen2Config(
+        hidden=hidden, heads=heads, kv_heads=kv_heads,
+        layers=depth("layers"), refiner_layers=depth("noise_refiner"),
+        in_channels=pin // (patch * patch), patch=patch,
+        text_dim=shape("time_caption_embed.caption_embedder.1.weight")[1],
+        time_embed_dim=time_embed_dim, temb_dim=temb_dim,
+        axes_dims=(head_dim - 2 * d3, d3, d3),
+        ffn_dim_override=ffn_dim, dtype=dtype)
+
+
+def omnigen2_config_from_json(d: dict, dtype: str = "float32"):
+    """OmniGen2Config from a diffusers-style transformer ``config.json``
+    (tolerant to the Lumina2-lineage key-name variants)."""
+    from magcache_tpu.models.omnigen2 import OmniGen2Config
+
+    def pick(*names, default=None):
+        for n in names:
+            if n in d and d[n] is not None:
+                return d[n]
+        return default
+
+    base = OmniGen2Config()
+    hidden = pick("hidden_size", "dim", default=base.hidden)
+    heads = pick("num_attention_heads", "n_heads", default=base.heads)
+    axes = pick("axes_dim_rope", "axes_dims_rope", "axes_dims",
+                default=list(base.axes_dims))
+    kw = dict(
+        hidden=hidden, heads=heads,
+        kv_heads=pick("num_kv_heads", "n_kv_heads", default=base.kv_heads),
+        layers=pick("num_layers", "n_layers", "num_hidden_layers",
+                    default=base.layers),
+        refiner_layers=pick("num_refiner_layers",
+                            default=base.refiner_layers),
+        in_channels=pick("in_channels", default=base.in_channels),
+        patch=pick("patch_size", default=base.patch),
+        text_dim=pick("text_feat_dim", "cap_feat_dim", default=base.text_dim),
+        axes_dims=tuple(axes), eps=pick("norm_eps", default=base.eps),
+        dtype=dtype)
+    mult = pick("ffn_dim_multiplier")
+    if mult:
+        kw["ffn_mult"] = mult
+    return OmniGen2Config(**kw)
+
+
+def load_omnigen2_checkpoint(ckpt_dir: str, cfg=None, dtype: str = "float32"):
+    """Convert an OmniGen2 transformer directory. With ``cfg=None``:
+    ``config.json`` (if present) supplies patch/axes/eps, then the weight
+    shapes are sniffed as ground truth for every structural field."""
+    sd = load_safetensors_dir(ckpt_dir)
+    if cfg is None:
+        import json as _json
+        import os as _os
+        jpath = _os.path.join(ckpt_dir, "config.json")
+        patch, axes, eps = 2, None, None
+        if _os.path.exists(jpath):
+            with open(jpath) as f:
+                jcfg = omnigen2_config_from_json(_json.load(f), dtype=dtype)
+            patch, axes, eps = jcfg.patch, jcfg.axes_dims, jcfg.eps
+        cfg = sniff_omnigen2_config(sd, patch=patch, dtype=dtype)
+        if axes is not None:
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, axes_dims=tuple(axes), eps=eps)
+    return convert_omnigen2_state_dict(sd, cfg), cfg

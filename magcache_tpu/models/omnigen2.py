@@ -69,8 +69,14 @@ class OmniGen2Config:
     def head_dim(self):
         return self.hidden // self.heads
 
+    # exact SwiGLU inner width when known (checkpoint-sniffed); overrides the
+    # ffn_mult rounding formula
+    ffn_dim_override: Optional[int] = None
+
     @property
     def ffn_dim(self):
+        if self.ffn_dim_override is not None:
+            return self.ffn_dim_override
         # Llama-style rounding to a multiple of 256
         d = int(self.hidden * self.ffn_mult)
         return ((d + 255) // 256) * 256

@@ -488,11 +488,48 @@ def convert_wan_vae_state_dict(sd: Dict[str, np.ndarray],
             "quant": c3("conv1"), "post_quant": c3("conv2")}
 
 
+def sniff_wan_vae_config(sd: Dict[str, np.ndarray],
+                         dtype: str = "float32") -> WanVAEConfig:
+    """Infer the WanVAEConfig from a checkpoint's own shapes — first contact
+    with a real ``Wan2.1_VAE.pth`` should be a load, not a debugging session
+    (NOTES.md "Known gaps" #1):
+
+    - ``base``        = encoder.conv1 out-channels,
+    - ``z_channels``  = decoder.conv1 in-channels,
+    - ``dim_mult``    = per-level residual out-channels / base (levels split
+                        at resample units in the flat downsamples sequence),
+    - ``num_res_blocks`` = residual units in the first encoder level,
+    - ``temporal_down``  = time_conv presence per encoder resample.
+    """
+    base = int(np.asarray(sd["encoder.conv1.weight"]).shape[0])
+    z = int(np.asarray(sd["decoder.conv1.weight"]).shape[1])
+    idxs = sorted({int(k.split(".")[2]) for k in sd
+                   if k.startswith("encoder.downsamples.")})
+    levels, tdown = [[]], []
+    for i in idxs:
+        pre = f"encoder.downsamples.{i}"
+        if f"{pre}.residual.2.weight" in sd:
+            levels[-1].append(
+                int(np.asarray(sd[f"{pre}.residual.2.weight"]).shape[0]))
+        else:                                   # resample transition
+            tdown.append(f"{pre}.time_conv.weight" in sd)
+            levels.append([])
+    num_res_blocks = len(levels[0])
+    assert all(len(lv) == num_res_blocks for lv in levels), (
+        f"uneven residual levels: {[len(lv) for lv in levels]}")
+    dim_mult = tuple(lv[0] // base for lv in levels)
+    return WanVAEConfig(base=base, z_channels=z, dim_mult=dim_mult,
+                        num_res_blocks=num_res_blocks,
+                        temporal_down=tuple(tdown), dtype=dtype)
+
+
 def load_wan_vae_checkpoint(path: str, cfg: Optional[WanVAEConfig] = None,
                             dtype: Optional[str] = None) -> WanVAE:
     """Build a WanVAE from a ``Wan2.1_VAE.pth`` torch checkpoint (or a
-    .safetensors export). ``dtype`` overrides the conv compute dtype
-    (e.g. "bfloat16" for the fast MXU path; see WanVAEConfig.dtype)."""
+    .safetensors export). With ``cfg=None`` the geometry is shape-sniffed
+    from the file itself (`sniff_wan_vae_config`). ``dtype`` overrides the
+    conv compute dtype (e.g. "bfloat16" for the fast MXU path; see
+    WanVAEConfig.dtype)."""
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
         sd = load_file(path)
@@ -500,7 +537,7 @@ def load_wan_vae_checkpoint(path: str, cfg: Optional[WanVAEConfig] = None,
         import torch
         sd = torch.load(path, map_location="cpu", weights_only=True)
         sd = {k: np.asarray(v) for k, v in sd.items()}
-    cfg = cfg or WanVAEConfig()
+    cfg = cfg or sniff_wan_vae_config(sd)
     if dtype is not None:
         import dataclasses as _dc
         cfg = _dc.replace(cfg, dtype=dtype)

@@ -165,7 +165,8 @@ class OmniGen2Pipeline(BasePipeline):
         key = key if key is not None else jax.random.PRNGKey(0)
         if params is None and config.ckpt_dir:
             from magcache_tpu.models.convert import load_omnigen2_checkpoint
-            params = load_omnigen2_checkpoint(config.ckpt_dir, self.model_cfg)
+            params, _ = load_omnigen2_checkpoint(config.ckpt_dir,
+                                                 self.model_cfg)
         self.params = params if params is not None else init_omnigen2_params(
             key, self.model_cfg)
         self._jit_cache = {}

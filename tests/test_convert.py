@@ -591,14 +591,10 @@ def test_osp_rope3d_matches_reference_convention():
     np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
 
 
-def test_omnigen2_convert_and_forward():
-    from magcache_tpu.models.convert import convert_omnigen2_state_dict
-    from magcache_tpu.models.omnigen2 import (
-        OmniGen2Config, init_omnigen2_params, make_omnigen2_core)
-
-    cfg = OmniGen2Config.tiny()
+def make_omnigen2_sd(cfg, seed=8):
+    """Synthetic reference-layout OmniGen2 transformer state dict."""
     d, dk, f = cfg.hidden, cfg.kv_heads * cfg.head_dim, cfg.ffn_dim
-    rng = np.random.default_rng(8)
+    rng = np.random.default_rng(seed)
     sd = {}
 
     def nobias(name, i, o):
@@ -639,7 +635,17 @@ def test_omnigen2_convert_and_forward():
                 sd[f"{b}.norm1.weight"] = np.ones(d, np.float32)
     _rlin(rng, sd, "norm_out.linear_1", cfg.temb_dim, d)
     _rlin(rng, sd, "norm_out.linear_2", d, pin)
+    return sd
 
+
+def test_omnigen2_convert_and_forward():
+    from magcache_tpu.models.convert import convert_omnigen2_state_dict
+    from magcache_tpu.models.omnigen2 import (
+        OmniGen2Config, init_omnigen2_params, make_omnigen2_core)
+
+    cfg = OmniGen2Config.tiny()
+    d, dk = cfg.hidden, cfg.kv_heads * cfg.head_dim
+    sd = make_omnigen2_sd(cfg)
     params = convert_omnigen2_state_dict(sd, cfg)
     ref = init_omnigen2_params(jax.random.PRNGKey(0), cfg)
     _tree_shapes_match(params, ref)
@@ -658,3 +664,52 @@ def test_omnigen2_convert_and_forward():
     out = core.head(params, core.trunk(params, h, ctx), ctx)
     assert out.shape == (1, 4, 4, cfg.in_channels)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_omnigen2_sniff_and_json_config(tmp_path):
+    """Checkpoint-shape sniffing + config.json-driven construction recover
+    non-default geometries (VERDICT r2 Next #8)."""
+    import dataclasses as dc
+    import json
+
+    from safetensors.numpy import save_file
+
+    from magcache_tpu.models.convert import (load_omnigen2_checkpoint,
+                                             omnigen2_config_from_json,
+                                             sniff_omnigen2_config)
+    from magcache_tpu.models.omnigen2 import (OmniGen2Config,
+                                              init_omnigen2_params)
+
+    cfg = OmniGen2Config.tiny(hidden=72, heads=6, kv_heads=3, layers=3,
+                              refiner_layers=2, text_dim=40,
+                              time_embed_dim=16, temb_dim=24,
+                              in_channels=8, axes_dims=(4, 4, 4))
+    sd = make_omnigen2_sd(cfg)
+    sniffed = sniff_omnigen2_config(sd, patch=cfg.patch)
+    for f in ("hidden", "heads", "kv_heads", "layers", "refiner_layers",
+              "in_channels", "text_dim", "time_embed_dim", "temb_dim"):
+        assert getattr(sniffed, f) == getattr(cfg, f), f
+    assert sniffed.ffn_dim == cfg.ffn_dim
+    assert sniffed.head_dim == cfg.head_dim
+
+    # config.json mapping (diffusers-style keys)
+    j = {"hidden_size": cfg.hidden, "num_attention_heads": cfg.heads,
+         "num_kv_heads": cfg.kv_heads, "num_layers": cfg.layers,
+         "num_refiner_layers": cfg.refiner_layers,
+         "in_channels": cfg.in_channels, "patch_size": cfg.patch,
+         "text_feat_dim": cfg.text_dim,
+         "axes_dim_rope": list(cfg.axes_dims), "norm_eps": cfg.eps}
+    jcfg = omnigen2_config_from_json(j)
+    assert (jcfg.hidden, jcfg.heads, jcfg.layers) == (
+        cfg.hidden, cfg.heads, cfg.layers)
+    assert jcfg.axes_dims == cfg.axes_dims
+
+    # end-to-end: directory with config.json + safetensors loads with cfg=None
+    save_file({k: np.asarray(v) for k, v in sd.items()},
+              str(tmp_path / "model.safetensors"))
+    (tmp_path / "config.json").write_text(json.dumps(j))
+    params, used = load_omnigen2_checkpoint(str(tmp_path))
+    assert used.hidden == cfg.hidden and used.axes_dims == cfg.axes_dims
+    ref = init_omnigen2_params(
+        jax.random.PRNGKey(0), dc.replace(used, dtype=cfg.dtype))
+    _tree_shapes_match(params, ref)

@@ -41,10 +41,11 @@ def test_full_geometry_stride():
     assert y.shape == (1, 9, 32, 32, 3)
 
 
-def test_converter_key_layout():
-    cfg = WanVAEConfig.tiny()
+def make_wan_vae_sd(cfg, seed=1):
+    """Synthetic reference-layout state dict for ``cfg`` (the torch key
+    naming of Wan2.1_VAE.pth, as consumed by the converter)."""
     dims = [cfg.base * m for m in cfg.dim_mult]
-    rng = np.random.default_rng(1)
+    rng = np.random.default_rng(seed)
     sd = {}
 
     def c3(name, cin, cout, k=(3, 3, 3)):
@@ -110,7 +111,12 @@ def test_converter_key_layout():
     c3("decoder.head.2", rdims[-1], 3)
     c3("conv1", 2 * cfg.z_channels, 2 * cfg.z_channels, k=(1, 1, 1))
     c3("conv2", cfg.z_channels, cfg.z_channels, k=(1, 1, 1))
+    return sd
 
+
+def test_converter_key_layout():
+    cfg = WanVAEConfig.tiny()
+    sd = make_wan_vae_sd(cfg)
     params = convert_wan_vae_state_dict(sd, cfg)
     ref = init_wan_vae_params(jax.random.PRNGKey(0), cfg)
     jax.tree.map(lambda a, b: None if a.shape == b.shape else (_ for _ in ()).throw(
@@ -202,3 +208,30 @@ def test_bf16_compute_dtype_decode():
     # guarantee, test_streamed_decode_matches_whole)
     y16_whole = vae16.decode(z, latent_chunk=None)
     assert float(jnp.max(jnp.abs(y16 - y16_whole))) < 0.03
+
+
+def test_sniff_config_roundtrip_nondefault_shapes():
+    """Shape-sniffing recovers the construction config from the state dict
+    alone, including non-default geometries (VERDICT r2 Next #8)."""
+    from magcache_tpu.models.vae_wan import sniff_wan_vae_config
+
+    for cfg in (
+            WanVAEConfig.tiny(),
+            WanVAEConfig(base=8, num_res_blocks=1),              # full mults
+            WanVAEConfig(base=4, z_channels=8, dim_mult=(1, 2, 2),
+                         num_res_blocks=3,
+                         temporal_down=(True, False)),
+            WanVAEConfig(base=6, z_channels=4, dim_mult=(1, 4),
+                         num_res_blocks=2, temporal_down=(False,))):
+        sniffed = sniff_wan_vae_config(make_wan_vae_sd(cfg))
+        assert sniffed.base == cfg.base
+        assert sniffed.z_channels == cfg.z_channels
+        assert sniffed.dim_mult == tuple(cfg.dim_mult)
+        assert sniffed.num_res_blocks == cfg.num_res_blocks
+        assert sniffed.temporal_down == tuple(cfg.temporal_down)
+        # the sniffed config loads the dict it was sniffed from
+        params = convert_wan_vae_state_dict(make_wan_vae_sd(cfg), sniffed)
+        ref = init_wan_vae_params(jax.random.PRNGKey(0), sniffed)
+        jax.tree.map(lambda a, b: None if a.shape == b.shape else
+                     (_ for _ in ()).throw(AssertionError((a.shape, b.shape))),
+                     params, ref)
