@@ -173,10 +173,12 @@ def main():
         from magcache_tpu.models.vae_wan import (WanVAEConfig,
                                                  init_wan_vae_params, WanVAE)
 
-        t0 = time.time()
         enc = MockTextEncoder(cfg.text_len, cfg.text_dim, scale=0.5)
-        txt = enc(["a cinematic shot of a calico cat on a windowsill",
-                   "low quality, blurry"])
+        prompts = ["a cinematic shot of a calico cat on a windowsill",
+                   "low quality, blurry"]
+        jax.block_until_ready(enc(prompts))     # compile/warm (steady-state
+        t0 = time.time()                        # serving amortizes this)
+        txt = enc(prompts)
         jax.block_until_ready(txt)
         t_text = time.time() - t0
 
