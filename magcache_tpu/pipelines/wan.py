@@ -251,10 +251,10 @@ class WanPipeline(BasePipeline):
             retention_ratio=c.retention_ratio,
             split_step=split_step, mode=mode)
 
-    def _sample_fn_moe(self):
+    def _sample_fn_moe(self, batch: int = 1):
         """Wan2.2 two-expert path: one compiled scan body, params swapped at
         the boundary step (high-noise expert first)."""
-        key = ("moe", self.config.use_magcache)
+        key = ("moe", self.config.use_magcache, batch)
         if key in self._jit_cache:
             return self._jit_cache[key]
         from magcache_tpu.core.sampler import unipc_executor
@@ -266,7 +266,7 @@ class WanPipeline(BasePipeline):
         cache_cfg = self._cache_cfg(sch)
         init_carry, step_in, body = unipc_executor(
             self.core, sch, cache_cfg=cache_cfg,
-            guidance_scale=c.guide_scale, batch=1)
+            guidance_scale=c.guide_scale, batch=batch)
 
         phase = jax.jit(lambda params, cond, carry, seg: jax.lax.scan(
             body(params, cond), carry, seg)[0])
@@ -674,9 +674,14 @@ class WanPipeline(BasePipeline):
             cond = {k: jax.device_put(v, activation_sharding(mesh, "context", v.ndim))
                     for k, v in cond.items()}
         t0 = time.time()
-        fn = self._sample_fn(False)
-        with use_mesh(self.plan):
-            latents = fn(self.params, x0, cond)
+        if self.config.moe_boundary is not None:
+            fn = self._sample_fn_moe(batch=b)
+            with use_mesh(self.plan):
+                latents = fn(self.params, self.params_low, x0, cond)
+        else:
+            fn = self._sample_fn(False)
+            with use_mesh(self.plan):
+                latents = fn(self.params, x0, cond)
         latents.block_until_ready()
         return PipelineOutput(latents=latents,
                               timings={"total_s": time.time() - t0,

@@ -97,6 +97,23 @@ def test_latte_pipeline():
     assert np.isfinite(np.asarray(out.latents)).all()
 
 
+def test_wan_generate_batch_moe():
+    """Wan2.2 two-expert batched generation (the eval scripts shard prompts
+    across workers; MoE must ride the same dp-batched path)."""
+    cfg = _wan_cfg(use_magcache=True)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, moe_boundary=0.5, sample_solver="unipc")
+    pipe = WanPipeline(cfg)
+    out = pipe.generate_batch(["a cat", "a dog"], seed=5)
+    assert out.latents.shape[0] == 2
+    lat = np.asarray(out.latents)
+    assert np.isfinite(lat).all()
+    assert np.abs(lat[0] - lat[1]).max() > 1e-3
+    single = pipe.generate("a cat", seed=5)
+    np.testing.assert_allclose(lat[0], np.asarray(single.latents)[0],
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_wan_generate_batch():
     pipe = WanPipeline(_wan_cfg(use_magcache=True))
     out = pipe.generate_batch(["a cat", "a dog", "a fox"], seed=5)
