@@ -482,6 +482,7 @@ def _open_sora_pipeline(args):
         use_magcache=args.use_magcache,
         magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
         retention_ratio=args.retention_ratio,
+        cache_policy=getattr(args, "cache_policy", "adapter"),
         enable_pab=getattr(args, "enable_pab", False),
         dtype=args.dtype, tiny=args.tiny, ckpt_dir=args.ckpt_dir)
     return OpenSoraPipeline(cfg), cfg

@@ -57,39 +57,52 @@ def load_eval_ratios(key: str = "wan-t2v-50step") -> np.ndarray:
 def compute_rolling_schedule(num_forwards: int, ratios: np.ndarray,
                              thresh: float, K: int, *,
                              cache_time: int = 10,
-                             retention: float = 0.2) -> np.ndarray:
+                             retention: float = 0.2,
+                             lanes: int = 2,
+                             use_abs: bool = True,
+                             skip_time: Optional[int] = None) -> np.ndarray:
     """bool[num_forwards] skip bits — direct transcription of the eval
-    decision loop (``wan_magcache.py:770-789``). ``ratios`` covers forwards
-    ``cache_time ..``; when its length differs from
-    ``num_forwards - cache_time`` it is nearest-index resampled per lane
-    (the reference script only supports the exact 50-step table)."""
+    decision loops:
+
+    - Wan (``wan_magcache.py:770-789``): ``lanes=2`` cond/uncond counters,
+      ``err += |1 - sim|``, ratio indexed ``[t - cache_time]`` (table starts
+      at forward 10), ``skip_time = int(num_forwards * retention)``;
+    - Open-Sora (``experiments/opensora.py:296-312``): ``lanes=1`` (joint
+      CFG batch), ``err += 1 - sim`` (no abs), ratio indexed ``[t - 1]``
+      (``cache_time=1``), explicit ``skip_time`` (6 at 30 steps).
+
+    ``ratios`` covers forwards ``cache_time ..``; when its length differs
+    from ``num_forwards - cache_time`` it is nearest-index resampled per
+    lane (the reference scripts only support their exact step counts)."""
     need = num_forwards - cache_time
     r = np.asarray(ratios, np.float64)
     if len(r) != need:
-        # resample each lane's sub-sequence to preserve the cond/uncond
-        # interleaving (even/odd forwards carry distinct trajectories)
-        half = need // 2 + (need % 2)
-        src = r.reshape(-1, 2)
-        idx = np.minimum((np.arange(half) * len(src)) // max(half, 1),
+        # resample each lane's sub-sequence to preserve the interleaving
+        # (cond/uncond forwards carry distinct trajectories when lanes=2)
+        per = need // lanes + (1 if need % lanes else 0)
+        src = r[:len(r) - (len(r) % lanes) or None].reshape(-1, lanes)
+        idx = np.minimum((np.arange(per) * len(src)) // max(per, 1),
                          len(src) - 1)
         r = src[idx].reshape(-1)[:need]
     skip = np.zeros(num_forwards, bool)
-    # the reference assumes skip_time >= cache_time (true at 50 steps: 20 vs
-    # 10); at smaller runs forwards before cache_time have no recorded
-    # residual, so they stay compute-only rather than replicating the
-    # script's silent negative-index wrap
-    skip_time = max(int(num_forwards * retention), cache_time)
-    acc_sim = [1.0, 1.0]
-    acc_steps = [0, 0]
-    acc_err = [0.0, 0.0]
+    # the references assume skip_time >= cache_time; at smaller runs
+    # forwards before cache_time have no recorded residual, so they stay
+    # compute-only rather than replicating the silent negative-index wrap
+    if skip_time is None:
+        skip_time = int(num_forwards * retention)
+    skip_time = max(skip_time, cache_time)
+    acc_sim = [1.0] * lanes
+    acc_steps = [0] * lanes
+    acc_err = [0.0] * lanes
     for t in range(num_forwards):
         if t < skip_time:
             continue
-        lane = t % 2
+        lane = t % lanes
         cur = r[t - cache_time]
         acc_sim[lane] *= cur
         acc_steps[lane] += 1
-        acc_err[lane] += abs(1.0 - acc_sim[lane])
+        err = 1.0 - acc_sim[lane]
+        acc_err[lane] += abs(err) if use_abs else err
         if acc_err[lane] <= thresh and acc_steps[lane] <= K:
             skip[t] = True
         else:
@@ -110,6 +123,8 @@ class RollingCacheConfig:
     lanes: int = 2
     cache_time: int = 10
     retention: float = 0.2
+    use_abs: bool = True
+    skip_time: Optional[int] = None
     ratios: Optional[Tuple[float, ...]] = None   # default: published table
 
     def skip_schedule(self) -> np.ndarray:
@@ -117,4 +132,17 @@ class RollingCacheConfig:
              else load_eval_ratios())
         return compute_rolling_schedule(
             self.num_steps, r, self.thresh, self.K,
-            cache_time=self.cache_time, retention=self.retention)
+            cache_time=self.cache_time, retention=self.retention,
+            lanes=self.lanes, use_abs=self.use_abs,
+            skip_time=self.skip_time)
+
+    @staticmethod
+    def opensora(num_steps: int, thresh: float = 0.12, K: int = 3,
+                 skip_time: Optional[int] = None) -> "RollingCacheConfig":
+        """The Open-Sora eval configuration (``experiments/opensora.py:
+        411-440``): single lane over the joint CFG batch, ratio[t-1] table,
+        non-abs error, skip_time=6 at 30 steps (0.2 retention)."""
+        return RollingCacheConfig(
+            num_steps=num_steps, thresh=thresh, K=K, lanes=1, cache_time=1,
+            use_abs=False, skip_time=skip_time,
+            ratios=tuple(load_eval_ratios("opensora-30step")))

@@ -68,6 +68,10 @@ class OpenSoraPipelineConfig:
     magcache_thresh: Optional[float] = None
     magcache_K: Optional[int] = None
     retention_ratio: Optional[float] = None
+    # "adapter" = the published opensora-v1.2 preset rule; "rolling" = the
+    # eval scripts' exact single-lane variant (ratio[t-1], non-abs error,
+    # experiments/opensora.py:296-312)
+    cache_policy: str = "adapter"
     enable_pab: bool = False
     pab_config: PABConfig = OPEN_SORA_PAB
     dtype: str = "float32"
@@ -139,6 +143,18 @@ class OpenSoraPipeline(BasePipeline):
         c = self.config
         if not c.use_magcache:
             return None
+        if c.cache_policy == "rolling":
+            from magcache_tpu.core.rolling import RollingCacheConfig
+            st = None
+            if c.retention_ratio is not None:
+                st = int(c.num_sampling_steps * c.retention_ratio)
+            return RollingCacheConfig.opensora(
+                c.num_sampling_steps,
+                thresh=(0.12 if c.magcache_thresh is None
+                        else c.magcache_thresh),
+                K=(3 if c.magcache_K is None else c.magcache_K),
+                skip_time=st)
+        assert c.cache_policy == "adapter", c.cache_policy
         # single-lane over the joint CFG batch (experiments/opensora.py:420-433)
         return make_config("opensora-v1.2", c.num_sampling_steps,
                            thresh=c.magcache_thresh, K=c.magcache_K,

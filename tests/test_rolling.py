@@ -115,3 +115,67 @@ def test_rolling_pipeline_integration():
     got = np.asarray(out.skips).astype(bool).reshape(-1)
     np.testing.assert_array_equal(got, want.reshape(8, 2).reshape(-1))
     assert got.sum() > 0
+
+
+class _RefOpenSora:
+    """Stateful transcription of the Open-Sora eval decision
+    (``experiments/opensora.py:296-312``): single lane, ratio[t-1],
+    err += (1 - sim) without abs, inclusive K."""
+
+    def __init__(self, ratio, thresh, K, skip_time):
+        self.ratio = ratio
+        self.magcache_thresh = thresh
+        self.K = K
+        self.skip_time = skip_time
+        self.t = 0
+        self.accumulated_sim = 1.0
+        self.accumulated_steps = 0
+        self.accumulated_err = 0.0
+
+    def forward(self):
+        skip_forward = False
+        if self.t >= self.skip_time:
+            cur_scale = self.ratio[self.t - 1]
+            self.accumulated_sim = self.accumulated_sim * cur_scale
+            self.accumulated_steps += 1
+            self.accumulated_err += 1 - self.accumulated_sim
+            if (self.accumulated_err <= self.magcache_thresh
+                    and self.accumulated_steps <= self.K):
+                skip_forward = True
+            else:
+                self.accumulated_sim = 1.0
+                self.accumulated_steps = 0
+                self.accumulated_err = 0
+        self.t += 1
+        return skip_forward
+
+
+@pytest.mark.parametrize("thresh,K,skip_time", [(0.12, 3, 6), (0.24, 5, 6),
+                                                (0.06, 2, 10)])
+def test_opensora_schedule_matches_reference_transcription(thresh, K,
+                                                           skip_time):
+    ratios = load_eval_ratios("opensora-30step")
+    ref = _RefOpenSora(ratios, thresh, K, skip_time)
+    want = np.array([ref.forward() for _ in range(30)])
+    got = RollingCacheConfig.opensora(30, thresh=thresh, K=K,
+                                      skip_time=skip_time).skip_schedule()
+    np.testing.assert_array_equal(got, want)
+    assert want.sum() > 0
+
+
+def test_opensora_rolling_pipeline_integration():
+    from magcache_tpu.pipelines.open_sora import (OpenSoraPipeline,
+                                                  OpenSoraPipelineConfig)
+
+    cfg = OpenSoraPipelineConfig(tiny=True, num_frames=8, height=32,
+                                 width=32, num_sampling_steps=30,
+                                 caption_len=6, dtype="float32",
+                                 use_magcache=True, cache_policy="rolling")
+    pipe = OpenSoraPipeline(cfg)
+    pipe.record_skips = True
+    out = pipe.generate("a boat", seed=0)
+    assert np.isfinite(np.asarray(out.latents)).all()
+    want = RollingCacheConfig.opensora(30).skip_schedule()
+    got = np.asarray(out.skips).astype(bool).reshape(-1)
+    np.testing.assert_array_equal(got, want)
+    assert got.sum() > 0
