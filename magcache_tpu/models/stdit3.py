@@ -31,9 +31,10 @@ import numpy as np
 from magcache_tpu.core.pab import PABConfig, broadcast_masks
 from magcache_tpu.core.sampler import DiTCore
 from magcache_tpu.models.common import linear, linear_params, timestep_embedding
-from magcache_tpu.ops.attention import attention
+from magcache_tpu.ops.attention import QKNORM_FIXED_MAX, attention
 from magcache_tpu.ops.norms import layer_norm, rms_norm
 from magcache_tpu.ops.rope import apply_rope, rope_freqs_1d
+from magcache_tpu.ops.tiny_attention import tiny_temporal_attention
 
 __all__ = ["STDiT3Config", "init_stdit3_params", "make_stdit3_core"]
 
@@ -157,7 +158,9 @@ def _attn(p, x, heads, rope=None, eps=1e-6):
     if rope is not None:
         q = apply_rope(q, *rope)
         k = apply_rope(k, *rope)
-    o = attention(q, k, v).reshape(x.shape)
+    # per-head RMS qk-norm bounds scores -> static-max flash is exact
+    fm = QKNORM_FIXED_MAX if "q_norm" in p else None
+    o = attention(q, k, v, fixed_max=fm).reshape(x.shape)
     return linear(p_slice(p, "proj"), o)
 
 
@@ -210,7 +213,10 @@ def make_stdit3_core(
         h = linear(params["patch_embed"], tokens)
         # add spatial pos emb (per frame)
         h = h.reshape(h.shape[0], T, S, d) + pos2d[None, None]
-        h = h.reshape(h.shape[0], T * S, d)
+        # trunk hidden rides in the compute dtype (the f32 patch_embed/pos2d
+        # math above would otherwise promote the whole trunk to f32 — 1/4 the
+        # MXU rate); norm/modulation islands stay f32 inside _block
+        h = h.reshape(h.shape[0], T * S, d).astype(cfg.jdtype)
 
         def t_embed(tv):
             return linear(params["t_embed"]["out"], jax.nn.silu(
@@ -281,7 +287,15 @@ def make_stdit3_core(
                            z_sc_a if x_mask is not None else None).astype(h.dtype)
             if temporal:
                 xr = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3).reshape(rows * S, T, d)
-                a = _attn(p, xr, cfg.heads, rope=t_rope, eps=cfg.eps)
+                # T is tiny (frame count); the fused VMEM kernel does
+                # qk-norm + RoPE + attention in one pass over the qkv
+                # projection (ops/tiny_attention.py; falls back to the
+                # unfused composition off-TPU / under a mesh)
+                qkv = linear(p_slice(p, "qkv"), xr)
+                o = tiny_temporal_attention(
+                    qkv, p.get("q_norm"), p.get("k_norm"),
+                    t_rope[0], t_rope[1], cfg.heads, eps=1e-6)
+                a = linear(p_slice(p, "proj"), o)
                 a = a.reshape(rows, S, T, d).transpose(0, 2, 1, 3).reshape(rows, N, d)
             else:
                 xr = xn.reshape(rows * T, S, d)

@@ -572,6 +572,22 @@ def _xla_attention_bhsd_aux(q, k, v, *, scale, kv_len=None):
     return out, m, l
 
 
+def _xla_attention_bshd_native(q, k, v, *, scale, kv_len):
+    """Layout-native ([B,S,H,D], no transposes) einsum attention.
+
+    The fast path for tiny sequences (STDiT3/Latte temporal attention,
+    T <= 32): the flash kernels pad the sequence up to a 128-token block
+    (>10x wasted MXU work at T=12) and force [B,H,S,D] relayout copies,
+    while this whole expression fuses in XLA with no padding."""
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if kv_len is not None and kv_len < k.shape[1]:
+        key_pos = jnp.arange(k.shape[1])
+        s = jnp.where(key_pos[None, None, None, :] < kv_len, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
 def _xla_attention_bhsd(q, k, v, *, scale, kv_len):
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * scale
@@ -636,6 +652,12 @@ def attention(
         if impl in ("ring", "ulysses"):
             raise ValueError(f"attention impl {impl!r} needs an active mesh "
                              "plan (use_mesh)")
+        if max(q.shape[1], k.shape[1]) <= 128:
+            d = q.shape[-1]
+            return _xla_attention_bshd_native(
+                q, k, v,
+                scale=(1.0 / math.sqrt(d)) if scale is None else scale,
+                kv_len=kv_len)
         on_tpu = jax.default_backend() in ("tpu", "axon")
         impl = "pallas" if on_tpu else "xla"
     if impl in ("pallas", "pallas_interpret") and q.shape[-1] % 128 == 0:
