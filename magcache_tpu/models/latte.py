@@ -26,6 +26,7 @@ from magcache_tpu.models.common import linear, linear_params, timestep_embedding
 from magcache_tpu.models.stdit3 import _pos_embed_2d
 from magcache_tpu.ops.attention import attention
 from magcache_tpu.ops.norms import layer_norm
+from magcache_tpu.ops.tiny_attention import tiny_temporal_attention
 from magcache_tpu.ops.rope import rope_freqs_1d
 
 __all__ = ["LatteConfig", "init_latte_params", "make_latte_core"]
@@ -133,8 +134,10 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
 
     def prepare(params, x, t, cond):
         h = linear(params["patch_embed"], _patchify(x.astype(cfg.jdtype)))
+        # keep the trunk hidden in the compute dtype — the f32 sincos table
+        # add would otherwise promote every downstream GEMM to f32
         h = (h.reshape(h.shape[0], T, S, d) + pos2d[None, None]).reshape(
-            h.shape[0], T * S, d)
+            h.shape[0], T * S, d).astype(cfg.jdtype)
         te = linear(params["time"]["out"], jax.nn.silu(
             linear(params["time"]["in"], timestep_embedding(t, cfg.time_embed_dim))))
         t6 = linear(params["adaln_single"], jax.nn.silu(te)).reshape(-1, 6, d)
@@ -165,8 +168,13 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
             xn = (layer_norm(h, eps=cfg.eps) * (1 + sc_a) + sh_a).astype(h.dtype)
             if temporal:
                 xr = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3).reshape(rows * S, T, d)
-                xr = xr + temp_pos[None]
-                a = _self_attn(p, xr)
+                xr = (xr + temp_pos[None]).astype(xn.dtype)
+                # tiny frame axis: fused VMEM attention over the qkv
+                # projection (no qk-norm/rope in Latte temporal blocks)
+                qkv = linear(p["qkv"], xr)
+                o = tiny_temporal_attention(qkv, None, None, None, None,
+                                            cfg.heads)
+                a = linear(p["proj"], o)
                 return a.reshape(rows, S, T, d).transpose(0, 2, 1, 3).reshape(rows, N, d)
             return _self_attn(p, xn.reshape(rows * T, S, d)).reshape(rows, N, d)
 

@@ -195,8 +195,10 @@ def make_vchitect_core(cfg: VchitectConfig, grid: Tuple[int, int, int],
 
     def prepare(params, x, t, cond):
         vid = linear(params["patch_embed"], _patchify(x.astype(cfg.jdtype)))
+        # cast after the f32 sincos add so the trunk GEMMs stay in the
+        # compute dtype (f32 runs at 1/4 MXU rate)
         vid = (vid.reshape(vid.shape[0], T, S, d) + pos2d[None, None]
-               ).reshape(vid.shape[0], T * S, d)
+               ).reshape(vid.shape[0], T * S, d).astype(cfg.jdtype)
         # context evolves per frame from block 0 (AdaLN broadcast over the
         # frame batch in the reference, vchitect_transformer_3d.py:124-129)
         txt = linear(params["context_in"], cond["txt"].astype(cfg.jdtype))
