@@ -25,6 +25,7 @@ from magcache_tpu.core.sampler import DiTCore
 from magcache_tpu.models.common import linear, linear_params, timestep_embedding
 from magcache_tpu.models.stdit3 import _pos_embed_2d
 from magcache_tpu.ops.attention import attention
+from magcache_tpu.ops.fused_prologue import layer_norm_mod
 from magcache_tpu.ops.norms import layer_norm
 from magcache_tpu.ops.tiny_attention import tiny_temporal_attention
 from magcache_tpu.ops.rope import rope_freqs_1d
@@ -165,7 +166,8 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
         sh_a, sc_a, g_a, sh_m, sc_m, g_m = [e[:, i][:, None] for i in range(6)]
 
         def compute_attn(h):
-            xn = (layer_norm(h, eps=cfg.eps) * (1 + sc_a) + sh_a).astype(h.dtype)
+            xn = layer_norm_mod(h, scale=sc_a[:, 0], shift=sh_a[:, 0],
+                                eps=cfg.eps)
             if temporal:
                 xr = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3).reshape(rows * S, T, d)
                 xr = (xr + temp_pos[None]).astype(xn.dtype)
@@ -187,7 +189,8 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
             return linear(p["cross_o"], c)
 
         def compute_mlp(h):
-            xm = (layer_norm(h, eps=cfg.eps) * (1 + sc_m) + sh_m).astype(h.dtype)
+            xm = layer_norm_mod(h, scale=sc_m[:, 0], shift=sh_m[:, 0],
+                                eps=cfg.eps)
             return linear(p["ff2"], jax.nn.gelu(linear(p["ff1"], xm),
                                                 approximate=True))
 

@@ -31,6 +31,7 @@ import numpy as np
 
 from magcache_tpu.core.sampler import DiTCore
 from magcache_tpu.models.common import linear, linear_params, timestep_embedding
+from magcache_tpu.ops.fused_prologue import layer_norm_mod
 from magcache_tpu.ops.attention import attention
 from magcache_tpu.ops.norms import layer_norm
 
@@ -182,7 +183,8 @@ def make_osp_core(cfg: OpenSoraPlanConfig, grid: Tuple[int, int, int],
 
         def compute_attn(h):
             # full 3-D self-attention over all T*H*W tokens, RoPE3D
-            xn = (layer_norm(h, eps=cfg.eps) * (1 + sc_a) + sh_a).astype(h.dtype)
+            xn = layer_norm_mod(h, scale=sc_a[:, 0], shift=sh_a[:, 0],
+                                eps=cfg.eps)
             q, k, v = jnp.split(linear(p["qkv"], xn), 3, axis=-1)
             q = _rope_half(rs(q), *rope, D3)
             k = _rope_half(rs(k), *rope, D3)
@@ -197,7 +199,8 @@ def make_osp_core(cfg: OpenSoraPlanConfig, grid: Tuple[int, int, int],
             return linear(p["cross_o"], c)
 
         def compute_mlp(h):
-            xm = (layer_norm(h, eps=cfg.eps) * (1 + sc_m) + sh_m).astype(h.dtype)
+            xm = layer_norm_mod(h, scale=sc_m[:, 0], shift=sh_m[:, 0],
+                                eps=cfg.eps)
             return linear(p["ff2"], jax.nn.gelu(linear(p["ff1"], xm),
                                                 approximate=True))
 

@@ -32,6 +32,7 @@ from magcache_tpu.core.pab import PABConfig, broadcast_masks
 from magcache_tpu.core.sampler import DiTCore
 from magcache_tpu.models.common import linear, linear_params, timestep_embedding
 from magcache_tpu.ops.attention import QKNORM_FIXED_MAX, attention
+from magcache_tpu.ops.fused_prologue import layer_norm_mod
 from magcache_tpu.ops.norms import layer_norm, rms_norm
 from magcache_tpu.ops.rope import apply_rope, rope_freqs_1d
 from magcache_tpu.ops.tiny_attention import tiny_temporal_attention
@@ -270,10 +271,13 @@ def make_stdit3_core(
                 e0[:, i][:, None] for i in range(6)]
 
         def _modulate(h, sh, sc, z_sh, z_sc):
+            if x_mask is None:
+                # fused LN+AdaLN kernel (one VMEM pass; jnp fallback off-TPU)
+                return layer_norm_mod(h, scale=sc[:, 0], shift=sh[:, 0],
+                                      eps=cfg.eps)
             n = layer_norm(h, eps=cfg.eps)
             m = n * (1 + sc) + sh
-            if x_mask is not None:
-                m = _tmask_select(x_mask, m, n * (1 + z_sc) + z_sh)
+            m = _tmask_select(x_mask, m, n * (1 + z_sc) + z_sh)
             return m
 
         def _gated(res, g, z_g):
