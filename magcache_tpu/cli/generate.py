@@ -95,7 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CLIP vision tower safetensors for i2v conditioning")
     p.add_argument("--t5_ckpt", default=None,
                    help="T5/umt5 encoder HF dir (weights + tokenizer) — the "
-                        "wan/open-sora text stack, run natively in JAX")
+                        "wan/open-sora text stack, run natively in JAX; "
+                        "umt5 checkpoints (per-layer relative bias, wan's "
+                        "real encoder) are auto-detected and routed to the "
+                        "native UMT5 tower")
     p.add_argument("--llm_ckpt", default=None,
                    help="llava-llama text encoder HF dir — the hyvideo "
                         "conditioning stack for hunyuan/framepack tasks")
@@ -311,9 +314,9 @@ def _wan_pipeline(args):
     )
     text = None
     if getattr(args, "t5_ckpt", None):
-        from magcache_tpu.models.text import JaxT5Encoder
-        text = JaxT5Encoder(args.t5_ckpt,
-                            seq_len=cfg.model_config().text_len)
+        from magcache_tpu.models.text import make_t5_encoder
+        text = make_t5_encoder(args.t5_ckpt,
+                               seq_len=cfg.model_config().text_len)
     return WanPipeline(cfg, text_encoder=text), cfg
 
 
@@ -359,11 +362,11 @@ def _real_encoders(args, txt_len: int):
     encoder stacks: wan T5 (magcache_generate.py t5_checkpoint), hyvideo
     llava-llama + CLIP-L (magcache_sample_video.py:284-328), FLUX
     CLIP pooled + T5."""
-    from magcache_tpu.models.text import (ClipTextEncoder, JaxT5Encoder,
-                                          LlamaTextEncoder)
+    from magcache_tpu.models.text import (ClipTextEncoder, LlamaTextEncoder,
+                                          make_t5_encoder)
     text = pooled = None
     if getattr(args, "t5_ckpt", None):
-        text = JaxT5Encoder(args.t5_ckpt, seq_len=txt_len)
+        text = make_t5_encoder(args.t5_ckpt, seq_len=txt_len)
     if getattr(args, "llm_ckpt", None):
         text = LlamaTextEncoder(args.llm_ckpt, out_len=txt_len)
     if getattr(args, "clip_text_ckpt", None):

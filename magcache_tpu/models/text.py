@@ -112,6 +112,52 @@ class JaxT5Encoder:
                             jnp.asarray(attention_mask))
 
 
+def make_t5_encoder(path_or_config, seq_len: int = 512, mesh=None,
+                    tokenizer=None):
+    """Route a T5-family checkpoint/config to the right encoder.
+
+    Wan's real text stack is **umt5-xxl** (per-layer relative attention bias)
+    — loading it through the classic-T5 `JaxT5Encoder` would silently apply
+    only block 0's bias.  Detection: ``config.json`` ``model_type == "umt5"``
+    (HF / Wan diffusers repos), or wan-package-native key names sniffed from
+    the safetensors headers; everything else routes to `JaxT5Encoder`.
+    """
+    from magcache_tpu.models.umt5 import UMT5Config, UMT5Encoder
+
+    if not isinstance(path_or_config, str):
+        cls = (UMT5Encoder if isinstance(path_or_config, UMT5Config)
+               else JaxT5Encoder)
+        return cls(path_or_config, seq_len=seq_len, mesh=mesh,
+                   tokenizer=tokenizer)
+
+    import glob
+    import json
+    import os
+
+    model_type = None
+    cj = os.path.join(path_or_config, "config.json")
+    if os.path.exists(cj):
+        with open(cj) as f:
+            model_type = json.load(f).get("model_type")
+    is_umt5 = model_type == "umt5"
+    if model_type is None:
+        try:
+            from safetensors import safe_open
+            files = sorted(glob.glob(os.path.join(path_or_config,
+                                                  "*.safetensors")))
+            if not files and os.path.isfile(path_or_config):
+                files = [path_or_config]
+            for fname in files[:1]:
+                with safe_open(fname, framework="numpy") as fp:
+                    keys = set(fp.keys())
+                is_umt5 = ("token_embedding.weight" in keys
+                           or "blocks.0.pos_embedding.embedding.weight" in keys)
+        except Exception:
+            pass
+    cls = UMT5Encoder if is_umt5 else JaxT5Encoder
+    return cls(path_or_config, seq_len=seq_len, mesh=mesh, tokenizer=tokenizer)
+
+
 # hyvideo's llava-llama prompt template for video description conditioning
 # (hyvideo/constants.py PROMPT_TEMPLATE_ENCODE_VIDEO; magcache_sample_video.py
 # conditions through it with crop_start=95 — the template prefix is removed

@@ -1,5 +1,6 @@
 """Text encoder tests: deterministic mock + native JAX T5 wrapper."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -176,3 +177,122 @@ def test_clip_text_encoder_wrapper_pooled_shape():
     h, pooled = enc.encode_ids(ids, (ids != 0).astype(np.int64))
     assert h.shape == (1, 8, cfg.dim)
     assert pooled.shape == (1, cfg.dim)
+
+
+# ---------------------------------------------------------------------------
+# UMT5 — Wan's actual text encoder (per-layer relative attention bias; the
+# classic-T5 Flax tree would silently apply only block 0's bias).
+# ---------------------------------------------------------------------------
+
+
+def _tiny_umt5_hf_config(transformers):
+    return transformers.UMT5Config(
+        vocab_size=128, d_model=32, d_kv=8, d_ff=64, num_layers=3,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, dropout_rate=0.0,
+        feed_forward_proj="gated-gelu", is_encoder_decoder=False)
+
+
+def test_umt5_parity_vs_torch():
+    """Our UMT5 encoder (converted weights) vs the real installed
+    transformers.UMT5EncoderModel, per-layer bias and all."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from magcache_tpu.models.umt5 import (UMT5Config, convert_umt5_state_dict,
+                                          umt5_encode)
+
+    with torch.no_grad():
+        tm = transformers.UMT5EncoderModel(_tiny_umt5_hf_config(transformers)).eval()
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+        cfg = UMT5Config.tiny()
+        params = convert_umt5_state_dict(sd, cfg)
+        ids = np.array([[3, 5, 7, 11, 2, 1, 0, 0],
+                        [9, 4, 1, 0, 0, 0, 0, 0]], np.int64)
+        mask = (ids != 0).astype(np.int64)
+        ref = tm(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    out = np.asarray(umt5_encode(params, cfg, jnp.asarray(ids),
+                                 jnp.asarray(mask)))
+    for b in range(ids.shape[0]):
+        valid = mask[b].astype(bool)
+        np.testing.assert_allclose(out[b, valid], ref[b, valid],
+                                   rtol=3e-4, atol=3e-4)
+    # padded positions zeroed (reference downstream usage)
+    assert np.abs(out[0, ~mask[0].astype(bool)]).max() == 0.0
+
+
+def test_umt5_per_layer_bias_matters():
+    """Sanity: zeroing layer>0 bias tables changes the output — i.e. the
+    architecture actually uses per-layer bias (what FlaxT5 would drop)."""
+    from magcache_tpu.models.umt5 import (UMT5Config, init_umt5_params,
+                                          umt5_encode)
+
+    cfg = UMT5Config.tiny()
+    params = init_umt5_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(np.array([[3, 5, 7, 11, 2, 1]], np.int64))
+    out = np.asarray(umt5_encode(params, cfg, ids))
+    rel = np.asarray(params["blocks"]["rel"])
+    rel_z = np.concatenate([rel[:1], np.zeros_like(rel[1:])])
+    params2 = dict(params, blocks=dict(params["blocks"],
+                                       rel=jnp.asarray(rel_z)))
+    out2 = np.asarray(umt5_encode(params2, cfg, ids))
+    assert np.abs(out - out2).max() > 1e-3
+
+
+def test_umt5_wan_native_naming():
+    """The wan-package-native key layout maps onto the same tree as the HF
+    layout (gate.0 == wi_0, pos_embedding == relative_attention_bias)."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from magcache_tpu.models.umt5 import (UMT5Config, convert_umt5_state_dict,
+                                          sniff_umt5_config)
+
+    with torch.no_grad():
+        tm = transformers.UMT5EncoderModel(_tiny_umt5_hf_config(transformers)).eval()
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    cfg = UMT5Config.tiny()
+    ref_params = convert_umt5_state_dict(sd, cfg)
+    wan_sd = {"token_embedding.weight": sd["shared.weight"],
+              "norm.weight": sd["encoder.final_layer_norm.weight"]}
+    for i in range(cfg.layers):
+        b = f"encoder.block.{i}.layer."
+        wan_sd[f"blocks.{i}.norm1.weight"] = sd[b + "0.layer_norm.weight"]
+        for n in "qkvo":
+            wan_sd[f"blocks.{i}.attn.{n}.weight"] = sd[b + f"0.SelfAttention.{n}.weight"]
+        wan_sd[f"blocks.{i}.pos_embedding.embedding.weight"] = (
+            sd[b + "0.SelfAttention.relative_attention_bias.weight"])
+        wan_sd[f"blocks.{i}.norm2.weight"] = sd[b + "1.layer_norm.weight"]
+        wan_sd[f"blocks.{i}.ffn.gate.0.weight"] = sd[b + "1.DenseReluDense.wi_0.weight"]
+        wan_sd[f"blocks.{i}.ffn.fc1.weight"] = sd[b + "1.DenseReluDense.wi_1.weight"]
+        wan_sd[f"blocks.{i}.ffn.fc2.weight"] = sd[b + "1.DenseReluDense.wo.weight"]
+    wan_params = convert_umt5_state_dict(wan_sd, cfg)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), ref_params, wan_params)
+    # config sniffing recovers the geometry from either layout
+    for d in (sd, wan_sd):
+        c = sniff_umt5_config(d)
+        assert (c.vocab_size, c.d_model, c.d_kv, c.d_ff, c.layers, c.heads,
+                c.rel_buckets) == (128, 32, 8, 64, 3, 4, 8)
+
+
+def test_make_t5_encoder_routing():
+    """Config-typed routing: UMT5Config -> UMT5Encoder, T5Config ->
+    JaxT5Encoder."""
+    transformers = pytest.importorskip("transformers")
+    from magcache_tpu.models.text import make_t5_encoder
+    from magcache_tpu.models.umt5 import UMT5Config, UMT5Encoder
+
+    enc = make_t5_encoder(UMT5Config.tiny(), seq_len=10)
+    assert isinstance(enc, UMT5Encoder)
+    ids = np.array([[3, 5, 7, 1, 0, 0, 0, 0, 0, 0]])
+    out = enc.encode_ids(ids, (ids != 0).astype(np.int32))
+    assert out.shape == (1, 10, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+    t5cfg = transformers.T5Config(
+        vocab_size=128, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8)
+    enc2 = make_t5_encoder(t5cfg, seq_len=10)
+    assert isinstance(enc2, JaxT5Encoder)
