@@ -268,6 +268,19 @@ def main():
         "tiny_smoke": tiny,
     }
 
+    # ---- second headline: Open-Sora 1.2 STDiT3 480p 30-step RFLOW ---------
+    # (the reference's VideoSys-path numbers, eval/magcache/README.md:66).
+    # Attached to detail so the round artifact carries both headliners; any
+    # failure here must not break the main metric. MAGCACHE_BENCH_OPENSORA=0
+    # disables; tiny/quick runs use the tiny smoke variant.
+    if os.environ.get("MAGCACHE_BENCH_OPENSORA", "1") != "0":
+        try:
+            from magcache_tpu.eval.bench_opensora import run as run_opensora
+            detail["opensora_headline"] = run_opensora(tiny=tiny or quick)
+        except Exception as exc:  # noqa: BLE001 — bench must still report
+            log(f"opensora headline bench failed: {exc!r}")
+            detail["opensora_headline"] = {"error": repr(exc)}
+
     print(json.dumps({
         "metric": "Wan2.1-T2V-1.3B 480p MagCache E012K2R02 speedup (50-step UniPC, 1 chip)",
         "value": round(speedup, 3),
