@@ -313,10 +313,17 @@ def _wan_pipeline(args):
         tiny=args.tiny,
     )
     text = None
-    if getattr(args, "t5_ckpt", None):
+    t5_src = getattr(args, "t5_ckpt", None)
+    if not t5_src and args.ckpt_dir:
+        # the reference's single --ckpt_dir holds the encoder too
+        # (models_t5_umt5-xxl-enc-*.pth, magcache_generate.py:884-893)
+        import glob as _glob
+        import os as _os
+        if _glob.glob(_os.path.join(args.ckpt_dir, "*umt5*.pth")):
+            t5_src = args.ckpt_dir
+    if t5_src:
         from magcache_tpu.models.text import make_t5_encoder
-        text = make_t5_encoder(args.t5_ckpt,
-                               seq_len=cfg.model_config().text_len)
+        text = make_t5_encoder(t5_src, seq_len=cfg.model_config().text_len)
     return WanPipeline(cfg, text_encoder=text), cfg
 
 

@@ -140,7 +140,12 @@ def make_t5_encoder(path_or_config, seq_len: int = 512, mesh=None,
         with open(cj) as f:
             model_type = json.load(f).get("model_type")
     is_umt5 = model_type == "umt5"
-    if model_type is None:
+    if model_type is None and not is_umt5:
+        # wan ckpt_dirs ship the encoder as models_t5_umt5-xxl-enc-*.pth
+        cand = ([path_or_config] if path_or_config.endswith(".pth")
+                else glob.glob(os.path.join(path_or_config, "*.pth")))
+        is_umt5 = any("umt5" in os.path.basename(c) for c in cand)
+    if model_type is None and not is_umt5:
         try:
             from safetensors import safe_open
             files = sorted(glob.glob(os.path.join(path_or_config,

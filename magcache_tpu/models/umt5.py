@@ -254,15 +254,42 @@ def sniff_umt5_config(sd: Dict[str, np.ndarray],
     return UMT5Config(**kw)
 
 
+def _load_state_dict_any(path: str) -> Dict[str, np.ndarray]:
+    """Load a UMT5 state dict from safetensors (HF dirs) **or** torch .pth —
+    the wan package ships the encoder as ``models_t5_umt5-xxl-enc-bf16.pth``
+    inside ``--ckpt_dir``. When the dir holds several .pth files (DiT, VAE,
+    CLIP live next to it), the ``*umt5*`` one is picked."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        if glob.glob(os.path.join(path, "*.safetensors")):
+            from magcache_tpu.models.convert import load_safetensors_dir
+            return load_safetensors_dir(path)
+        pths = (sorted(glob.glob(os.path.join(path, "*umt5*.pth")))
+                or sorted(glob.glob(os.path.join(path, "*.pth"))))
+        assert pths, f"no safetensors or .pth under {path}"
+        path = pths[0]
+    if path.endswith(".pth") or path.endswith(".pt") or path.endswith(".bin"):
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        return {k: v.float().numpy() for k, v in sd.items()}
+    from magcache_tpu.models.convert import load_safetensors_dir
+    return load_safetensors_dir(path)
+
+
 def load_umt5_encoder(path: str):
-    """Load a UMT5 encoder checkpoint dir -> (cfg, params)."""
+    """Load a UMT5 encoder checkpoint (HF dir, wan ckpt_dir, or a single
+    weights file) -> (cfg, params)."""
     import json
     import os
 
-    from magcache_tpu.models.convert import load_safetensors_dir
-    sd = load_safetensors_dir(path)
+    sd = _load_state_dict_any(path)
     cfg_json = None
-    cj = os.path.join(path, "config.json")
+    base = path if os.path.isdir(path) else os.path.dirname(path)
+    cj = os.path.join(base, "config.json")
     if os.path.exists(cj):
         with open(cj) as f:
             cfg_json = json.load(f)
@@ -280,12 +307,18 @@ class UMT5Encoder:
         if isinstance(path_or_config, str):
             self.cfg, params = load_umt5_encoder(path_or_config)
             if tokenizer is None:
-                # best-effort: weights-only dirs still work via encode_ids
-                try:
-                    from transformers import AutoTokenizer
-                    tokenizer = AutoTokenizer.from_pretrained(path_or_config)
-                except Exception:
-                    tokenizer = None
+                # best-effort: weights-only dirs still work via encode_ids.
+                # wan ckpt_dirs keep the tokenizer under google/umt5-xxl/.
+                import os
+                base = (path_or_config if os.path.isdir(path_or_config)
+                        else os.path.dirname(path_or_config))
+                for cand in (base, os.path.join(base, "google", "umt5-xxl")):
+                    try:
+                        from transformers import AutoTokenizer
+                        tokenizer = AutoTokenizer.from_pretrained(cand)
+                        break
+                    except Exception:
+                        tokenizer = None
         else:
             self.cfg = path_or_config
             params = init_umt5_params(jax.random.PRNGKey(0), self.cfg)

@@ -157,6 +157,13 @@ def _param_spec(path: str, ndim: int) -> P:
             return P(*([None] * (ndim - 2) + [AXIS_TP, None]))
     if leaf == "b" and _COL_PAT.search(parent):
         return P(*([None] * (ndim - 1) + [AXIS_TP]))
+    if parent == "blocks" and ndim >= 2:
+        # umt5 stacked bare-leaf layout (models/umt5.py): q/k/v + gated-FF
+        # ins are column-parallel, o/wo row-parallel
+        if leaf in ("q", "k", "v", "wi0", "wi1"):
+            return P(*([None] * (ndim - 1) + [AXIS_TP]))
+        if leaf in ("o", "wo"):
+            return P(*([None] * (ndim - 2) + [AXIS_TP, None]))
     return P()  # replicate
 
 

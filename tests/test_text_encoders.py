@@ -296,3 +296,63 @@ def test_make_t5_encoder_routing():
         num_heads=4, relative_attention_num_buckets=8)
     enc2 = make_t5_encoder(t5cfg, seq_len=10)
     assert isinstance(enc2, JaxT5Encoder)
+
+
+def test_umt5_pth_ckpt_dir_routing(tmp_path):
+    """A wan-style ckpt_dir (models_t5_umt5-xxl-enc-*.pth next to other .pth
+    files) loads through make_t5_encoder: filename sniff -> torch .pth load
+    -> wan-native key conversion."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from magcache_tpu.models.text import make_t5_encoder
+    from magcache_tpu.models.umt5 import UMT5Encoder
+
+    with torch.no_grad():
+        tm = transformers.UMT5EncoderModel(_tiny_umt5_hf_config(transformers)).eval()
+        sd = {k: v for k, v in tm.state_dict().items()}
+    wan_sd = {"token_embedding.weight": sd["shared.weight"],
+              "norm.weight": sd["encoder.final_layer_norm.weight"]}
+    for i in range(3):
+        b = f"encoder.block.{i}.layer."
+        wan_sd[f"blocks.{i}.norm1.weight"] = sd[b + "0.layer_norm.weight"]
+        for n in "qkvo":
+            wan_sd[f"blocks.{i}.attn.{n}.weight"] = sd[b + f"0.SelfAttention.{n}.weight"]
+        wan_sd[f"blocks.{i}.pos_embedding.embedding.weight"] = (
+            sd[b + "0.SelfAttention.relative_attention_bias.weight"])
+        wan_sd[f"blocks.{i}.norm2.weight"] = sd[b + "1.layer_norm.weight"]
+        wan_sd[f"blocks.{i}.ffn.gate.0.weight"] = sd[b + "1.DenseReluDense.wi_0.weight"]
+        wan_sd[f"blocks.{i}.ffn.fc1.weight"] = sd[b + "1.DenseReluDense.wi_1.weight"]
+        wan_sd[f"blocks.{i}.ffn.fc2.weight"] = sd[b + "1.DenseReluDense.wo.weight"]
+    # bf16 storage like the published file; other .pth files ride along
+    torch.save({k: v.to(torch.bfloat16) for k, v in wan_sd.items()},
+               tmp_path / "models_t5_umt5-xxl-enc-bf16.pth")
+    torch.save({"unrelated": torch.zeros(2)}, tmp_path / "Wan2.1_VAE.pth")
+
+    enc = make_t5_encoder(str(tmp_path), seq_len=8)
+    assert isinstance(enc, UMT5Encoder)
+    ids = np.array([[3, 5, 7, 11, 2, 1, 0, 0]], np.int64)
+    mask = (ids != 0).astype(np.int64)
+    out = np.asarray(enc.encode_ids(ids, mask))
+    with torch.no_grad():
+        ref = tm(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    # bf16 weight storage costs ~1e-2 absolute on a tiny random model
+    np.testing.assert_allclose(out[0, :6], ref[0, :6], rtol=0.1, atol=0.05)
+
+
+def test_umt5_sharded_equals_single_device():
+    import jax as _jax
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from magcache_tpu.models.umt5 import UMT5Config, UMT5Encoder
+    from magcache_tpu.parallel.mesh import build_mesh
+
+    cfg = UMT5Config.tiny()
+    ids = np.array([[3, 5, 7, 11, 2, 1, 0, 0]], np.int64)
+    mask = (ids != 0).astype(np.int64)
+    ref = UMT5Encoder(cfg, seq_len=8)
+    out_ref = np.asarray(ref.encode_ids(ids, mask))
+    sh = UMT5Encoder(cfg, seq_len=8, mesh=build_mesh(dp=1, sp=1, tp=8))
+    out_sh = np.asarray(sh.encode_ids(ids, mask))
+    np.testing.assert_allclose(out_sh, out_ref, rtol=2e-5, atol=2e-5)
