@@ -51,19 +51,51 @@ __all__ = [
 ]
 
 
+def _torch_load_flat(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .pth/.pt/.bin file into a flat numpy dict, unwrapping the
+    common {"state_dict": ...} / {"module": ...} containers (Wan2.1_VAE.pth,
+    hyvideo's mp_rank_00_model_states.pt)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    for wrapper in ("state_dict", "module"):
+        if isinstance(sd, dict) and wrapper in sd and isinstance(
+                sd[wrapper], dict):
+            sd = sd[wrapper]
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if not torch.is_tensor(v):
+            continue
+        v = v.detach()
+        out[k] = (v.float().numpy() if v.dtype == torch.bfloat16
+                  else v.numpy())
+    return out
+
+
 def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
-    """Load every *.safetensors under ``path`` into one flat numpy dict."""
+    """Load published weights under ``path`` into one flat numpy dict.
+
+    Prefers *.safetensors (sharded HF dirs merge); falls back to torch
+    .pth/.pt/.bin when the checkpoint ships that way (Wan2.1_VAE.pth, wan's
+    umt5 .pth, hyvideo .pt) — safetensors-first so a mixed wan ckpt_dir
+    (DiT safetensors next to VAE/T5 .pth) loads only the DiT."""
     from safetensors import safe_open
 
     sd: Dict[str, np.ndarray] = {}
     files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
     if not files and os.path.isfile(path):
         files = [path]
-    assert files, f"no safetensors found under {path}"
+    if not files:
+        files = sorted(f for pat in ("*.pth", "*.pt", "*.bin")
+                       for f in glob.glob(os.path.join(path, pat)))
+    assert files, f"no safetensors or torch weights found under {path}"
     for f in files:
-        with safe_open(f, framework="numpy") as fp:
-            for k in fp.keys():
-                sd[k] = fp.get_tensor(k)
+        if f.endswith(".safetensors"):
+            with safe_open(f, framework="numpy") as fp:
+                for k in fp.keys():
+                    sd[k] = fp.get_tensor(k)
+        else:
+            sd.update(_torch_load_flat(f))
     return sd
 
 

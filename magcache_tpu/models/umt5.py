@@ -270,12 +270,9 @@ def _load_state_dict_any(path: str) -> Dict[str, np.ndarray]:
                 or sorted(glob.glob(os.path.join(path, "*.pth"))))
         assert pths, f"no safetensors or .pth under {path}"
         path = pths[0]
-    if path.endswith(".pth") or path.endswith(".pt") or path.endswith(".bin"):
-        import torch
-        sd = torch.load(path, map_location="cpu", weights_only=True)
-        if isinstance(sd, dict) and "state_dict" in sd:
-            sd = sd["state_dict"]
-        return {k: v.float().numpy() for k, v in sd.items()}
+    if path.endswith((".pth", ".pt", ".bin")):
+        from magcache_tpu.models.convert import _torch_load_flat
+        return _torch_load_flat(path)
     from magcache_tpu.models.convert import load_safetensors_dir
     return load_safetensors_dir(path)
 

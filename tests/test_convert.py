@@ -713,3 +713,33 @@ def test_omnigen2_sniff_and_json_config(tmp_path):
     ref = init_omnigen2_params(
         jax.random.PRNGKey(0), dc.replace(used, dtype=cfg.dtype))
     _tree_shapes_match(params, ref)
+
+
+def test_load_safetensors_dir_torch_pth_fallback(tmp_path):
+    """Published torch files (Wan2.1_VAE.pth-style, hyvideo .pt with a
+    'module' wrapper, bf16 storage) load through the same entry point;
+    safetensors-first keeps a mixed wan ckpt_dir loading only the DiT."""
+    torch = pytest.importorskip("torch")
+    from safetensors.numpy import save_file
+
+    from magcache_tpu.models.convert import load_safetensors_dir
+
+    w = torch.arange(6, dtype=torch.float32).reshape(2, 3)
+    torch.save({"module": {"a.weight": w.to(torch.bfloat16),
+                           "int_buffer": torch.tensor(3)}},
+               tmp_path / "mp_rank_00_model_states.pt")
+    sd = load_safetensors_dir(str(tmp_path))
+    np.testing.assert_allclose(sd["a.weight"], w.numpy())
+    assert sd["a.weight"].dtype == np.float32
+    assert "int_buffer" in sd  # non-float tensors pass through
+
+    # a safetensors file alongside wins exclusively
+    save_file({"b.weight": np.ones((2, 2), np.float32)},
+              str(tmp_path / "model.safetensors"))
+    sd2 = load_safetensors_dir(str(tmp_path))
+    assert set(sd2) == {"b.weight"}
+
+    # direct single-file path
+    torch.save({"state_dict": {"c.weight": w}}, tmp_path / "vae.pth")
+    sd3 = load_safetensors_dir(str(tmp_path / "vae.pth"))
+    np.testing.assert_allclose(sd3["c.weight"], w.numpy())
