@@ -132,9 +132,12 @@ def init_omnigen2_params(key: jax.Array, cfg: OmniGen2Config):
         "t_embed": {"in": linear_params(nxt(), cfg.time_embed_dim, cfg.temb_dim),
                     "out": linear_params(nxt(), cfg.temb_dim, cfg.temb_dim)},
         "cap_norm": jnp.ones((cfg.text_dim,), jnp.float32),
-        "cap_proj": linear_params(nxt(), cfg.text_dim, d),
-        "x_embed": linear_params(nxt(), pin, d),
-        "ref_embed": linear_params(nxt(), pin, d),
+        # embed projections carry the trunk dtype — an f32 kernel here would
+        # promote every downstream GEMM to f32 (the STDiT3-class silent 4x
+        # MXU-rate bug, tests/test_dtype_discipline.py)
+        "cap_proj": linear_params(nxt(), cfg.text_dim, d, dtype=cfg.jdtype),
+        "x_embed": linear_params(nxt(), pin, d, dtype=cfg.jdtype),
+        "ref_embed": linear_params(nxt(), pin, d, dtype=cfg.jdtype),
         "context_refiner": _block_params(nxt(), cfg, cfg.refiner_layers, False),
         "noise_refiner": _block_params(nxt(), cfg, cfg.refiner_layers, True),
         "ref_refiner": _block_params(nxt(), cfg, cfg.refiner_layers, True),

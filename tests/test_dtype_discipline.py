@@ -108,3 +108,63 @@ def test_wan_bf16_trunk():
         rng.normal(size=(1, cfg.text_len, cfg.text_dim)), jnp.float32)}
     hidden, ctx = core.prepare(params, x, jnp.full((1,), 500.0), cond)
     assert hidden.dtype == jnp.bfloat16
+
+
+def test_flux_bf16_trunk():
+    from magcache_tpu.models.flux import (FluxConfig, init_flux_params,
+                                          make_flux_core)
+    cfg = FluxConfig.tiny(dtype="bfloat16")
+    params = init_flux_params(jax.random.PRNGKey(0), cfg)
+    core = make_flux_core(cfg, 8, 4, 4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 16, cfg.in_channels)), jnp.float32)
+    cond = {"txt": jnp.asarray(rng.normal(size=(1, 8, cfg.text_dim)),
+                               jnp.float32),
+            "vec": jnp.asarray(rng.normal(size=(1, cfg.vec_dim)), jnp.float32),
+            "guidance": jnp.full((1,), 4.0, jnp.float32)}
+    _check(core, params, x, jnp.full((1,), 0.5), cond)
+
+
+def test_hunyuan_bf16_trunk():
+    from magcache_tpu.models.hunyuan import (HunyuanConfig,
+                                             init_hunyuan_params,
+                                             make_hunyuan_core)
+    cfg = HunyuanConfig.tiny(dtype="bfloat16")
+    params = init_hunyuan_params(jax.random.PRNGKey(0), cfg)
+    core = make_hunyuan_core(cfg, 8, (3, 4, 4))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 3, 8, 8, cfg.in_channels)),
+                    jnp.float32)
+    cond = {"txt": jnp.asarray(rng.normal(size=(1, 8, cfg.text_dim)),
+                               jnp.float32),
+            "vec": jnp.asarray(rng.normal(size=(1, cfg.vec_dim)), jnp.float32),
+            "guidance": jnp.full((1,), 6.0, jnp.float32)}
+    _check(core, params, x, jnp.full((1,), 0.5), cond)
+
+
+def test_qwen_image_bf16_trunk():
+    from magcache_tpu.models.qwen_image import (QwenImageConfig,
+                                                init_qwen_image_params,
+                                                make_qwen_image_core)
+    cfg = QwenImageConfig.tiny(dtype="bfloat16")
+    params = init_qwen_image_params(jax.random.PRNGKey(0), cfg)
+    core = make_qwen_image_core(cfg, txt_len=5, grid_h=4, grid_w=4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 16, cfg.in_channels)), jnp.float32)
+    cond = {"txt": jnp.asarray(rng.normal(size=(1, 5, cfg.text_dim)),
+                               jnp.float32)}
+    _check(core, params, x, jnp.full((1,), 0.5), cond)
+
+
+def test_omnigen2_bf16_trunk():
+    from magcache_tpu.models.omnigen2 import (OmniGen2Config,
+                                              init_omnigen2_params,
+                                              make_omnigen2_core)
+    cfg = OmniGen2Config.tiny(dtype="bfloat16")
+    params = init_omnigen2_params(jax.random.PRNGKey(0), cfg)
+    core = make_omnigen2_core(cfg, txt_len=4, grid=(2, 2), ref_images=0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, cfg.in_channels)), jnp.float32)
+    cond = {"txt": jnp.asarray(rng.normal(size=(1, 4, cfg.text_dim)),
+                               jnp.float32)}
+    _check(core, params, x, jnp.full((1,), 500.0), cond)
