@@ -31,6 +31,17 @@ _LAZY = {
     "PABConfig": ("magcache_tpu.core.pab", "PABConfig"),
     "TeaCacheConfig": ("magcache_tpu.core.teacache", "TeaCacheConfig"),
     "TaylorSeerConfig": ("magcache_tpu.core.taylorseer", "TaylorSeerConfig"),
+    # videosys/__init__.py parity: per-family PAB config constructors + the
+    # distributed bring-up entry point (`initialize` -> jax.distributed)
+    "initialize": ("magcache_tpu.parallel.mesh", "init_distributed"),
+    "OpenSoraPABConfig": ("magcache_tpu.core.pab", "OpenSoraPABConfig"),
+    "LattePABConfig": ("magcache_tpu.core.pab", "LattePABConfig"),
+    "CogVideoXPABConfig": ("magcache_tpu.core.pab", "CogVideoXPABConfig"),
+    "VchitectPABConfig": ("magcache_tpu.core.pab", "VchitectPABConfig"),
+    "OpenSoraPlanV110PABConfig": (
+        "magcache_tpu.core.pab", "OpenSoraPlanV110PABConfig"),
+    "OpenSoraPlanV120PABConfig": (
+        "magcache_tpu.core.pab", "OpenSoraPlanV120PABConfig"),
 }
 for _mod, _names in {
     "wan": ("WanPipelineConfig", "WanPipeline"),

@@ -21,7 +21,11 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["PABConfig", "broadcast_masks", "OPEN_SORA_PAB"]
+__all__ = ["PABConfig", "broadcast_masks", "OPEN_SORA_PAB", "LATTE_PAB",
+           "COGVIDEOX_PAB", "VCHITECT_PAB", "OSP_V110_PAB", "OSP_V120_PAB",
+           "OpenSoraPABConfig", "LattePABConfig", "CogVideoXPABConfig",
+           "VchitectPABConfig", "OpenSoraPlanV110PABConfig",
+           "OpenSoraPlanV120PABConfig"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,6 +56,52 @@ OPEN_SORA_PAB = PABConfig(
     temporal_broadcast=True, temporal_threshold=(450, 930), temporal_range=4,
     cross_broadcast=True, cross_threshold=(450, 930), cross_range=6,
 )
+
+# Per-family defaults matching the reference's named PABConfig subclasses.
+# The reference's Latte/OSP-v110 configs additionally skip *MLP* outputs in
+# the first few blocks at a handful of coarse timesteps
+# (``pipeline_latte.py:47-61`` mlp_*_broadcast_config); that block-granular
+# gating is not reproduced — mlp reuse here is all-blocks window+stride, so
+# the presets leave it off (enable via ``mlp_broadcast=True`` explicitly).
+LATTE_PAB = PABConfig(        # videosys LattePABConfig, pipeline_latte.py:35
+    spatial_broadcast=True, spatial_threshold=(100, 800), spatial_range=2,
+    temporal_broadcast=True, temporal_threshold=(100, 800), temporal_range=3,
+    cross_broadcast=True, cross_threshold=(100, 800), cross_range=6,
+)
+COGVIDEOX_PAB = PABConfig(    # CogVideoXPABConfig, pipeline_cogvideox.py:34
+    spatial_broadcast=True, spatial_threshold=(100, 850), spatial_range=2,
+)
+VCHITECT_PAB = PABConfig(     # VchitectPABConfig, pipeline_vchitect.py:32
+    spatial_broadcast=True, spatial_threshold=(100, 800), spatial_range=2,
+    temporal_broadcast=True, temporal_threshold=(100, 800), temporal_range=4,
+    cross_broadcast=True, cross_threshold=(100, 800), cross_range=6,
+)
+OSP_V110_PAB = PABConfig(     # OpenSoraPlanV110PABConfig
+    spatial_broadcast=True, spatial_threshold=(100, 850), spatial_range=2,
+    temporal_broadcast=True, temporal_threshold=(100, 850), temporal_range=4,
+    cross_broadcast=True, cross_threshold=(100, 850), cross_range=6,
+)
+OSP_V120_PAB = PABConfig(     # OpenSoraPlanV120PABConfig
+    spatial_broadcast=True, spatial_threshold=(100, 850), spatial_range=2,
+    cross_broadcast=True, cross_threshold=(100, 850), cross_range=6,
+)
+
+
+def _preset_factory(preset: PABConfig):
+    def factory(**overrides) -> PABConfig:
+        return dataclasses.replace(preset, **overrides)
+    return factory
+
+
+# Reference-named constructors (``videosys/__init__.py`` export surface):
+# callables returning a PABConfig with that family's defaults, overridable
+# field-by-field like the reference's keyword arguments.
+OpenSoraPABConfig = _preset_factory(OPEN_SORA_PAB)
+LattePABConfig = _preset_factory(LATTE_PAB)
+CogVideoXPABConfig = _preset_factory(COGVIDEOX_PAB)
+VchitectPABConfig = _preset_factory(VCHITECT_PAB)
+OpenSoraPlanV110PABConfig = _preset_factory(OSP_V110_PAB)
+OpenSoraPlanV120PABConfig = _preset_factory(OSP_V120_PAB)
 
 
 def _mask(enabled, lo_hi, stride, timesteps):

@@ -41,6 +41,8 @@ class CogVideoXPipelineConfig:
     magcache_thresh: float = 0.12
     magcache_K: int = 3
     retention_ratio: float = 0.2
+    enable_pab: bool = False         # Pyramid Attention Broadcast
+    pab_config: Optional[object] = None   # PABConfig; None -> COGVIDEOX_PAB
     dtype: str = "float32"
     tiny: bool = False
     ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
@@ -69,7 +71,14 @@ class CogVideoXPipeline(BasePipeline):
                              self.model_cfg.in_channels)
         self.grid = (lat_t, c.height // 8 // p, c.width // 8 // p)
         self.vae = vae
-        self.core = make_cogvideox_core(self.model_cfg, c.txt_len, self.grid)
+        pab = ts = None
+        if c.enable_pab:
+            from magcache_tpu.core.pab import COGVIDEOX_PAB
+            pab = c.pab_config or COGVIDEOX_PAB
+            ts = CogVideoDDIMSchedule.create(
+                c.num_inference_steps).timesteps.astype(np.float32)
+        self.core = make_cogvideox_core(self.model_cfg, c.txt_len, self.grid,
+                                        pab=pab, timesteps=ts)
         self.text_encoder = text_encoder or MockTextEncoder(
             c.txt_len, self.model_cfg.text_dim, scale=0.5)
         key = key if key is not None else jax.random.PRNGKey(0)

@@ -36,6 +36,8 @@ class LattePipelineConfig:
     magcache_thresh: float = 0.12
     magcache_K: int = 3
     retention_ratio: float = 0.2
+    enable_pab: bool = False         # Pyramid Attention Broadcast
+    pab_config: Optional[object] = None   # PABConfig; None -> LATTE_PAB
     dtype: str = "float32"
     tiny: bool = False
     ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
@@ -63,7 +65,13 @@ class LattePipeline(BasePipeline):
                              self.model_cfg.in_channels)
         self.grid = (c.num_frames, c.height // 8 // p, c.width // 8 // p)
         self.vae = vae
-        self.core = make_latte_core(self.model_cfg, self.grid, c.caption_len)
+        pab = ts = None
+        if c.enable_pab:
+            from magcache_tpu.core.pab import LATTE_PAB
+            pab = c.pab_config or LATTE_PAB
+            ts = RFlowSchedule.create(c.num_sampling_steps).timesteps
+        self.core = make_latte_core(self.model_cfg, self.grid, c.caption_len,
+                                    pab=pab, timesteps=ts)
         self.text_encoder = text_encoder or MockTextEncoder(
             c.caption_len, self.model_cfg.caption_dim, scale=0.5)
         key = key if key is not None else jax.random.PRNGKey(0)

@@ -172,3 +172,20 @@ def test_cogvideo_pab_sampler_runs():
                        timesteps=sch.timesteps.astype(np.float32),
                        dts=c_v, x_coeffs=c_x)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cogvideox_pipeline_enable_pab():
+    from magcache_tpu.core.pab import CogVideoXPABConfig
+    from magcache_tpu.pipelines.cogvideox import (CogVideoXPipeline,
+                                                  CogVideoXPipelineConfig)
+
+    base = dict(num_frames=5, height=32, width=32, num_inference_steps=6,
+                txt_len=6, tiny=True)
+    off = CogVideoXPipeline(CogVideoXPipelineConfig(**base))
+    on = CogVideoXPipeline(CogVideoXPipelineConfig(
+        enable_pab=True, pab_config=CogVideoXPABConfig(spatial_threshold=(0, 1000)),
+        **base), params=off.params)
+    a = np.asarray(off.generate("a dog", seed=3).latents)
+    b = np.asarray(on.generate("a dog", seed=3).latents)
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).max() > 1e-6

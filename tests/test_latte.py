@@ -81,3 +81,32 @@ def test_latte_pab_in_pipeline_sampler():
     out = sample_euler(core, params, x, cond, timesteps=sch.timesteps,
                        dts=dts, guidance_scale=7.0)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_latte_pipeline_enable_pab():
+    """Config-level PAB (the reference's LattePABConfig surface): generation
+    runs, and reuse actually changes the trajectory vs pab-off."""
+    from magcache_tpu.pipelines.latte import LattePipeline, LattePipelineConfig
+
+    base = dict(num_frames=4, height=32, width=32, num_sampling_steps=6,
+                caption_len=6, tiny=True)
+    off = LattePipeline(LattePipelineConfig(**base))
+    on = LattePipeline(LattePipelineConfig(enable_pab=True, **base),
+                       params=off.params)
+    a = np.asarray(off.generate("a cat", seed=3).latents)
+    b = np.asarray(on.generate("a cat", seed=3).latents)
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).max() > 1e-6      # broadcast steps reused outputs
+
+
+def test_pab_preset_factories():
+    import magcache_tpu
+    from magcache_tpu.core.pab import LATTE_PAB
+
+    cfg = magcache_tpu.LattePABConfig()
+    assert cfg == LATTE_PAB
+    cfg2 = magcache_tpu.LattePABConfig(spatial_range=3)
+    assert cfg2.spatial_range == 3 and cfg2.cross_range == LATTE_PAB.cross_range
+    assert magcache_tpu.CogVideoXPABConfig().spatial_threshold == (100, 850)
+    assert not magcache_tpu.CogVideoXPABConfig().temporal_broadcast
+    assert magcache_tpu.OpenSoraPlanV120PABConfig().cross_broadcast
