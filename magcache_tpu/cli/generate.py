@@ -504,7 +504,8 @@ def _cogvideox_pipeline(args):
     kw = dict(num_inference_steps=args.sample_steps or 50,
               guidance_scale=args.sample_guide_scale,
               use_magcache=args.use_magcache, dtype=args.dtype,
-              tiny=args.tiny)
+              tiny=args.tiny,
+              enable_pab=getattr(args, 'enable_pab', False))
     if args.magcache_thresh is not None:
         kw["magcache_thresh"] = args.magcache_thresh
     if args.magcache_K is not None:
@@ -523,7 +524,8 @@ def _latte_pipeline(args):
     kw = dict(num_sampling_steps=args.sample_steps or 50,
               guidance_scale=args.sample_guide_scale,
               use_magcache=args.use_magcache, dtype=args.dtype,
-              tiny=args.tiny)
+              tiny=args.tiny,
+              enable_pab=getattr(args, 'enable_pab', False))
     if args.magcache_thresh is not None:
         kw["magcache_thresh"] = args.magcache_thresh
     if args.magcache_K is not None:
@@ -543,7 +545,8 @@ def _vchitect_pipeline(args):
     kw = dict(num_inference_steps=args.sample_steps or 100,
               guidance_scale=args.sample_guide_scale,
               use_magcache=args.use_magcache, dtype=args.dtype,
-              tiny=args.tiny)
+              tiny=args.tiny,
+              enable_pab=getattr(args, 'enable_pab', False))
     if args.magcache_thresh is not None:
         kw["magcache_thresh"] = args.magcache_thresh
     if args.magcache_K is not None:
@@ -563,7 +566,8 @@ def _open_sora_plan_pipeline(args):
     kw = dict(num_inference_steps=args.sample_steps or 150,
               guidance_scale=args.sample_guide_scale,
               use_magcache=args.use_magcache, dtype=args.dtype,
-              tiny=args.tiny)
+              tiny=args.tiny,
+              enable_pab=getattr(args, 'enable_pab', False))
     if args.magcache_thresh is not None:
         kw["magcache_thresh"] = args.magcache_thresh
     if args.magcache_K is not None:
