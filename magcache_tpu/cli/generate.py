@@ -425,7 +425,18 @@ def _qwen_pipeline(args):
         retention_ratio=args.retention_ratio,
         magcache_calibration=args.magcache_calibration,
         dtype=args.dtype, tiny=args.tiny, ckpt_dir=args.ckpt_dir)
-    return QwenImagePipeline(cfg), cfg
+    text = None
+    if getattr(args, "llm_ckpt", None):
+        # Qwen-Image's real stack: Qwen2.5-VL text tower + chat template,
+        # drop_idx=34, final-normed last hidden state
+        from magcache_tpu.models.text import (LlamaTextEncoder,
+                                              QWEN_IMAGE_CROP_START,
+                                              QWEN_IMAGE_PROMPT_TEMPLATE)
+        text = LlamaTextEncoder(
+            args.llm_ckpt, out_len=cfg.txt_len, skip_layers=0,
+            template=QWEN_IMAGE_PROMPT_TEMPLATE,
+            crop_start=QWEN_IMAGE_CROP_START)
+    return QwenImagePipeline(cfg, text_encoder=text), cfg
 
 
 def _hunyuan_pipeline(args):

@@ -42,6 +42,7 @@ class LlamaConfig:
     intermediate: int = 14336
     rope_theta: float = 500000.0
     eps: float = 1e-5
+    qkv_bias: bool = False           # Qwen2 lineage (Qwen2.5-VL text tower)
     dtype: str = "float32"
 
     @property
@@ -67,17 +68,17 @@ def init_llama_params(key: jax.Array, cfg: LlamaConfig):
     ks = iter(jax.random.split(key, 8))
     nxt = lambda: next(ks)
 
-    def st(i, o):
-        return linear_params(nxt(), i, o, depth=L, bias=False, dtype=cfg.jdtype)
+    def st(i, o, bias=False):
+        return linear_params(nxt(), i, o, depth=L, bias=bias, dtype=cfg.jdtype)
 
     return {
         "embed": (jax.random.normal(nxt(), (cfg.vocab_size, d), jnp.float32)
                   * 0.02).astype(cfg.jdtype),
         "blocks": {
             "in_norm": jnp.ones((L, d), jnp.float32),
-            "q": st(d, cfg.heads * hd),
-            "k": st(d, cfg.kv_heads * hd),
-            "v": st(d, cfg.kv_heads * hd),
+            "q": st(d, cfg.heads * hd, bias=cfg.qkv_bias),
+            "k": st(d, cfg.kv_heads * hd, bias=cfg.qkv_bias),
+            "v": st(d, cfg.kv_heads * hd, bias=cfg.qkv_bias),
             "o": st(cfg.heads * hd, d),
             "post_norm": jnp.ones((L, d), jnp.float32),
             "gate": st(d, cfg.intermediate),
@@ -167,7 +168,13 @@ def convert_llama_state_dict(sd: Dict[str, np.ndarray], cfg: LlamaConfig
         return jnp.asarray(np.asarray(sd[name], np.float32).T, dt)
 
     def _stackw(fmt):
-        return {"w": jnp.stack([_w(fmt.format(i=i)) for i in range(L)])}
+        p = {"w": jnp.stack([_w(fmt.format(i=i)) for i in range(L)])}
+        bfmt = fmt[:-len(".weight")] + ".bias"
+        if bfmt.format(i=0) in sd:   # Qwen2-lineage qkv biases
+            p["b"] = jnp.stack([
+                jnp.asarray(np.asarray(sd[bfmt.format(i=i)], np.float32), dt)
+                for i in range(L)])
+        return p
 
     def _stackn(fmt):
         return jnp.stack([jnp.asarray(sd[fmt.format(i=i)], jnp.float32)

@@ -178,6 +178,19 @@ HYVIDEO_PROMPT_TEMPLATE = (
     "<|start_header_id|>user<|end_header_id|>\n\n{}<|eot_id|>")
 HYVIDEO_CROP_START = 95
 
+# Qwen-Image's conditioning template (diffusers QwenImagePipeline: prompts
+# ride a Qwen2.5-VL chat template; the encoder output drops the first
+# ``drop_idx`` = 34 template-prefix tokens and takes the FINAL-NORMED last
+# hidden state). The Edit variant's template embeds the reference image via
+# the vision tower (<|vision_start|><|image_pad|>...) — not reproduced here;
+# Edit runs conditioned on the text-only encoding.
+QWEN_IMAGE_PROMPT_TEMPLATE = (
+    "<|im_start|>system\nDescribe the image by detailing the color, shape, "
+    "size, texture, quantity, text, spatial relationships of the objects "
+    "and background:<|im_end|>\n<|im_start|>user\n{}<|im_end|>\n"
+    "<|im_start|>assistant\n")
+QWEN_IMAGE_CROP_START = 34
+
 
 class ClipTextEncoder:
     """CLIP text tower running natively in JAX — the pooled-vector encoder of
@@ -254,6 +267,7 @@ class LlamaTextEncoder:
                  skip_layers: int = 2,
                  template: Optional[str] = HYVIDEO_PROMPT_TEMPLATE,
                  crop_start: int = HYVIDEO_CROP_START,
+                 final_norm: Optional[bool] = None,
                  tokenizer=None, params=None):
         from magcache_tpu.models.llama import (LlamaConfig,
                                                convert_llama_state_dict,
@@ -270,6 +284,11 @@ class LlamaTextEncoder:
             with open(os.path.join(path_or_config, "config.json")) as f:
                 hf = json.load(f)
             hf = hf.get("text_config", hf)
+            # Qwen2-lineage checkpoints (Qwen2.5-VL text tower, Qwen-Image's
+            # real encoder) carry q/k/v biases
+            qkv_bias = (hf.get("attention_bias", False)
+                        or hf.get("model_type", "") in
+                        ("qwen2", "qwen2_vl", "qwen2_5_vl", "qwen2_5_vl_text"))
             self.cfg = LlamaConfig(
                 vocab_size=hf["vocab_size"], hidden=hf["hidden_size"],
                 layers=hf["num_hidden_layers"],
@@ -278,10 +297,15 @@ class LlamaTextEncoder:
                                 hf["num_attention_heads"]),
                 intermediate=hf["intermediate_size"],
                 rope_theta=hf.get("rope_theta", 10000.0),
-                eps=hf.get("rms_norm_eps", 1e-5))
+                eps=hf.get("rms_norm_eps", 1e-5), qkv_bias=qkv_bias)
             self.params = convert_llama_state_dict(sd, self.cfg)
-            self.tokenizer = tokenizer or AutoTokenizer.from_pretrained(
-                path_or_config)
+            if tokenizer is None:
+                # best-effort: weights-only dirs still work via encode_ids
+                try:
+                    tokenizer = AutoTokenizer.from_pretrained(path_or_config)
+                except Exception:
+                    tokenizer = None
+            self.tokenizer = tokenizer
         else:
             self.cfg = path_or_config
             self.params = params if params is not None else (
@@ -291,8 +315,13 @@ class LlamaTextEncoder:
         self.skip_layers = skip_layers
         self.template = template
         self.crop_start = crop_start if template else 0
+        # hyvideo takes hidden_states[-(skip+1)] un-normed; the Qwen-Image
+        # stack takes the final-normed last state (skip_layers == 0)
+        if final_norm is None:
+            final_norm = skip_layers == 0
         self._fwd = jax.jit(lambda p, ids, m: llama_hidden_states(
-            p, self.cfg, ids, m, skip_layers=self.skip_layers))
+            p, self.cfg, ids, m, skip_layers=self.skip_layers,
+            final_norm=final_norm))
 
     def __call__(self, prompts: Sequence[str]) -> jnp.ndarray:
         assert self.tokenizer is not None, "tokenizer required for raw prompts"

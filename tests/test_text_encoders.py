@@ -356,3 +356,59 @@ def test_umt5_sharded_equals_single_device():
     sh = UMT5Encoder(cfg, seq_len=8, mesh=build_mesh(dp=1, sp=1, tp=8))
     out_sh = np.asarray(sh.encode_ids(ids, mask))
     np.testing.assert_allclose(out_sh, out_ref, rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Qwen2 (the Qwen-Image text stack: Qwen2.5-VL text tower = Qwen2 arch with
+# q/k/v biases) — parity via the qkv_bias extension of the Llama encoder.
+# ---------------------------------------------------------------------------
+
+
+def test_qwen2_parity_vs_torch():
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from magcache_tpu.models.llama import (
+        LlamaConfig, convert_llama_state_dict, llama_hidden_states)
+
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10000.0, rms_norm_eps=1e-5,
+        attn_implementation="eager")
+    with torch.no_grad():
+        tm = transformers.Qwen2Model(hf_cfg).eval()
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+        assert "layers.0.self_attn.q_proj.bias" in sd   # the Qwen2 difference
+        cfg = LlamaConfig.tiny(layers=3, qkv_bias=True)
+        params = convert_llama_state_dict(sd, cfg)
+        assert "b" in params["blocks"]["q"]
+        ids = np.array([[3, 5, 7, 11, 2, 0, 0, 0]], np.int64)
+        mask = (ids != 0).astype(np.int64)
+        t_out = tm(input_ids=torch.tensor(ids),
+                   attention_mask=torch.tensor(mask),
+                   output_hidden_states=True)
+        ref = t_out.hidden_states[-1].numpy()   # final-normed last state
+    out = llama_hidden_states(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                              skip_layers=0, final_norm=True)
+    valid = np.asarray(mask[0], bool)
+    np.testing.assert_allclose(np.asarray(out)[0, valid], ref[0, valid],
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_qwen_template_encoder_wrapper():
+    """Template crop with the Qwen-Image drop_idx + fixed out_len, ids path."""
+    from magcache_tpu.models.llama import LlamaConfig
+    from magcache_tpu.models.text import (LlamaTextEncoder,
+                                          QWEN_IMAGE_CROP_START,
+                                          QWEN_IMAGE_PROMPT_TEMPLATE)
+
+    assert QWEN_IMAGE_CROP_START == 34
+    cfg = LlamaConfig.tiny(qkv_bias=True)
+    enc = LlamaTextEncoder(cfg, out_len=6, skip_layers=0,
+                           template=QWEN_IMAGE_PROMPT_TEMPLATE,
+                           crop_start=QWEN_IMAGE_CROP_START)
+    ids = np.array([[3, 5, 7, 1, 0, 0]], np.int64)
+    out = enc.encode_ids(ids)
+    assert out.shape == (1, 6, cfg.hidden)
+    assert np.isfinite(np.asarray(out)).all()
