@@ -104,7 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "conditioning stack for hunyuan/framepack tasks")
     p.add_argument("--clip_text_ckpt", default=None,
                    help="CLIP-L text model HF dir — the pooled vector for "
-                        "flux/hunyuan/framepack tasks")
+                        "flux/hunyuan/framepack tasks; with --clip_text_ckpt2 "
+                        "+ --t5_ckpt on vchitect, the SD3 triple-encoder "
+                        "stack")
+    p.add_argument("--clip_text_ckpt2", default=None,
+                   help="CLIP-bigG text model HF dir (vchitect/SD3 "
+                        "text_encoder_2)")
     p.add_argument("--save_file", default=None)
     # MagCache triple (reference flags)
     p.add_argument("--use_magcache", action="store_true")
@@ -567,8 +572,23 @@ def _vchitect_pipeline(args):
     if args.tiny:
         kw.update(num_frames=4, height=32, width=32, txt_len=6)
     kw["ckpt_dir"] = args.ckpt_dir
+    text = pooled = None
+    if (getattr(args, "clip_text_ckpt", None)
+            and getattr(args, "clip_text_ckpt2", None)
+            and getattr(args, "t5_ckpt", None)):
+        # the SD3 triple-encoder recipe (pipeline_vchitect.py: CLIP-L +
+        # CLIP-bigG penultimate states + projected pooled, T5 len 256)
+        from magcache_tpu.models.text import (ClipTextEncoder, Sd3TextStack,
+                                              make_t5_encoder)
+        clip_l = ClipTextEncoder(args.clip_text_ckpt, hidden_skip=1)
+        clip_g = ClipTextEncoder(args.clip_text_ckpt2, hidden_skip=1)
+        t5_len = 256
+        stack = Sd3TextStack(clip_l, clip_g,
+                             make_t5_encoder(args.t5_ckpt, seq_len=t5_len))
+        kw["txt_len"] = clip_l.seq_len + t5_len
+        text, pooled = stack.context, stack.pooled
     cfg = VchitectPipelineConfig(**kw)
-    return VchitectPipeline(cfg), cfg
+    return VchitectPipeline(cfg, text_encoder=text, pooled_encoder=pooled), cfg
 
 
 def _open_sora_plan_pipeline(args):

@@ -314,10 +314,17 @@ def init_clip_text_params(key: jax.Array, cfg: CLIPTextConfig):
 
 
 def clip_text_forward(params, cfg: CLIPTextConfig, input_ids: jnp.ndarray,
-                      attention_mask=None):
-    """Causal-masked text tower. Returns ``(last_hidden f32[B, S, d],
-    pooled f32[B, d])`` — pooled is the final-norm hidden state at the first
-    EOS position (``CLIPTextTransformer`` pooling)."""
+                      attention_mask=None, hidden_skip: int = 0):
+    """Causal-masked text tower. Returns ``(hidden f32[B, S, d],
+    pooled f32[B, d])``.
+
+    ``hidden_skip=0``: hidden is the final-normed last state, pooled the
+    first-EOS row of it (``CLIPTextTransformer`` pooling). ``hidden_skip=k>0``
+    returns the UN-normed state after ``layers-k`` blocks — diffusers'
+    ``hidden_states[-(k+1)]``, e.g. the SD3/Vchitect recipe's penultimate
+    states (k=1) — while pooled still comes from the full normed pass. When
+    the params carry ``text_proj`` (CLIPTextModelWithProjection), pooled is
+    projected (``text_embeds``)."""
     b, s = input_ids.shape
     h = params["tok"][input_ids] + params["pos"][:s]
 
@@ -345,20 +352,35 @@ def clip_text_forward(params, cfg: CLIPTextConfig, input_ids: jnp.ndarray,
         n = layer_norm(h, bp["norm2_w"], bp["norm2_b"], eps=cfg.eps)
         return h + linear(bp["mlp2"], act(linear(bp["mlp1"], n)))
 
-    h, _ = jax.lax.scan(lambda c, bp: (block(bp, c), None), h,
-                        params["blocks"])
+    if hidden_skip:
+        def step(c, bp):
+            out = block(bp, c)
+            return out, out
+        h, hs = jax.lax.scan(step, h, params["blocks"])
+    else:
+        h, hs = jax.lax.scan(lambda c, bp: (block(bp, c), None), h,
+                             params["blocks"])
     h = layer_norm(h, params["final_norm_w"], params["final_norm_b"],
                    eps=cfg.eps).astype(jnp.float32)
     eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32),
                          axis=-1)
     pooled = h[jnp.arange(b), eos_pos]
-    return h, pooled
+    if "text_proj" in params:
+        pooled = pooled @ params["text_proj"].astype(jnp.float32)
+    hidden = h if hidden_skip == 0 else hs[-1 - hidden_skip].astype(jnp.float32)
+    return hidden, pooled
 
 
 def convert_clip_text_state_dict(sd: Dict[str, np.ndarray],
                                  cfg: CLIPTextConfig) -> dict:
-    """Map a ``transformers.CLIPTextModel`` state dict (``text_model.``
-    prefix) onto our tree (q/k/v fused)."""
+    """Map a ``transformers.CLIPTextModel`` / ``CLIPTextModelWithProjection``
+    state dict (``text_model.`` prefix) onto our tree (q/k/v fused;
+    ``text_projection.weight`` -> ``text_proj`` when present — the SD3/
+    Vchitect pooled projection)."""
+    text_proj = None
+    if "text_projection.weight" in sd:       # CLIPTextModelWithProjection
+        text_proj = jnp.asarray(
+            np.asarray(sd["text_projection.weight"], np.float32).T)
     if any(k.startswith("text_model.") for k in sd):
         sd = {k[len("text_model."):]: v for k, v in sd.items()
               if k.startswith("text_model.")}
@@ -385,7 +407,7 @@ def convert_clip_text_state_dict(sd: Dict[str, np.ndarray],
         return jnp.stack([jnp.asarray(sd[fmt.format(i=i) + f".{part}"],
                                       jnp.float32) for i in range(L)])
 
-    return {
+    params = {
         "tok": jnp.asarray(np.asarray(
             sd["embeddings.token_embedding.weight"], np.float32), dt),
         "pos": jnp.asarray(np.asarray(
@@ -406,6 +428,9 @@ def convert_clip_text_state_dict(sd: Dict[str, np.ndarray],
         "final_norm_w": jnp.asarray(sd["final_layer_norm.weight"], jnp.float32),
         "final_norm_b": jnp.asarray(sd["final_layer_norm.bias"], jnp.float32),
     }
+    if text_proj is not None:
+        params["text_proj"] = text_proj
+    return params
 
 
 def preprocess_clip_image(image: np.ndarray, cfg: CLIPVisionConfig

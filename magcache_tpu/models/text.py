@@ -202,7 +202,8 @@ class ClipTextEncoder:
     ``CLIPTextConfig`` for random-init structural runs/tests."""
 
     def __init__(self, path_or_config, seq_len: Optional[int] = None,
-                 tokenizer=None, params=None, states: bool = False):
+                 tokenizer=None, params=None, states: bool = False,
+                 hidden_skip: int = 0):
         from magcache_tpu.models.clip import (CLIPTextConfig,
                                               clip_text_forward,
                                               convert_clip_text_state_dict,
@@ -227,8 +228,12 @@ class ClipTextEncoder:
                 eos_token_id=hf.get("eos_token_id", 49407),
                 quick_gelu=hf.get("hidden_act", "quick_gelu") == "quick_gelu")
             self.params = convert_clip_text_state_dict(sd, self.cfg)
-            self.tokenizer = tokenizer or AutoTokenizer.from_pretrained(
-                path_or_config)
+            if tokenizer is None:
+                try:
+                    tokenizer = AutoTokenizer.from_pretrained(path_or_config)
+                except Exception:
+                    tokenizer = None
+            self.tokenizer = tokenizer
         else:
             self.cfg = path_or_config
             self.params = params if params is not None else (
@@ -237,7 +242,8 @@ class ClipTextEncoder:
         self.seq_len = seq_len or self.cfg.max_len
         self.states = states
         self._fwd = jax.jit(
-            lambda p, ids, m: clip_text_forward(p, self.cfg, ids, m))
+            lambda p, ids, m: clip_text_forward(p, self.cfg, ids, m,
+                                                hidden_skip=hidden_skip))
 
     def __call__(self, prompts: Sequence[str]) -> jnp.ndarray:
         assert self.tokenizer is not None, "tokenizer required for raw prompts"
@@ -253,6 +259,56 @@ class ClipTextEncoder:
             attention_mask = np.ones_like(input_ids)
         return self._fwd(self.params, jnp.asarray(input_ids),
                          jnp.asarray(attention_mask))
+
+
+class Sd3TextStack:
+    """The SD3-lineage triple encoder Vchitect conditions on
+    (``videosys/pipelines/vchitect/pipeline_vchitect.py``: CLIP-L +
+    CLIP-bigG ``CLIPTextModelWithProjection`` + T5-XXL):
+
+      context = concat_seq(pad_dim(concat_dim(clipL.h[-2], clipG.h[-2]),
+                                   t5_dim), t5_states)
+      pooled  = concat_dim(clipL.text_embeds, clipG.text_embeds)
+
+    Exposes ``.context`` / ``.pooled`` callables matching the pipeline's
+    (text_encoder, pooled_encoder) slots, with a one-entry memo so each
+    prompt batch encodes once."""
+
+    def __init__(self, clip_l: "ClipTextEncoder", clip_g: "ClipTextEncoder",
+                 t5, t5_dim: Optional[int] = None):
+        self.clip_l, self.clip_g, self.t5 = clip_l, clip_g, t5
+        self.t5_dim = t5_dim
+        self._memo: tuple = (None, None)
+
+    def _encode(self, prompts: Sequence[str]):
+        key = tuple(prompts)
+        if self._memo[0] == key:
+            return self._memo[1]
+        t5_h = self.t5(list(prompts))
+        t5_dim = self.t5_dim or t5_h.shape[-1]
+        parts, pooled = [], []
+        for enc in (self.clip_l, self.clip_g):
+            tok = enc.tokenizer(list(prompts), padding="max_length",
+                                truncation=True, max_length=enc.seq_len,
+                                return_tensors="np")
+            h, p = enc.encode_ids(tok["input_ids"], tok["attention_mask"])
+            parts.append(h)
+            pooled.append(p)
+        clip_h = jnp.concatenate(parts, axis=-1)
+        clip_h = jnp.pad(clip_h,
+                         ((0, 0), (0, 0), (0, t5_dim - clip_h.shape[-1])))
+        out = (jnp.concatenate([clip_h, t5_h], axis=1),
+               jnp.concatenate(pooled, axis=-1))
+        self._memo = (key, out)
+        return out
+
+    @property
+    def context(self):
+        return lambda prompts: self._encode(prompts)[0]
+
+    @property
+    def pooled(self):
+        return lambda prompts: self._encode(prompts)[1]
 
 
 class LlamaTextEncoder:

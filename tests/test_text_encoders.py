@@ -412,3 +412,82 @@ def test_qwen_template_encoder_wrapper():
     out = enc.encode_ids(ids)
     assert out.shape == (1, 6, cfg.hidden)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# SD3/Vchitect triple-encoder stack: CLIPTextModelWithProjection parity
+# (penultimate states + projected pooled) and the combined recipe.
+# ---------------------------------------------------------------------------
+
+
+def test_clip_text_projection_parity_vs_torch():
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from magcache_tpu.models.clip import (
+        CLIPTextConfig, clip_text_forward, convert_clip_text_state_dict)
+
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, projection_dim=24,
+        max_position_embeddings=16, eos_token_id=95, bos_token_id=94,
+        hidden_act="gelu")
+    with torch.no_grad():
+        tm = transformers.CLIPTextModelWithProjection(hf_cfg).eval()
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+        cfg = CLIPTextConfig.tiny(layers=3, quick_gelu=False)
+        params = convert_clip_text_state_dict(sd, cfg)
+        assert "text_proj" in params
+        ids = np.array([[94, 3, 7, 12, 95, 0, 0, 0]], np.int64)
+        mask = (ids != 0).astype(np.int64)
+        t_out = tm(input_ids=torch.tensor(ids),
+                   attention_mask=torch.tensor(mask),
+                   output_hidden_states=True)
+    h, pooled = clip_text_forward(params, cfg, jnp.asarray(ids),
+                                  jnp.asarray(mask), hidden_skip=1)
+    # hidden_states[-2]: the SD3 prompt-embedding slice (un-normed)
+    np.testing.assert_allclose(np.asarray(h),
+                               t_out.hidden_states[-2].numpy(),
+                               rtol=2e-4, atol=2e-4)
+    # text_embeds: projected EOS pooling
+    np.testing.assert_allclose(np.asarray(pooled),
+                               t_out.text_embeds.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+class _FakeTok:
+    """Minimal tokenizer stub: hashes words to ids, pads to max_length."""
+
+    def __call__(self, texts, padding=None, truncation=None, max_length=8,
+                 return_tensors=None):
+        ids = np.zeros((len(texts), max_length), np.int64)
+        for i, t in enumerate(texts):
+            toks = [3 + (hash(w) % 90) for w in t.split()][: max_length - 1]
+            ids[i, :len(toks)] = toks
+            ids[i, len(toks)] = 95       # eos
+        return {"input_ids": ids,
+                "attention_mask": (ids != 0).astype(np.int64)}
+
+
+def test_sd3_text_stack_recipe():
+    """context = [pad(concat(clipL, clipG)); t5] on the sequence axis,
+    pooled = concat of projected pooled vectors (pipeline_vchitect.py)."""
+    from magcache_tpu.models.clip import CLIPTextConfig
+    from magcache_tpu.models.text import (ClipTextEncoder, MockTextEncoder,
+                                          Sd3TextStack)
+
+    cfg = CLIPTextConfig.tiny()
+    clip_l = ClipTextEncoder(cfg, seq_len=8, tokenizer=_FakeTok(),
+                             hidden_skip=1)
+    clip_g = ClipTextEncoder(cfg, seq_len=8, tokenizer=_FakeTok(),
+                             hidden_skip=1)
+    t5 = MockTextEncoder(5, 128)         # [B, 5, 128] states
+    stack = Sd3TextStack(clip_l, clip_g, t5)
+    prompts = ["a boat on a lake", "blurry"]
+    ctx = stack.context(prompts)
+    pooled = stack.pooled(prompts)
+    assert ctx.shape == (2, 8 + 5, 128)   # clip seq + t5 seq, padded to t5 dim
+    assert pooled.shape == (2, 2 * cfg.dim)
+    # clip channels beyond 2*dim are zero-padding
+    assert np.abs(np.asarray(ctx[:, :8, 2 * cfg.dim:])).max() == 0.0
+    assert np.abs(np.asarray(ctx[:, :8, :2 * cfg.dim])).max() > 0.0
