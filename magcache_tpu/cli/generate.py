@@ -386,6 +386,16 @@ def _real_encoders(args, txt_len: int):
     return text, pooled
 
 
+def _t5_or_none(args, seq_len: int):
+    """--t5_ckpt for the T5-conditioned video families (open-sora/cogvideox/
+    latte T5-XXL, open-sora-plan v1.2 mt5-xxl — pipeline_open_sora_plan.py:
+    204-208); None keeps the pipeline's mock encoder."""
+    if not getattr(args, "t5_ckpt", None):
+        return None
+    from magcache_tpu.models.text import make_t5_encoder
+    return make_t5_encoder(args.t5_ckpt, seq_len=seq_len)
+
+
 def _flux_pipeline(args):
     from magcache_tpu.pipelines.flux import FluxPipeline, FluxPipelineConfig
 
@@ -511,7 +521,8 @@ def _open_sora_pipeline(args):
         cache_policy=getattr(args, "cache_policy", "adapter"),
         enable_pab=getattr(args, "enable_pab", False),
         dtype=args.dtype, tiny=args.tiny, ckpt_dir=args.ckpt_dir)
-    return OpenSoraPipeline(cfg), cfg
+    return OpenSoraPipeline(
+        cfg, text_encoder=_t5_or_none(args, cfg.caption_len)), cfg
 
 
 def _cogvideox_pipeline(args):
@@ -532,7 +543,8 @@ def _cogvideox_pipeline(args):
         kw.update(num_frames=5, height=32, width=32)
     kw["ckpt_dir"] = args.ckpt_dir
     cfg = CogVideoXPipelineConfig(**kw)
-    return CogVideoXPipeline(cfg), cfg
+    return CogVideoXPipeline(
+        cfg, text_encoder=_t5_or_none(args, cfg.txt_len)), cfg
 
 
 def _latte_pipeline(args):
@@ -552,7 +564,8 @@ def _latte_pipeline(args):
         kw.update(num_frames=4, height=64, width=64, caption_len=6)
     kw["ckpt_dir"] = args.ckpt_dir
     cfg = LattePipelineConfig(**kw)
-    return LattePipeline(cfg), cfg
+    return LattePipeline(
+        cfg, text_encoder=_t5_or_none(args, cfg.caption_len)), cfg
 
 
 def _vchitect_pipeline(args):
@@ -609,7 +622,8 @@ def _open_sora_plan_pipeline(args):
         kw.update(num_frames=5, height=32, width=32, caption_len=6)
     kw["ckpt_dir"] = args.ckpt_dir
     cfg = OpenSoraPlanPipelineConfig(**kw)
-    return OpenSoraPlanPipeline(cfg), cfg
+    return OpenSoraPlanPipeline(
+        cfg, text_encoder=_t5_or_none(args, cfg.caption_len)), cfg
 
 
 def _omnigen2_pipeline(args):

@@ -59,6 +59,35 @@ class MockPooledEncoder:
         return jnp.asarray(np.stack(outs), jnp.float32)
 
 
+class FallbackHashTokenizer:
+    """Checkpoint-without-tokenizer-files stand-in: words hash into the
+    model's vocab range, padded/EOS'd to ``max_length``. Deterministic, NOT a
+    real tokenization — only for structural runs of converted weights when the
+    dir lacks ``spiece.model``/``tokenizer.json``; real prompts need the real
+    tokenizer. Construction prints a warning for that reason."""
+
+    def __init__(self, vocab_size: int, eos_token_id: int = 1,
+                 pad_token_id: int = 0):
+        self.vocab_size, self.eos, self.pad = vocab_size, eos_token_id, pad_token_id
+        print("WARNING: no tokenizer files found — falling back to a "
+              "hash tokenizer (structural runs only; outputs are NOT "
+              "prompt-faithful).")
+
+    def __call__(self, texts, padding=None, truncation=None, max_length=77,
+                 return_tensors=None):
+        lo = max(2, self.eos + 1)
+        span = max(1, self.vocab_size - lo)
+        ids = np.full((len(texts), max_length), self.pad, np.int64)
+        for i, t in enumerate(texts):
+            toks = [lo + (int.from_bytes(
+                hashlib.sha256(w.encode()).digest()[:4], "little") % span)
+                for w in t.split()][: max_length - 1]
+            ids[i, :len(toks)] = toks
+            ids[i, len(toks)] = self.eos
+        return {"input_ids": ids,
+                "attention_mask": (ids != self.pad).astype(np.int64)}
+
+
 class JaxT5Encoder:
     """T5 text encoder running natively in JAX (FlaxT5EncoderModel), jitted and
     optionally weight-sharded over the mesh.
@@ -71,14 +100,40 @@ class JaxT5Encoder:
 
     def __init__(self, path_or_config, seq_len: int = 512, mesh=None,
                  tokenizer=None):
-        from transformers import AutoTokenizer, FlaxT5EncoderModel, T5Config
+        from transformers import (AutoTokenizer, FlaxMT5EncoderModel,
+                                  FlaxT5EncoderModel, MT5Config, T5Config)
 
         if isinstance(path_or_config, str):
-            self.model = FlaxT5EncoderModel.from_pretrained(path_or_config)
-            self.tokenizer = tokenizer or AutoTokenizer.from_pretrained(path_or_config)
+            # mt5 checkpoints (Open-Sora-Plan v1.2's google/mt5-xxl,
+            # pipeline_open_sora_plan.py:207,282) need the MT5 class so the
+            # gated-act config fields load unmangled.
+            import json as _json
+            import os as _os
+            model_type = None
+            cj = _os.path.join(path_or_config, "config.json")
+            if _os.path.exists(cj):
+                with open(cj) as f:
+                    model_type = _json.load(f).get("model_type")
+            cls = FlaxMT5EncoderModel if model_type == "mt5" else FlaxT5EncoderModel
+            try:
+                self.model = cls.from_pretrained(path_or_config)
+            except (OSError, EnvironmentError):
+                # torch-only checkpoint dirs (the usual HF layout)
+                self.model = cls.from_pretrained(path_or_config, from_pt=True)
+            if tokenizer is None:
+                try:
+                    tokenizer = AutoTokenizer.from_pretrained(path_or_config)
+                except Exception:
+                    tokenizer = FallbackHashTokenizer(
+                        self.model.config.vocab_size,
+                        eos_token_id=self.model.config.eos_token_id or 1,
+                        pad_token_id=self.model.config.pad_token_id or 0)
+            self.tokenizer = tokenizer
         else:
             # config-only init (tests / structural runs)
-            self.model = FlaxT5EncoderModel(path_or_config)
+            cls = (FlaxMT5EncoderModel if isinstance(path_or_config, MT5Config)
+                   else FlaxT5EncoderModel)
+            self.model = cls(path_or_config)
             self.tokenizer = tokenizer
         self.seq_len = seq_len
         params = self.model.params
@@ -232,7 +287,9 @@ class ClipTextEncoder:
                 try:
                     tokenizer = AutoTokenizer.from_pretrained(path_or_config)
                 except Exception:
-                    tokenizer = None
+                    tokenizer = FallbackHashTokenizer(
+                        self.cfg.vocab_size,
+                        eos_token_id=self.cfg.eos_token_id)
             self.tokenizer = tokenizer
         else:
             self.cfg = path_or_config

@@ -144,3 +144,31 @@ def test_image_to_grid_latent_vae_paths():
     p = P()
     lat = _image_to_grid_latent(p, img, 8, 8, 16)
     assert lat.shape == (8, 8, 16)
+
+
+def test_t5_ckpt_reaches_t5_conditioned_families(tmp_path):
+    """--t5_ckpt builds a real encoder on the latte/cogvideox/open-sora/OSP
+    builders (reference: every VideoSys pipeline loads its own T5/mt5 —
+    pipeline_latte.py:220, pipeline_open_sora_plan.py:278-283)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from magcache_tpu.cli.generate import (_latte_pipeline,
+                                           _open_sora_plan_pipeline)
+    from magcache_tpu.models.text import JaxT5Encoder
+
+    with torch.no_grad():
+        tm = transformers.MT5EncoderModel(transformers.MT5Config(
+            vocab_size=128, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+            num_heads=4, relative_attention_num_buckets=8)).eval()
+        tm.save_pretrained(tmp_path, safe_serialization=False)
+
+    args = _parse(["--task", "latte", "--tiny", "--prompt", "x",
+                   "--t5_ckpt", str(tmp_path)])
+    pipe, cfg = _latte_pipeline(args)
+    assert isinstance(pipe.text_encoder, JaxT5Encoder)
+    args = _parse(["--task", "open-sora-plan", "--tiny", "--prompt", "x",
+                   "--t5_ckpt", str(tmp_path)])
+    pipe, cfg = _open_sora_plan_pipeline(args)
+    assert isinstance(pipe.text_encoder, JaxT5Encoder)

@@ -491,3 +491,32 @@ def test_sd3_text_stack_recipe():
     # clip channels beyond 2*dim are zero-padding
     assert np.abs(np.asarray(ctx[:, :8, 2 * cfg.dim:])).max() == 0.0
     assert np.abs(np.asarray(ctx[:, :8, :2 * cfg.dim])).max() > 0.0
+
+
+# ---------------------------------------------------------------------------
+# MT5 (Open-Sora-Plan v1.2's google/mt5-xxl, pipeline_open_sora_plan.py:207):
+# a torch-only MT5EncoderModel checkpoint dir must route through the MT5
+# class + from_pt fallback and match the torch module numerically.
+# ---------------------------------------------------------------------------
+
+
+def test_mt5_encoder_parity_vs_torch(tmp_path):
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    hf_cfg = transformers.MT5Config(
+        vocab_size=128, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8)
+    with torch.no_grad():
+        tm = transformers.MT5EncoderModel(hf_cfg).eval()
+        tm.save_pretrained(tmp_path, safe_serialization=False)  # torch .bin
+        ids = np.array([[3, 5, 7, 1, 0, 0, 0, 0, 0, 0]], np.int64)
+        mask = (ids != 0).astype(np.int64)
+        ref = tm(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    enc = JaxT5Encoder(str(tmp_path), seq_len=10)
+    from transformers import FlaxMT5EncoderModel
+    assert isinstance(enc.model, FlaxMT5EncoderModel)
+    out = np.asarray(enc.encode_ids(ids, mask))
+    np.testing.assert_allclose(out, ref * mask[..., None], rtol=2e-4,
+                               atol=2e-4)
