@@ -442,15 +442,23 @@ def _qwen_pipeline(args):
         dtype=args.dtype, tiny=args.tiny, ckpt_dir=args.ckpt_dir)
     text = None
     if getattr(args, "llm_ckpt", None):
-        # Qwen-Image's real stack: Qwen2.5-VL text tower + chat template,
-        # drop_idx=34, final-normed last hidden state
-        from magcache_tpu.models.text import (LlamaTextEncoder,
-                                              QWEN_IMAGE_CROP_START,
-                                              QWEN_IMAGE_PROMPT_TEMPLATE)
-        text = LlamaTextEncoder(
-            args.llm_ckpt, out_len=cfg.txt_len, skip_layers=0,
-            template=QWEN_IMAGE_PROMPT_TEMPLATE,
-            crop_start=QWEN_IMAGE_CROP_START)
+        if "edit" in model and args.image:
+            # Edit's full stack: the reference image rides the chat template
+            # through the Qwen2.5-VL vision tower (diffusers
+            # QwenImageEditPipeline, drop_idx=64)
+            from magcache_tpu.models.text import QwenVLTextEncoder
+            text = QwenVLTextEncoder(args.llm_ckpt, out_len=cfg.txt_len)
+            text.set_image(_load_image(args.image))
+        else:
+            # Qwen-Image's text-only stack: Qwen2.5-VL text tower + chat
+            # template, drop_idx=34, final-normed last hidden state
+            from magcache_tpu.models.text import (LlamaTextEncoder,
+                                                  QWEN_IMAGE_CROP_START,
+                                                  QWEN_IMAGE_PROMPT_TEMPLATE)
+            text = LlamaTextEncoder(
+                args.llm_ckpt, out_len=cfg.txt_len, skip_layers=0,
+                template=QWEN_IMAGE_PROMPT_TEMPLATE,
+                crop_start=QWEN_IMAGE_CROP_START)
     return QwenImagePipeline(cfg, text_encoder=text), cfg
 
 

@@ -91,31 +91,58 @@ def init_llama_params(key: jax.Array, cfg: LlamaConfig):
 
 def _rope_llama(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
     """transformers-convention rotary: rotate_half over the half-split
-    (NOT pair-interleaved), cos/sin [S, hd/2] broadcast to both halves."""
+    (NOT pair-interleaved), cos/sin [S, hd/2] (or per-batch [B, S, hd/2]
+    for M-RoPE) broadcast to both halves."""
     h = x.shape[-1] // 2
     x1, x2 = x[..., :h], x[..., h:]
-    c = cos[None, :, None, :]
-    s = sin[None, :, None, :]
+    if cos.ndim == 2:
+        c, s = cos[None, :, None, :], sin[None, :, None, :]
+    else:
+        c, s = cos[:, :, None, :], sin[:, :, None, :]
     return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
 
 
 def llama_hidden_states(params, cfg: LlamaConfig, input_ids: jnp.ndarray,
                         attention_mask: Optional[jnp.ndarray] = None,
                         skip_layers: int = 0,
-                        final_norm: bool = False) -> jnp.ndarray:
+                        final_norm: bool = False,
+                        embeds_override: Optional[jnp.ndarray] = None,
+                        override_mask: Optional[jnp.ndarray] = None,
+                        position_ids: Optional[jnp.ndarray] = None,
+                        mrope_section: Optional[tuple] = None) -> jnp.ndarray:
     """Causal forward returning the hidden state after layer ``L - skip_layers``
     (f32[B, S, d]) — hyvideo's ``hidden_states[-(hidden_state_skip_layer+1)]``
     with ``apply_final_norm=False`` semantics (pass final_norm=True only when
-    skip_layers == 0 and the caller wants the normed last state)."""
+    skip_layers == 0 and the caller wants the normed last state).
+
+    Qwen2.5-VL extensions (the Qwen-Image-Edit conditioning LM):
+    ``embeds_override f32[B, S, d]`` + ``override_mask bool[B, S]`` splice
+    vision-tower tokens over the ``<|image_pad|>`` embeddings;
+    ``position_ids i32[3, B, S]`` + ``mrope_section`` apply 3-axis M-RoPE
+    (``apply_multimodal_rotary_pos_emb``): frequency band i of the half-dim
+    takes axis ``i % 3``'s position."""
     b, s = input_ids.shape
     h = params["embed"][input_ids].astype(cfg.jdtype)
+    if embeds_override is not None:
+        h = jnp.where(override_mask[..., None],
+                      embeds_override.astype(cfg.jdtype), h)
 
-    pos = np.arange(s)
     inv = cfg.rope_theta ** (-np.arange(0, cfg.head_dim, 2, np.float64)
                              / cfg.head_dim)
-    ang = pos[:, None] * inv[None, :]
-    cos = jnp.asarray(np.cos(ang), jnp.float32)
-    sin = jnp.asarray(np.sin(ang), jnp.float32)
+    if position_ids is None:
+        ang = np.arange(s)[:, None] * inv[None, :]
+        cos = jnp.asarray(np.cos(ang), jnp.float32)       # [S, hd/2]
+        sin = jnp.asarray(np.sin(ang), jnp.float32)
+    else:
+        # [3, B, S, hd/2] angles; each section of the half-dim picks its axis
+        ang = (jnp.asarray(position_ids, jnp.float32)[..., None]
+               * jnp.asarray(inv, jnp.float32))
+        sec = list(mrope_section or (cfg.head_dim // 2,))
+        assert sum(sec) == cfg.head_dim // 2, "mrope_section must cover hd/2"
+        take = np.repeat(np.arange(len(sec)) % 3, sec)    # axis per channel
+        onehot = jnp.asarray(np.eye(3)[take].T, jnp.float32)   # [3, hd/2]
+        ang = jnp.einsum("absc,ac->bsc", ang, onehot)      # [B, S, hd/2]
+        cos, sin = jnp.cos(ang), jnp.sin(ang)
 
     # additive mask: causal + key padding, f32 [B, 1, S, S]
     causal = jnp.tril(jnp.ones((s, s), bool))

@@ -237,14 +237,25 @@ HYVIDEO_CROP_START = 95
 # ride a Qwen2.5-VL chat template; the encoder output drops the first
 # ``drop_idx`` = 34 template-prefix tokens and takes the FINAL-NORMED last
 # hidden state). The Edit variant's template embeds the reference image via
-# the vision tower (<|vision_start|><|image_pad|>...) — not reproduced here;
-# Edit runs conditioned on the text-only encoding.
+# the vision tower (``QwenVLTextEncoder`` below, drop_idx = 64).
 QWEN_IMAGE_PROMPT_TEMPLATE = (
     "<|im_start|>system\nDescribe the image by detailing the color, shape, "
     "size, texture, quantity, text, spatial relationships of the objects "
     "and background:<|im_end|>\n<|im_start|>user\n{}<|im_end|>\n"
     "<|im_start|>assistant\n")
 QWEN_IMAGE_CROP_START = 34
+
+# diffusers QwenImageEditPipeline template: the reference image rides the
+# user turn through the Qwen2.5-VL vision tower.
+QWEN_IMAGE_EDIT_PROMPT_TEMPLATE = (
+    "<|im_start|>system\nDescribe the key features of the input image "
+    "(color, shape, size, texture, objects, background), then explain how "
+    "the user's text instruction should alter or modify the image. Generate "
+    "a new image that meets the user's requirements while maintaining "
+    "consistency with the original input where appropriate.<|im_end|>\n"
+    "<|im_start|>user\n<|vision_start|><|image_pad|><|vision_end|>"
+    "{}<|im_end|>\n<|im_start|>assistant\n")
+QWEN_IMAGE_EDIT_CROP_START = 64
 
 
 class ClipTextEncoder:
@@ -457,6 +468,179 @@ class LlamaTextEncoder:
             attention_mask = np.ones_like(input_ids)
         return self._fwd(self.params, jnp.asarray(input_ids),
                          jnp.asarray(attention_mask))
+
+
+class QwenVLTextEncoder:
+    """The full Qwen2.5-VL conditioning stack of Qwen-Image-Edit (diffusers
+    ``QwenImageEditPipeline``): the reference image runs through the vision
+    tower (``models/qwen_vl.py``), its merged tokens are spliced into the
+    LM's embeddings at the ``<|image_pad|>`` positions, and the LM runs with
+    3-axis M-RoPE position ids; the first ``drop_idx=64`` template tokens are
+    cropped. Without an image (``set_image(None)``) it degrades to the
+    text-only Qwen-Image recipe (drop_idx=34).
+
+    Construction from a HF Qwen2.5-VL dir handles both checkpoint layouts:
+    ``model.language_model./model.visual.`` (transformers >= 4.52 refactor)
+    and ``model./visual.`` (original Qwen releases)."""
+
+    def __init__(self, path_or_config, out_len: int = 256, tokenizer=None,
+                 params=None, vision_params=None, vision_cfg=None,
+                 mrope_section=(16, 24, 24),
+                 image_token_id: int = 151655,
+                 min_pixels: int = 56 * 56,
+                 max_pixels: int = 14 * 14 * 4 * 1280):
+        from magcache_tpu.models.llama import (LlamaConfig,
+                                               convert_llama_state_dict,
+                                               init_llama_params,
+                                               llama_hidden_states)
+        from magcache_tpu.models.qwen_vl import (
+            QwenVLVisionConfig, convert_qwen_vl_vision_state_dict,
+            init_qwen_vl_vision_params, mrope_position_ids,
+            preprocess_qwen_vl_image, qwen_vl_vision_forward)
+
+        self._llama_hidden_states = llama_hidden_states
+        self._vision_forward = qwen_vl_vision_forward
+        self._mrope_position_ids = mrope_position_ids
+        self._preprocess = preprocess_qwen_vl_image
+
+        if isinstance(path_or_config, str):
+            import json
+            import os
+
+            from transformers import AutoTokenizer
+
+            from magcache_tpu.models.convert import load_safetensors_dir
+            sd = load_safetensors_dir(path_or_config)
+            with open(os.path.join(path_or_config, "config.json")) as f:
+                hf = json.load(f)
+            txt = hf.get("text_config", hf)
+            vis = hf.get("vision_config", {})
+            rs = txt.get("rope_scaling") or {}
+            self.mrope_section = tuple(rs.get("mrope_section", mrope_section))
+            self.image_token_id = hf.get("image_token_id", image_token_id)
+            # split the state dict into LM and visual halves
+            lm_sd, vi_sd = {}, {}
+            for k, v in sd.items():
+                k2 = k[len("model."):] if k.startswith("model.") else k
+                if k2.startswith("visual."):
+                    vi_sd[k2[len("visual."):]] = v
+                elif k2.startswith("language_model."):
+                    lm_sd[k2[len("language_model."):]] = v
+                else:
+                    lm_sd[k2] = v
+            self.cfg = LlamaConfig(
+                vocab_size=txt["vocab_size"], hidden=txt["hidden_size"],
+                layers=txt["num_hidden_layers"],
+                heads=txt["num_attention_heads"],
+                kv_heads=txt.get("num_key_value_heads",
+                                 txt["num_attention_heads"]),
+                intermediate=txt["intermediate_size"],
+                rope_theta=txt.get("rope_theta", 1e6),
+                eps=txt.get("rms_norm_eps", 1e-6), qkv_bias=True)
+            self.params = convert_llama_state_dict(lm_sd, self.cfg)
+            self.vision_cfg = QwenVLVisionConfig(
+                depth=vis.get("depth", 32),
+                hidden=vis.get("hidden_size", 1280),
+                heads=vis.get("num_heads", 16),
+                intermediate=vis.get("intermediate_size", 3420),
+                out_hidden=vis.get("out_hidden_size", txt["hidden_size"]),
+                patch_size=vis.get("patch_size", 14),
+                temporal_patch_size=vis.get("temporal_patch_size", 2),
+                merge_size=vis.get("spatial_merge_size", 2),
+                window_size=vis.get("window_size", 112),
+                fullatt_indexes=tuple(vis.get("fullatt_block_indexes",
+                                              (7, 15, 23, 31))))
+            self.vision_params = convert_qwen_vl_vision_state_dict(
+                vi_sd, self.vision_cfg)
+            if tokenizer is None:
+                try:
+                    tokenizer = AutoTokenizer.from_pretrained(path_or_config)
+                except Exception:
+                    tokenizer = FallbackHashTokenizer(self.cfg.vocab_size)
+            self.tokenizer = tokenizer
+        else:
+            self.cfg = path_or_config
+            self.params = params if params is not None else (
+                init_llama_params(jax.random.key(0), self.cfg))
+            self.vision_cfg = vision_cfg or QwenVLVisionConfig.tiny(
+                out_hidden=self.cfg.hidden)
+            self.vision_params = (vision_params if vision_params is not None
+                                  else init_qwen_vl_vision_params(
+                                      jax.random.key(1), self.vision_cfg))
+            self.mrope_section = tuple(mrope_section)
+            self.image_token_id = image_token_id
+            self.tokenizer = tokenizer
+        self.out_len = out_len
+        self.min_pixels, self.max_pixels = min_pixels, max_pixels
+        self._image = None
+
+        def fwd(p, ids, m, ov, ov_mask, pos):
+            return self._llama_hidden_states(
+                p, self.cfg, ids, m, final_norm=True, embeds_override=ov,
+                override_mask=ov_mask, position_ids=pos,
+                mrope_section=self.mrope_section)
+
+        self._fwd_vl = jax.jit(fwd)
+        self._fwd_txt = jax.jit(lambda p, ids, m: self._llama_hidden_states(
+            p, self.cfg, ids, m, final_norm=True))
+
+    def set_image(self, image) -> "QwenVLTextEncoder":
+        """Attach the Edit reference image (HWC uint8/float RGB numpy) for
+        subsequent ``__call__``s; ``None`` reverts to text-only encoding."""
+        self._image = image
+        return self
+
+    def __call__(self, prompts: Sequence[str]) -> jnp.ndarray:
+        assert self.tokenizer is not None, "tokenizer required"
+        if self._image is None:
+            texts = [QWEN_IMAGE_PROMPT_TEMPLATE.format(p) for p in prompts]
+            crop = QWEN_IMAGE_CROP_START
+            tok = self.tokenizer(texts, padding="max_length", truncation=True,
+                                 max_length=self.out_len + crop,
+                                 return_tensors="np")
+            h = self._fwd_txt(self.params, jnp.asarray(tok["input_ids"]),
+                              jnp.asarray(tok["attention_mask"]))
+            mask = jnp.asarray(tok["attention_mask"])[..., None]
+        else:
+            patches, grid = self._preprocess(np.asarray(self._image),
+                                             self.vision_cfg,
+                                             min_pixels=self.min_pixels,
+                                             max_pixels=self.max_pixels)
+            img_embeds = self._vision_forward(
+                self.vision_params, self.vision_cfg, jnp.asarray(patches),
+                (grid,))
+            n_merged = img_embeds.shape[0]
+            crop = QWEN_IMAGE_EDIT_CROP_START
+            pad_tok = "<|image_pad|>"
+            texts = [QWEN_IMAGE_EDIT_PROMPT_TEMPLATE.format(p).replace(
+                pad_tok, pad_tok * n_merged) for p in prompts]
+            tok = self.tokenizer(
+                texts, padding="max_length", truncation=True,
+                max_length=self.out_len + crop, return_tensors="np")
+            ids = np.asarray(tok["input_ids"])
+            am = np.asarray(tok["attention_mask"])
+            ov_mask = ids == self.image_token_id
+            if 0 < ov_mask[0].sum() < n_merged:
+                raise ValueError(
+                    f"image occupies {n_merged} tokens but only "
+                    f"{int(ov_mask[0].sum())} fit in txt_len={self.out_len}; "
+                    "raise txt_len or lower max_pixels")
+            ov = np.zeros(ids.shape + (self.cfg.hidden,), np.float32)
+            emb = np.asarray(img_embeds)
+            for b in range(ids.shape[0]):
+                ov[b, ov_mask[b]] = emb[:ov_mask[b].sum()]
+            pos = self._mrope_position_ids(
+                ids, (grid,) * ids.shape[0], self.vision_cfg.merge_size,
+                self.image_token_id, am)
+            h = self._fwd_vl(self.params, jnp.asarray(ids), jnp.asarray(am),
+                             jnp.asarray(ov), jnp.asarray(ov_mask),
+                             jnp.asarray(pos))
+            mask = jnp.asarray(am)[..., None]
+        h = (h * mask)[:, crop:crop + self.out_len]
+        pad = self.out_len - h.shape[1]
+        if pad > 0:
+            h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        return h
 
 
 class HFTextEncoder:
