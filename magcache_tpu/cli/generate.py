@@ -447,7 +447,11 @@ def _qwen_pipeline(args):
             # through the Qwen2.5-VL vision tower (diffusers
             # QwenImageEditPipeline, drop_idx=64)
             from magcache_tpu.models.text import QwenVLTextEncoder
-            text = QwenVLTextEncoder(args.llm_ckpt, out_len=cfg.txt_len)
+            # bound the condition image so its merged tokens + the prompt fit
+            # the static txt_len (96 tokens reserved for prompt + specials)
+            text = QwenVLTextEncoder(
+                args.llm_ckpt, out_len=cfg.txt_len,
+                max_pixels=max(56 * 56, (cfg.txt_len - 96) * 28 * 28))
             text.set_image(_load_image(args.image))
         else:
             # Qwen-Image's text-only stack: Qwen2.5-VL text tower + chat

@@ -175,3 +175,19 @@ def test_qwen_vl_text_encoder_image_path():
     text_only = enc([prompt])
     assert text_only.shape == (1, 40, 24)
     assert np.abs(np.asarray(with_img) - np.asarray(text_only)).max() > 1e-3
+
+
+def test_vision_tower_multi_image_parity():
+    """Two images with different grids in one call: per-image window offsets,
+    seg_full isolation between images, and the global undo permutation."""
+    with torch.no_grad():
+        tm = _torch_vision(seed=1)
+        grid = torch.tensor([[1, 4, 8], [1, 6, 4]])
+        patches = torch.randn(4 * 8 + 6 * 4, 3 * 2 * 2 * 2)
+        ref = tm(patches, grid_thw=grid).numpy()
+    cfg = QwenVLVisionConfig.tiny()
+    params = convert_qwen_vl_vision_state_dict(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, cfg)
+    out = np.asarray(qwen_vl_vision_forward(
+        params, cfg, jnp.asarray(patches.numpy()), ((1, 4, 8), (1, 6, 4))))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
