@@ -21,6 +21,7 @@ import argparse
 import dataclasses
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -110,6 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip_text_ckpt2", default=None,
                    help="CLIP-bigG text model HF dir (vchitect/SD3 "
                         "text_encoder_2)")
+    p.add_argument("--txt_len", type=int, default=None,
+                   help="override the text-conditioning sequence length "
+                        "(e.g. 1024 for qwen-image-edit with a large "
+                        "condition image — diffusers tokenizer_max_length)")
     p.add_argument("--save_file", default=None)
     # MagCache triple (reference flags)
     p.add_argument("--use_magcache", action="store_true")
@@ -232,6 +237,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="alias: sp with Ulysses attention (default impl)")
     p.add_argument("--ring_size", type=int, default=None,
                    help="alias: sp with ring attention")
+    # hyvideo parallel/runtime spellings (magcache_sample_video.py CLI):
+    # *-degree = xfuser degrees -> sp axis; flow-reverse is hyvideo's
+    # standard t:1->0 generation direction (our flow-match sampler's only
+    # direction); cpu offload is unnecessary under mesh sharding
+    p.add_argument("--ulysses_degree", type=int, default=None,
+                   help="hyvideo alias for --ulysses_size")
+    p.add_argument("--ring_degree", type=int, default=None,
+                   help="hyvideo alias for --ring_size (>1 selects ring)")
+    p.add_argument("--flow_reverse", action="store_true",
+                   help="hyvideo parity flag (accepted; this sampler always "
+                        "integrates t 1->0)")
+    p.add_argument("--use_cpu_offload", action="store_true",
+                   help="hyvideo parity no-op (TPU mesh sharding instead)")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--tiny", action="store_true",
                    help="toy-size model for checkpoint-free smoke runs")
@@ -405,7 +423,7 @@ def _flux_pipeline(args):
     cfg = FluxPipelineConfig(
         model=args.task, height=h, width=w,
         num_inference_steps=args.sample_steps or 28,
-        txt_len=8 if args.tiny else 512,
+        txt_len=8 if args.tiny else (args.txt_len or 512),
         use_magcache=args.use_magcache,
         magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
         retention_ratio=args.retention_ratio,
@@ -434,7 +452,7 @@ def _qwen_pipeline(args):
         model=model, height=h, width=w,
         sample_steps=args.sample_steps or 50,
         true_cfg_scale=args.sample_guide_scale,
-        txt_len=8 if args.tiny else 256,
+        txt_len=8 if args.tiny else (args.txt_len or 256),
         use_magcache=args.use_magcache,
         magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
         retention_ratio=args.retention_ratio,
@@ -500,7 +518,7 @@ def _hunyuan_pipeline(args):
         steps=steps or 50,
         guidance=guidance,
         **kw,
-        txt_len=8 if args.tiny else 256,
+        txt_len=8 if args.tiny else (args.txt_len or 256),
         use_magcache=args.use_magcache,
         magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
         retention_ratio=args.retention_ratio,
@@ -526,7 +544,7 @@ def _open_sora_pipeline(args):
         aspect_ratio=getattr(args, "aspect_ratio", None),
         num_sampling_steps=args.sample_steps or 30,
         cfg_scale=args.sample_guide_scale,
-        caption_len=6 if args.tiny else 300,
+        caption_len=6 if args.tiny else (args.txt_len or 300),
         use_magcache=args.use_magcache,
         magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
         retention_ratio=args.retention_ratio,
@@ -553,6 +571,8 @@ def _cogvideox_pipeline(args):
         kw["retention_ratio"] = args.retention_ratio
     if args.tiny:
         kw.update(num_frames=5, height=32, width=32)
+    elif args.txt_len:
+        kw["txt_len"] = args.txt_len
     kw["ckpt_dir"] = args.ckpt_dir
     cfg = CogVideoXPipelineConfig(**kw)
     return CogVideoXPipeline(
@@ -574,6 +594,8 @@ def _latte_pipeline(args):
         kw["retention_ratio"] = args.retention_ratio
     if args.tiny:
         kw.update(num_frames=4, height=64, width=64, caption_len=6)
+    elif args.txt_len:
+        kw["caption_len"] = args.txt_len
     kw["ckpt_dir"] = args.ckpt_dir
     cfg = LattePipelineConfig(**kw)
     return LattePipeline(
@@ -596,6 +618,8 @@ def _vchitect_pipeline(args):
         kw["retention_ratio"] = args.retention_ratio
     if args.tiny:
         kw.update(num_frames=4, height=32, width=32, txt_len=6)
+    elif args.txt_len:
+        kw["txt_len"] = args.txt_len
     kw["ckpt_dir"] = args.ckpt_dir
     text = pooled = None
     if (getattr(args, "clip_text_ckpt", None)
@@ -632,6 +656,8 @@ def _open_sora_plan_pipeline(args):
         kw["retention_ratio"] = args.retention_ratio
     if args.tiny:
         kw.update(num_frames=5, height=32, width=32, caption_len=6)
+    elif args.txt_len:
+        kw["caption_len"] = args.txt_len
     kw["ckpt_dir"] = args.ckpt_dir
     cfg = OpenSoraPlanPipelineConfig(**kw)
     return OpenSoraPlanPipeline(
@@ -691,9 +717,20 @@ def _omnigen2_pipeline(args):
         kw["ref_images"] = n_refs
     if args.tiny:
         kw.update(height=32, width=32, txt_len=6)
+    elif args.txt_len:
+        kw["txt_len"] = args.txt_len
     kw["ckpt_dir"] = args.ckpt_dir
     cfg = OmniGen2PipelineConfig(**kw)
-    return OmniGen2Pipeline(cfg), cfg
+    text = None
+    if getattr(args, "llm_ckpt", None):
+        # the reference conditions through `pipeline.mllm` — a Qwen2.5-VL LM
+        # (inference.py:236); raw prompts, final-normed last hidden state
+        # (the omnigen2 package's chat-template plumbing is external and not
+        # verifiable offline — raw-prompt encoding documented deviation)
+        from magcache_tpu.models.text import LlamaTextEncoder
+        text = LlamaTextEncoder(args.llm_ckpt, out_len=cfg.txt_len,
+                                skip_layers=0, template=None)
+    return OmniGen2Pipeline(cfg, text_encoder=text), cfg
 
 
 def _omnigen2_ref_latents(pipe, images):
@@ -762,8 +799,29 @@ def _load_image(path: str) -> np.ndarray:
     return img
 
 
+def _normalize_argv(argv):
+    """Accept the hyvideo scripts' dash spelling (``--video-size``,
+    ``--infer-steps``, ... — magcache_sample_video.py registers dashed
+    flags) for every underscore-registered option.
+    """
+    known = set()
+    for act in build_parser()._actions:
+        known.update(act.option_strings)
+    out = []
+    for tok in argv:
+        if tok.startswith("--") and "-" in tok[2:]:
+            flag, eq, val = tok.partition("=")
+            cand = "--" + flag[2:].replace("-", "_")
+            if flag not in known and cand in known:
+                tok = cand + eq + val
+        out.append(tok)
+    return out
+
+
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    if argv is None:
+        argv = sys.argv[1:]
+    args = build_parser().parse_args(_normalize_argv(list(argv)))
     parser_defaults = build_parser().parse_args(["--task", args.task])
     if getattr(args, "instruction", None) is not None \
             and args.prompt == parser_defaults.prompt:
@@ -807,6 +865,11 @@ def main(argv=None):
               "model; the MagCache adapter (and this port) run the distilled "
               "single-forward path (magcache_sample_video.py:29-158). "
               "Use --embedded_cfg_scale to steer.")
+    if getattr(args, "ulysses_degree", None) and not args.ulysses_size:
+        args.ulysses_size = args.ulysses_degree
+    if getattr(args, "ring_degree", None) and args.ring_degree > 1 \
+            and not args.ring_size:
+        args.ring_size = args.ring_degree
     if args.ulysses_size:
         args.sp = args.ulysses_size
     if args.ring_size:

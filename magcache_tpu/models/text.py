@@ -424,11 +424,10 @@ class LlamaTextEncoder:
                 eps=hf.get("rms_norm_eps", 1e-5), qkv_bias=qkv_bias)
             self.params = convert_llama_state_dict(sd, self.cfg)
             if tokenizer is None:
-                # best-effort: weights-only dirs still work via encode_ids
                 try:
                     tokenizer = AutoTokenizer.from_pretrained(path_or_config)
                 except Exception:
-                    tokenizer = None
+                    tokenizer = FallbackHashTokenizer(self.cfg.vocab_size)
             self.tokenizer = tokenizer
         else:
             self.cfg = path_or_config

@@ -172,3 +172,24 @@ def test_t5_ckpt_reaches_t5_conditioned_families(tmp_path):
                    "--t5_ckpt", str(tmp_path)])
     pipe, cfg = _open_sora_plan_pipeline(args)
     assert isinstance(pipe.text_encoder, JaxT5Encoder)
+
+
+def test_dash_spelled_flags_normalize():
+    # the hyvideo reference scripts register dashed flags
+    # (magcache_sample_video.py: --video-size/--infer-steps/--flow-shift);
+    # _normalize_argv maps the dash spelling onto the underscore parser
+    from magcache_tpu.cli.generate import _normalize_argv
+    argv = _normalize_argv([
+        "--task", "hunyuan", "--tiny",
+        "--video-size", "544", "960", "--infer-steps", "50",
+        "--flow-shift", "7.0", "--neg-prompt", "bad", "--save-path", "/tmp/x",
+    ])
+    args = _parse(argv)
+    assert args.video_size == [544, 960]
+    assert args.infer_steps == 50
+    assert args.flow_shift == 7.0
+    assert args.neg_prompt == "bad"
+    assert args.save_path == "/tmp/x"
+    # values and =-joined flags pass through untouched
+    assert _normalize_argv(["--magcache_thresh=0.12", "framepack-f1"]) == [
+        "--magcache_thresh=0.12", "framepack-f1"]
