@@ -300,7 +300,11 @@ def _wan_pipeline(args):
         # flf2v shares the i2v architecture/size table; the reference CLI runs
         # it full-compute (no published ratios, magcache_generate.py:1032-1090)
         "flf2v-14B": "wan2.1-i2v-480p" if h <= 480 else "wan2.1-i2v-720p",
-        "ti2v-5B": "wan2.2-ti2v-5B-t2v",
+        # ti2v picks the i2v ratio table when an image conditions the run
+        # (the reference's img-is-not-None switch, Wan2.2
+        # magcache_generate.py:735-738)
+        "ti2v-5B": ("wan2.2-ti2v-5B-i2v" if getattr(args, "image", None)
+                    else "wan2.2-ti2v-5B-t2v"),
         "t2v-A14B": "wan2.2-t2v-A14B", "i2v-A14B": "wan2.2-i2v-A14B",
         "vace-1.3B": "wan2.1-vace-1.3B", "vace-14B": "wan2.1-vace-14B",
     }[args.task]
@@ -308,16 +312,21 @@ def _wan_pipeline(args):
         w, h, args.frame_num = 64, 32, 9
     if args.task.startswith("t2i"):
         args.frame_num = 1
+    guide = args.sample_guide_scale
+    if args.task.startswith("ti2v") and guide == build_parser().get_default(
+            "sample_guide_scale"):
+        guide = 5.0     # Wan2.2 ti2v_5B config default
     cfg = WanPipelineConfig(
         model=preset,
         task=("flf2v" if args.task.startswith("flf2v")
+              else "ti2v" if args.task.startswith("ti2v")
               else "i2v" if args.task.startswith("i2v")
               else "vace" if args.task.startswith("vace") else "t2v"),
         size=(w, h), frame_num=args.frame_num,
         sample_steps=args.sample_steps or 50,
         sample_shift=args.sample_shift or (8.0 if h <= 480 else 5.0),
         sample_solver=args.sample_solver,
-        guide_scale=args.sample_guide_scale,
+        guide_scale=guide,
         use_magcache=args.use_magcache,
         magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
         retention_ratio=args.retention_ratio,

@@ -261,10 +261,15 @@ def sample_euler(
     dynamic_skip=None,
     dpm_coeffs=None,
     return_skips: bool = False,
+    post_step: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Linear-update sampler: ``x <- cx_i * x + dt_i * v [+ ns_i * z_i]`` per
     step, with MagCache. ``x_coeffs`` defaults to ones (plain Euler);
     CogVideoX's DDIM passes its host-precomputed (c_x, c_v=dts) pair.
+
+    ``post_step``: ``x -> x`` applied to the sample after every update —
+    latent-replacement conditioning (Wan2.2 ti2v re-imposes the encoded image
+    as latent frame 0 each step).
 
     ``return_skips=True``: also return the realized per-step skip bits
     bool[num_steps, lanes] (static-schedule bits, or the in-graph decisions
@@ -375,6 +380,8 @@ def sample_euler(
             z = jax.random.normal(jax.random.fold_in(noise_key, idx),
                                   x.shape, x.dtype)
             x = x + ns.astype(x.dtype) * z
+        if post_step is not None:
+            x = post_step(x)
         emitted = (skip_now if dynamic_skip is not None
                    else skip_bits) if return_skips else None
         return (x, cache, state, x0_prev), emitted
@@ -547,8 +554,13 @@ def unipc_executor(
     calibrate: bool = False,
     dynamic_skip=None,
     emit_skips: bool = False,
+    post_step: Optional[Callable] = None,
 ):
     """Build the UniPC step machinery without committing to a dispatch shape.
+
+    ``post_step``: ``x -> x`` applied to both the corrected sample and the
+    next-step prediction after every step — latent-replacement conditioning
+    (Wan2.2 ti2v frame-0 clamp).
 
     ``emit_skips=True``: the body emits the realized per-step skip bits
     bool[lanes] as scan outputs (mutually exclusive with ``calibrate``).
@@ -685,6 +697,9 @@ def unipc_executor(
 
             # predictor for the next sample: m0 = m_i; history m_{i-l} = m_hist[l-1]
             x_next = (pcx * x_cur + pcm0 * m + jnp.tensordot(pw, m_hist, axes=1))
+            if post_step is not None:
+                x_cur = post_step(x_cur)
+                x_next = post_step(x_next)
 
             m_hist = jnp.concatenate([m[None], m_hist[:-1]], axis=0)
             return (x_next, x_cur, m_hist, cache), (
@@ -733,6 +748,7 @@ def sample_unipc(
     skip_mask_override: Optional[jnp.ndarray] = None,
     dynamic_skip=None,
     return_skips: bool = False,
+    post_step: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """UniPC predictor-corrector flow sampler with MagCache (single-dispatch
     `lax.scan` over `unipc_executor`'s step machinery). ``return_skips=True``
@@ -741,7 +757,8 @@ def sample_unipc(
         core, schedule, cache_cfg=cache_cfg, guidance_scale=guidance_scale,
         lanes=lanes, combine_fn=combine_fn,
         skip_mask_override=skip_mask_override, batch=x_init.shape[0],
-        dynamic_skip=dynamic_skip, emit_skips=return_skips)
+        dynamic_skip=dynamic_skip, emit_skips=return_skips,
+        post_step=post_step)
     carry0 = init_carry(params, x_init, cond)
     (x_fin, _, _, _), aux = jax.lax.scan(body(params, cond), carry0, step_in)
     # after the final step the "predictor" output for sigma=0 is x_fin; the

@@ -46,6 +46,10 @@ class WanVAEConfig:
     dim_mult: Tuple[int, ...] = (1, 2, 4, 4)
     num_res_blocks: int = 2
     temporal_down: Tuple[bool, ...] = (False, True, True)  # per transition
+    # Wan2.2-VAE (ti2v-5B): 2x2 pixel patchify in front of the same backbone
+    # -> 16x16x4 total compression at 48 latent channels (base=160). 1 = the
+    # Wan2.1 layout.
+    patchify: int = 1
     eps: float = 1e-6
     # latent normalization (the published per-channel mean/std vectors are
     # hard-coded in the official wan/modules/vae.py source, NOT the .pth —
@@ -66,6 +70,34 @@ class WanVAEConfig:
         return WanVAEConfig(**d)
 
     tiny = staticmethod(tiny)
+
+    @property
+    def pixel_channels(self) -> int:
+        return 3 * self.patchify * self.patchify
+
+
+# published Wan2.2-VAE geometry (the ti2v-5B latent space)
+WAN22_VAE = WanVAEConfig(base=160, z_channels=48, patchify=2)
+
+
+def _patchify_pixels(x, p):
+    """[B,T,H,W,3] -> [B,T,H/p,W/p,3*p*p] (pixel-unshuffle; channel order
+    (c, dh, dw) like torch's rearrange 'c (h p)(w q) -> (c p q) h w')."""
+    if p == 1:
+        return x
+    b, t, h, w, c = x.shape
+    x = x.reshape(b, t, h // p, p, w // p, p, c)
+    return x.transpose(0, 1, 2, 4, 6, 3, 5).reshape(
+        b, t, h // p, w // p, c * p * p)
+
+
+def _unpatchify_pixels(x, p):
+    if p == 1:
+        return x
+    b, t, h, w, cpp = x.shape
+    c = cpp // (p * p)
+    x = x.reshape(b, t, h, w, c, p, p)
+    return x.transpose(0, 1, 2, 5, 3, 6, 4).reshape(b, t, h * p, w * p, c)
 
 
 def _c3(key, kt, kh, kw, cin, cout):
@@ -122,7 +154,7 @@ def init_wan_vae_params(key: jax.Array, cfg: WanVAEConfig):
         return levels
 
     enc = {
-        "conv1": _c3(nxt(), 3, 3, 3, 3, dims[0]),
+        "conv1": _c3(nxt(), 3, 3, 3, cfg.pixel_channels, dims[0]),
         "levels": stage(dims, cfg.temporal_down, cfg.num_res_blocks, True),
         "mid": [_res_p(nxt(), dims[-1], dims[-1]),
                 _res_p(nxt(), dims[-1], dims[-1])],
@@ -152,7 +184,7 @@ def init_wan_vae_params(key: jax.Array, cfg: WanVAEConfig):
         "mid_attn": _attn_p(nxt(), rdims[0]),
         "levels": dec_levels,
         "head_norm": jnp.ones((rdims[-1],), jnp.float32),
-        "head": _c3(nxt(), 3, 3, 3, rdims[-1], 3),
+        "head": _c3(nxt(), 3, 3, 3, rdims[-1], cfg.pixel_channels),
     }
     return {
         "encoder": enc,
@@ -260,6 +292,7 @@ class WanVAE:
             nc[name] = sub_out
             return h
 
+        x = _patchify_pixels(x, cfg.patchify)
         h = cc("conv1", x.astype(self.jdtype), p["conv1"])
         for li, lv in enumerate(p["levels"]):
             for bi, bp in enumerate(lv["blocks"]):
@@ -370,6 +403,7 @@ class WanVAE:
                 h = _conv2d_frames(h, lv["resample"])
         h = jax.nn.silu(channel_rms_norm(h, p["head_norm"], None, eps=cfg.eps))
         h = cc("head", h, p["head"])
+        h = _unpatchify_pixels(h, cfg.patchify)
         return h.astype(jnp.float32), nc
 
     def decode(self, z, latent_chunk: Optional[int] = 1):
@@ -499,9 +533,14 @@ def sniff_wan_vae_config(sd: Dict[str, np.ndarray],
     - ``dim_mult``    = per-level residual out-channels / base (levels split
                         at resample units in the flat downsamples sequence),
     - ``num_res_blocks`` = residual units in the first encoder level,
-    - ``temporal_down``  = time_conv presence per encoder resample.
+    - ``temporal_down``  = time_conv presence per encoder resample,
+    - ``patchify``       = sqrt(encoder.conv1 in-channels / 3) — the
+                           Wan2.2-VAE's 2x2 pixel-unshuffle front (in=12).
     """
     base = int(np.asarray(sd["encoder.conv1.weight"]).shape[0])
+    cin = int(np.asarray(sd["encoder.conv1.weight"]).shape[1])
+    patchify = int(round((cin // 3) ** 0.5))
+    assert 3 * patchify * patchify == cin, f"odd conv1 in-channels {cin}"
     z = int(np.asarray(sd["decoder.conv1.weight"]).shape[1])
     idxs = sorted({int(k.split(".")[2]) for k in sd
                    if k.startswith("encoder.downsamples.")})
@@ -520,7 +559,8 @@ def sniff_wan_vae_config(sd: Dict[str, np.ndarray],
     dim_mult = tuple(lv[0] // base for lv in levels)
     return WanVAEConfig(base=base, z_channels=z, dim_mult=dim_mult,
                         num_res_blocks=num_res_blocks,
-                        temporal_down=tuple(tdown), dtype=dtype)
+                        temporal_down=tuple(tdown), patchify=patchify,
+                        dtype=dtype)
 
 
 def load_wan_vae_checkpoint(path: str, cfg: Optional[WanVAEConfig] = None,

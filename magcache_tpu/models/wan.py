@@ -50,7 +50,8 @@ from magcache_tpu.ops.norms import layer_norm, rms_norm
 from magcache_tpu.ops.rope import rope_freqs_1d
 from magcache_tpu.parallel.mesh import maybe_shard
 
-__all__ = ["WanConfig", "init_wan_params", "make_wan_core", "WAN_1_3B", "WAN_14B"]
+__all__ = ["WanConfig", "init_wan_params", "make_wan_core", "WAN_1_3B",
+           "WAN_14B", "WAN_5B"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,6 +108,12 @@ class WanConfig:
 # Published Wan2.1 sizes (model family table; wan config files)
 WAN_1_3B = WanConfig(dim=1536, ffn_dim=8960, heads=12, layers=30)
 WAN_14B = WanConfig(dim=5120, ffn_dim=13824, heads=40, layers=40)
+# Wan2.2 TI2V-5B (dense, no CLIP branch): the ti2v task consumes the
+# Wan2.2-VAE's 48-channel 16x16x4 latents; i2v is latent replacement of
+# frame 0, so in/out stay 48 (reference routes via the external wan pkg,
+# MagCache4Wan2.2/magcache_generate.py:719-745)
+WAN_5B = WanConfig(dim=3072, ffn_dim=14336, heads=24, layers=30,
+                   in_channels=48, out_channels=48)
 
 
 def init_wan_params(key: jax.Array, cfg: WanConfig):

@@ -34,6 +34,7 @@ from magcache_tpu.models.text import MockTextEncoder, TextEncoder
 from magcache_tpu.models.wan import (
     WAN_14B,
     WAN_1_3B,
+    WAN_5B,
     WanConfig,
     init_wan_params,
     make_wan_core,
@@ -54,8 +55,20 @@ from magcache_tpu.utils.misc import set_seed
 # ships a Chinese quality-control negative prompt — any string works here).
 DEFAULT_NEGATIVE = "low quality, blurry, distorted, disfigured, text, watermark"
 
-VAE_STRIDE = (4, 8, 8)
+VAE_STRIDE = (4, 8, 8)          # Wan2.1 VAE
 LATENT_CHANNELS = 16
+VAE_STRIDE_22 = (4, 16, 16)     # Wan2.2-VAE (ti2v-5B): 2x2 pixel patchify
+LATENT_CHANNELS_22 = 48         # on top of the Wan2.1 backbone strides
+
+
+def _ti2v_post(cond):
+    """Wan2.2 ti2v latent-replacement conditioning: re-impose the encoded
+    image as latent frame 0 after every solver update (None when the run
+    isn't image-conditioned)."""
+    img = cond.get("ti2v_img") if isinstance(cond, dict) else None
+    if img is None:
+        return None
+    return lambda x: jnp.concatenate([img.astype(x.dtype), x[:, 1:]], axis=1)
 
 
 @dataclasses.dataclass
@@ -116,6 +129,10 @@ class WanPipelineConfig:
                 base = dataclasses.replace(
                     base, vace_layers=tuple(range(0, base.layers, 5)))
             return base
+        if "5B" in self.model:
+            # ti2v-5B: dense trunk on 48-ch Wan2.2 latents; i2v = frame-0
+            # latent replacement, so no CLIP branch / mask channels
+            return dataclasses.replace(WAN_5B, dtype=self.dtype)
         base = WAN_14B if "14B" in self.model else WAN_1_3B
         base = dataclasses.replace(
             base,
@@ -132,14 +149,24 @@ class WanPipelineConfig:
                 base, vace_layers=tuple(range(0, base.layers, 5)))
         return base
 
+    @property
+    def vae_stride(self) -> Tuple[int, int, int]:
+        return (VAE_STRIDE_22 if "5B" in self.model and not self.tiny
+                else VAE_STRIDE)
+
+    @property
+    def latent_channels(self) -> int:
+        return (LATENT_CHANNELS_22 if "5B" in self.model and not self.tiny
+                else LATENT_CHANNELS)
+
     def latent_grid(self) -> Tuple[int, int, int]:
         w, h = self.size
-        f = (self.frame_num - 1) // VAE_STRIDE[0] + 1
+        f = (self.frame_num - 1) // self.vae_stride[0] + 1
         if self.task == "vace":
             # R2V reference images ride as prepended latent frames, trimmed
             # after sampling (wan VACE's trim_video_latent convention)
             f += self.vace_ref_images
-        return (f, h // VAE_STRIDE[1], w // VAE_STRIDE[2])
+        return (f, h // self.vae_stride[1], w // self.vae_stride[2])
 
     @property
     def pipeline_cls(self):
@@ -168,7 +195,7 @@ class WanPipeline(BasePipeline):
         lf, lh, lw = config.latent_grid()
         pt, ph, pw = self.model_cfg.patch
         self.grid = (lf // pt, lh // ph, lw // pw)
-        self.latent_shape = (lf, lh, lw, LATENT_CHANNELS)
+        self.latent_shape = (lf, lh, lw, config.latent_channels)
         self.core = make_wan_core(self.model_cfg, self.grid)
         self.text_encoder = text_encoder or MockTextEncoder(
             self.model_cfg.text_len, self.model_cfg.text_dim, scale=0.5)
@@ -329,7 +356,8 @@ class WanPipeline(BasePipeline):
             def fn(params, x, cond):
                 return sample_unipc(core, params, x, cond, sch,
                                     guidance_scale=g, dynamic_skip=tea,
-                                    return_skips=rs)
+                                    return_skips=rs,
+                                    post_step=_ti2v_post(cond))
 
             jitted = jax.jit(fn)
             self._jit_cache[key] = jitted
@@ -360,14 +388,16 @@ class WanPipeline(BasePipeline):
             def fn(params, x, cond):
                 return sample_unipc(core, params, x, cond, sch,
                                     cache_cfg=cache_cfg, guidance_scale=g,
-                                    return_skips=rs)
+                                    return_skips=rs,
+                                    post_step=_ti2v_post(cond))
         else:
             def fn(params, x, cond):
                 return sample_euler(core, params, x, cond,
                                     timesteps=sch.timesteps,
                                     dts=np.diff(sch.sigmas),
                                     cache_cfg=cache_cfg, guidance_scale=g,
-                                    dpm_coeffs=dpm, return_skips=rs)
+                                    dpm_coeffs=dpm, return_skips=rs,
+                                    post_step=_ti2v_post(cond))
 
         jitted = jax.jit(fn)
         self._jit_cache[key] = jitted
@@ -422,6 +452,35 @@ class WanPipeline(BasePipeline):
                     jax.random.PRNGKey(11), vcfg))
             self._enc_vae = vae
         return self._clip, self._enc_vae
+
+    def encode_ti2v(self, image) -> jnp.ndarray:
+        """Encode the ti2v conditioning image to ONE latent frame
+        f32[1, 1, lh, lw, z] of the Wan2.2-VAE space (frame-0 latent
+        replacement; no mask channels / CLIP tokens). With a loaded VAE
+        (``--vae_ckpt`` Wan2.2-VAE, shape-sniffed) this is a real encode;
+        checkpoint-free runs use the documented nearest-resize + fixed
+        random-projection mock (structurally aligned latents only)."""
+        import numpy as _np
+        img = _np.asarray(image)
+        if img.dtype == _np.uint8:
+            img = img.astype(_np.float32) / 255.0
+        w, h = self.config.size
+        lf, lh, lw, c = self.latent_shape
+        img_r = jax.image.resize(jnp.asarray(img, jnp.float32)[None],
+                                 (1, h, w, 3), method="bicubic")
+        img_r = jnp.clip(img_r, 0.0, 1.0) * 2.0 - 1.0
+        vae = self.vae
+        if vae is not None and hasattr(vae, "encode"):
+            out = vae.encode(img_r[:, None])
+            mean = out[0] if isinstance(out, tuple) else out
+        else:
+            lat = jax.image.resize(img_r, (1, lh, lw, 3), method="nearest")
+            proj = jax.random.normal(jax.random.PRNGKey(13), (3, c),
+                                     jnp.float32) / jnp.sqrt(3.0)
+            mean = (lat @ proj)[:, None]
+        assert mean.shape == (1, 1, lh, lw, c), (mean.shape,
+                                                 self.latent_shape)
+        return mean
 
     def encode_image(self, image) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """image: [H, W, 3] uint8 or [0,1] float. Returns (y, clip_fea):
@@ -603,9 +662,21 @@ class WanPipeline(BasePipeline):
                 vace_context = self.encode_vace(src_video, src_mask,
                                                 src_ref_images)
             cond["vace_context"] = jnp.concatenate([vace_context] * 2, axis=0)
+        if self.config.task == "ti2v" and (image is not None
+                                           or image_latents is not None):
+            # Wan2.2 ti2v i2v = latent replacement: the encoded image is
+            # latent frame 0, re-imposed after every solver step (no CLIP
+            # branch / mask channels; the reference routes img through the
+            # external WanTI2V, magcache_generate.py:745-747)
+            if image_latents is None:
+                image_latents = self.encode_ti2v(image)
+            cond["ti2v_img"] = image_latents
 
         noise_key = set_seed(seed)
         x0 = jax.random.normal(noise_key, (1,) + self.latent_shape, jnp.float32)
+        if "ti2v_img" in cond:
+            x0 = jnp.concatenate(
+                [cond["ti2v_img"].astype(x0.dtype), x0[:, 1:]], axis=1)
 
         if self.plan is not None:
             mesh = self.plan.mesh

@@ -193,3 +193,26 @@ def test_dash_spelled_flags_normalize():
     # values and =-joined flags pass through untouched
     assert _normalize_argv(["--magcache_thresh=0.12", "framepack-f1"]) == [
         "--magcache_thresh=0.12", "framepack-f1"]
+
+
+def test_ti2v_cli_routing():
+    """ti2v-5B: i2v ratio table only when an image conditions the run (the
+    reference's img-is-not-None switch, Wan2.2 magcache_generate.py:735-738);
+    guide scale defaults to the ti2v_5B config's 5.0 unless given."""
+    from magcache_tpu.cli.generate import _wan_pipeline
+
+    args = _parse(["--task", "ti2v-5B", "--tiny", "--prompt", "x"])
+    pipe, cfg = _wan_pipeline(args)
+    assert cfg.model == "wan2.2-ti2v-5B-t2v"
+    assert cfg.task == "ti2v"
+    assert cfg.guide_scale == 5.0
+
+    args = _parse(["--task", "ti2v-5B", "--tiny", "--prompt", "x",
+                   "--image", "img.png"])
+    _, cfg = _wan_pipeline(args)
+    assert cfg.model == "wan2.2-ti2v-5B-i2v"
+
+    args = _parse(["--task", "ti2v-5B", "--tiny", "--prompt", "x",
+                   "--sample_guide_scale", "4.0"])
+    _, cfg = _wan_pipeline(args)
+    assert cfg.guide_scale == 4.0

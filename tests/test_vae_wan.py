@@ -70,7 +70,7 @@ def make_wan_vae_sd(cfg, seed=1):
         c2(f"{prefix}.proj", c, c, k=1)
 
     # encoder: flat downsamples sequence
-    c3("encoder.conv1", 3, dims[0])
+    c3("encoder.conv1", cfg.pixel_channels, dims[0])
     k = 0
     cin = dims[0]
     for i, cout in enumerate(dims):
@@ -108,7 +108,7 @@ def make_wan_vae_sd(cfg, seed=1):
             k += 1
             cin = cout // 2
     sd["decoder.head.0.gamma"] = np.ones((rdims[-1], 1, 1), np.float32)
-    c3("decoder.head.2", rdims[-1], 3)
+    c3("decoder.head.2", rdims[-1], cfg.pixel_channels)
     c3("conv1", 2 * cfg.z_channels, 2 * cfg.z_channels, k=(1, 1, 1))
     c3("conv2", cfg.z_channels, cfg.z_channels, k=(1, 1, 1))
     return sd
@@ -222,16 +222,70 @@ def test_sniff_config_roundtrip_nondefault_shapes():
                          num_res_blocks=3,
                          temporal_down=(True, False)),
             WanVAEConfig(base=6, z_channels=4, dim_mult=(1, 4),
-                         num_res_blocks=2, temporal_down=(False,))):
+                         num_res_blocks=2, temporal_down=(False,)),
+            # Wan2.2-VAE layout: 2x2 pixel patchify in front (conv1 in=12)
+            WanVAEConfig(base=4, z_channels=12, dim_mult=(1, 2),
+                         num_res_blocks=1, temporal_down=(True,),
+                         patchify=2)):
         sniffed = sniff_wan_vae_config(make_wan_vae_sd(cfg))
         assert sniffed.base == cfg.base
         assert sniffed.z_channels == cfg.z_channels
         assert sniffed.dim_mult == tuple(cfg.dim_mult)
         assert sniffed.num_res_blocks == cfg.num_res_blocks
         assert sniffed.temporal_down == tuple(cfg.temporal_down)
+        assert sniffed.patchify == cfg.patchify
         # the sniffed config loads the dict it was sniffed from
         params = convert_wan_vae_state_dict(make_wan_vae_sd(cfg), sniffed)
         ref = init_wan_vae_params(jax.random.PRNGKey(0), sniffed)
         jax.tree.map(lambda a, b: None if a.shape == b.shape else
                      (_ for _ in ()).throw(AssertionError((a.shape, b.shape))),
                      params, ref)
+
+
+def test_wan22_patchify_geometry():
+    """Wan2.2-VAE layout: 2x2 pixel-unshuffle in front of the backbone gives
+    2x the backbone's spatial stride; encode/decode round-trip pixel shapes
+    (models/vae_wan.py WAN22_VAE; ti2v-5B latent space is 16x16x4 @ 48ch)."""
+    cfg = WanVAEConfig(base=4, z_channels=12, dim_mult=(1, 2),
+                       num_res_blocks=1, temporal_down=(True,), patchify=2)
+    vae = WanVAE(cfg, init_wan_vae_params(jax.random.PRNGKey(0), cfg))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 5, 32, 32, 3)),
+                    jnp.float32)
+    mean, logvar = vae.encode(x)
+    # one 3-D transition (/2 each) * patchify (/2 spatial) -> t:3, hw:/4
+    assert mean.shape == (1, 3, 8, 8, cfg.z_channels)
+    y = vae.decode(mean)
+    assert y.shape == (1, 5, 32, 32, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_patchify_pixels_roundtrip_and_order():
+    """_patchify_pixels matches torch's '(c p q) h w' channel order and
+    inverts exactly."""
+    from magcache_tpu.models.vae_wan import (_patchify_pixels,
+                                             _unpatchify_pixels)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 3, 4, 6, 3)),
+                    jnp.float32)
+    p = _patchify_pixels(x, 2)
+    assert p.shape == (2, 3, 2, 3, 12)
+    # channel order (c, dh, dw): out[..., c*4 + dh*2 + dw] = x[..., h*2+dh, w*2+dw, c]
+    xn = np.asarray(x)
+    pn = np.asarray(p)
+    for c in range(3):
+        for dh in range(2):
+            for dw in range(2):
+                np.testing.assert_array_equal(
+                    pn[..., c * 4 + dh * 2 + dw],
+                    xn[:, :, dh::2, dw::2, c])
+    np.testing.assert_array_equal(np.asarray(_unpatchify_pixels(p, 2)), xn)
+
+
+def test_wan22_full_config_stride():
+    """The published WAN22_VAE constants produce the ti2v-5B latent space:
+    stride (4, 16, 16), 48 channels."""
+    from magcache_tpu.models.vae_wan import WAN22_VAE
+    assert WAN22_VAE.z_channels == 48
+    assert WAN22_VAE.patchify == 2
+    assert WAN22_VAE.pixel_channels == 12
+    # spatial stride = patchify * 2^(#transitions) = 2 * 8 = 16
+    assert len(WAN22_VAE.dim_mult) == 4 and WAN22_VAE.base == 160
