@@ -175,7 +175,7 @@ def convert_wan_state_dict(sd: Dict[str, np.ndarray], cfg) -> dict:
         "ffn1": _stack([_lin(sd, blk(i, "ffn.0"), dt) for i in range(L)]),
         "ffn2": _stack([_lin(sd, blk(i, "ffn.2"), dt) for i in range(L)]),
     }
-    if cfg.model_type == "i2v":
+    if cfg.has_clip:
         blocks["cross_k_img"] = _stack([_lin(sd, blk(i, "cross_attn.k_img"), dt)
                                         for i in range(L)])
         blocks["cross_v_img"] = _stack([_lin(sd, blk(i, "cross_attn.v_img"), dt)

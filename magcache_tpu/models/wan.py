@@ -83,6 +83,14 @@ class WanConfig:
         return self.dim // self.heads
 
     @property
+    def has_clip(self) -> bool:
+        """Wan2.1-style i2v CLIP image branch. Wan2.2 drops it — the A14B
+        i2v conditions via the ``y`` concat alone and the reference forward
+        never consumes ``clip_fea`` (MagCache4Wan2.2
+        magcache_generate.py:216-246); ``clip_tokens=0`` encodes that."""
+        return self.model_type == "i2v" and self.clip_tokens > 0
+
+    @property
     def jdtype(self):
         return jnp.dtype(self.dtype)
 
@@ -153,7 +161,7 @@ def init_wan_params(key: jax.Array, cfg: WanConfig):
             "out": linear_params(nxt(), d, cfg.patch_out),
         },
     }
-    if cfg.model_type == "i2v":
+    if cfg.has_clip:
         params["img_emb"] = {
             "in": linear_params(nxt(), cfg.clip_dim, cfg.clip_dim),
             "out": linear_params(nxt(), cfg.clip_dim, d),
@@ -217,18 +225,48 @@ def _apply_rope_pairs(x, cos, sin):
     return apply_rope(x, cos, sin)
 
 
-def _wan_block(cfg: WanConfig, rope, ctx_split, p, carry):
-    """One WanAttentionBlock. carry = (x, e0f, context)."""
+def _wan_block(cfg: WanConfig, rope, ctx_split, n0, p, carry):
+    """One WanAttentionBlock. carry = (x, e0f, context).
+
+    ``e0`` is [B, 6, D] (uniform timestep) or [B, 2, 6, D] (Wan2.2 ti2v
+    per-token timestep: row 0 = the step's t, row 1 = t=0 applied to the
+    first ``n0`` tokens — the conditioned latent frame. The reference
+    forward expands t over seq_len for exactly this, Wan2.2
+    magcache_generate.py:261-268). Modulation/gating are elementwise, so the
+    per-token split is two static-slice applications + concat — the matmuls
+    and attention stay whole."""
     x, e0, context = carry
     cos, sin = rope
-    # e: [B, 6, D] fp32; per-block modulation table added (fp32 island)
-    e = (p["modulation"][None] + e0).astype(jnp.float32)
-    e_chunks = [e[:, i][:, None, :] for i in range(6)]
+    seg = e0.ndim == 4
+    from magcache_tpu.ops.fused_prologue import layer_norm_mod, rms_norm_rope
+    # e: fp32; per-block modulation table added (fp32 island)
+    e = (p["modulation"] + e0).astype(jnp.float32)
+    if seg:
+        mods = [e[:, 0, i][:, None, :] for i in range(6)]   # step's t
+        mods0 = [e[:, 1, i][:, None, :] for i in range(6)]  # t=0 prefix
+    else:
+        mods = mods0 = [e[:, i][:, None, :] for i in range(6)]
+
+    def ln_mod(x, i_shift, i_scale):
+        # fused LayerNorm+AdaLN prologue (ops/fused_prologue.py)
+        if not seg:
+            return layer_norm_mod(x, scale=mods[i_scale], shift=mods[i_shift],
+                                  eps=cfg.eps)
+        return jnp.concatenate([
+            layer_norm_mod(x[:, :n0], scale=mods0[i_scale],
+                           shift=mods0[i_shift], eps=cfg.eps),
+            layer_norm_mod(x[:, n0:], scale=mods[i_scale],
+                           shift=mods[i_shift], eps=cfg.eps)], axis=1)
+
+    def gate(x, y, i):
+        if not seg:
+            return x + (y.astype(jnp.float32) * mods[i]).astype(x.dtype)
+        g = jnp.concatenate([y[:, :n0].astype(jnp.float32) * mods0[i],
+                             y[:, n0:].astype(jnp.float32) * mods[i]], axis=1)
+        return x + g.astype(x.dtype)
 
     # self-attention
-    from magcache_tpu.ops.fused_prologue import layer_norm_mod, rms_norm_rope
-    # fused LayerNorm+AdaLN and RMSNorm+RoPE prologues (ops/fused_prologue.py)
-    xn = layer_norm_mod(x, scale=e_chunks[1], shift=e_chunks[0], eps=cfg.eps)
+    xn = ln_mod(x, 0, 1)
     q = rms_norm_rope(linear(p["q"], xn), p["norm_q"], cos, sin, cfg.heads,
                       eps=cfg.eps, norm_scope="token")
     k = rms_norm_rope(linear(p["k"], xn), p["norm_k"], cos, sin, cfg.heads,
@@ -236,7 +274,7 @@ def _wan_block(cfg: WanConfig, rope, ctx_split, p, carry):
     v = _heads(linear(p["v"], xn), cfg.heads)
     a = attention(q, k, v, fixed_max=QKNORM_FIXED_MAX).reshape(x.shape)
     y = linear(p["o"], a)
-    x = x + (y.astype(jnp.float32) * e_chunks[2]).astype(x.dtype)
+    x = gate(x, y, 2)
 
     # cross-attention (text, plus parallel CLIP branch for i2v)
     xc = layer_norm_mod(x, weight=p["norm3_w"], bias=p["norm3_b"],
@@ -257,9 +295,9 @@ def _wan_block(cfg: WanConfig, rope, ctx_split, p, carry):
     x = x + linear(p["cross_o"], ca)
 
     # FFN
-    xm = layer_norm_mod(x, scale=e_chunks[4], shift=e_chunks[3], eps=cfg.eps)
+    xm = ln_mod(x, 3, 4)
     y = linear(p["ffn2"], jax.nn.gelu(linear(p["ffn1"], xm), approximate=True))
-    x = x + (y.astype(jnp.float32) * e_chunks[5]).astype(x.dtype)
+    x = gate(x, y, 5)
     return maybe_shard(x, "tokens"), e0, context
 
 
@@ -292,7 +330,11 @@ def make_wan_core(cfg: WanConfig, grid: Tuple[int, int, int]) -> DiTCore:
     """
     rope_np = wan_rope_tables(cfg, grid)
     rope = (jnp.asarray(rope_np[0]), jnp.asarray(rope_np[1]))
-    ctx_split = cfg.clip_tokens if cfg.model_type == "i2v" else None
+    ctx_split = cfg.clip_tokens if cfg.has_clip else None
+    # first latent frame's token count — the per-token-timestep prefix
+    # (Wan2.2 ti2v conditions frame 0 with t=0; patch pt=1 keeps latent
+    # frame 0 = grid frame 0)
+    n0_prefix = grid[1] * grid[2]
 
     def prepare(params, x, t, cond):
         dt_ = cfg.jdtype
@@ -301,16 +343,27 @@ def make_wan_core(cfg: WanConfig, grid: Tuple[int, int, int]) -> DiTCore:
         hidden = linear(params["patch_embedding"], patchify(cfg, x.astype(dt_)))
 
         # fp32 time path (reference: amp.autocast fp32, magcache_generate.py:249-253)
-        e = linear(params["time_embedding"]["out"], jax.nn.silu(
-            linear(params["time_embedding"]["in"],
-                   timestep_embedding(t, cfg.freq_dim))))
-        e0 = linear(params["time_projection"], jax.nn.silu(e))
-        e0 = e0.reshape(e0.shape[0], 6, cfg.dim)
+        def time_path(tv):
+            e = linear(params["time_embedding"]["out"], jax.nn.silu(
+                linear(params["time_embedding"]["in"],
+                       timestep_embedding(tv, cfg.freq_dim))))
+            e0 = linear(params["time_projection"], jax.nn.silu(e))
+            return e, e0.reshape(e0.shape[0], 6, cfg.dim)
+
+        e, e0 = time_path(t)
+        if "ti2v_img" in cond:
+            # Wan2.2 ti2v per-token timestep: the conditioned latent frame
+            # (the first n0 tokens) runs at t=0 — the reference forward
+            # expands t over seq_len for this (magcache_generate.py:261-268)
+            assert cfg.patch[0] == 1, "ti2v t0-prefix needs pt=1"
+            ez, e0z = time_path(jnp.zeros_like(t))
+            e = jnp.stack([e, ez], axis=1)        # [B, 2, D]
+            e0 = jnp.stack([e0, e0z], axis=1)     # [B, 2, 6, D]
 
         ctx = jax.nn.gelu(linear(params["text_embedding"]["in"],
                                  cond["context"].astype(jnp.float32)), approximate=True)
         ctx = linear(params["text_embedding"]["out"], ctx).astype(dt_)
-        if cfg.model_type == "i2v":
+        if cfg.has_clip:
             img = jax.nn.gelu(linear(params["img_emb"]["in"],
                                      cond["clip_fea"].astype(jnp.float32)), approximate=True)
             img = linear(params["img_emb"]["out"], img).astype(dt_)
@@ -324,7 +377,7 @@ def make_wan_core(cfg: WanConfig, grid: Tuple[int, int, int]) -> DiTCore:
         return hidden, out_ctx
 
     def trunk(params, hidden, ctx):
-        block = functools.partial(_wan_block, cfg, rope, ctx_split)
+        block = functools.partial(_wan_block, cfg, rope, ctx_split, n0_prefix)
 
         if cfg.vace_layers:
             # VACE: run the hint stack over the conditioning-context tokens,
@@ -372,9 +425,18 @@ def make_wan_core(cfg: WanConfig, grid: Tuple[int, int, int]) -> DiTCore:
 
     def head(params, hidden, ctx):
         e = ctx["e"]
-        mod = params["head"]["modulation"][None] + e[:, None, :]
-        shift, scale = mod[:, 0][:, None, :], mod[:, 1][:, None, :]
-        h = layer_norm(hidden, eps=cfg.eps) * (1 + scale) + shift
+
+        def mod_head(h, ev):
+            mod = params["head"]["modulation"][None] + ev[:, None, :]
+            shift, scale = mod[:, 0][:, None, :], mod[:, 1][:, None, :]
+            return layer_norm(h, eps=cfg.eps) * (1 + scale) + shift
+
+        if e.ndim == 3:        # ti2v per-token t: (t, t=0-prefix) pair
+            h = jnp.concatenate([mod_head(hidden[:, :n0_prefix], e[:, 1]),
+                                 mod_head(hidden[:, n0_prefix:], e[:, 0])],
+                                axis=1)
+        else:
+            h = mod_head(hidden, e)
         out = linear(params["head"]["out"], h.astype(hidden.dtype))
         return unpatchify(cfg, out.astype(jnp.float32), grid)
 

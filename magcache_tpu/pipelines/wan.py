@@ -121,6 +121,11 @@ class WanPipelineConfig:
             if self.task in ("i2v", "flf2v"):
                 base = dataclasses.replace(base, model_type="i2v",
                                            in_channels=36)
+            if self.task == "i2v" and self.model.startswith("wan2.2"):
+                # Wan2.2 A14B i2v: y-concat only, no CLIP image branch
+                # (reference forward never consumes clip_fea,
+                # MagCache4Wan2.2/magcache_generate.py:216-246)
+                base = dataclasses.replace(base, clip_tokens=0)
             if self.task == "flf2v":
                 # both endpoint frames' CLIP tokens ride the context
                 base = dataclasses.replace(base,
@@ -140,6 +145,9 @@ class WanPipelineConfig:
             in_channels=36 if self.task in ("i2v", "flf2v") else 16,
             dtype=self.dtype,
         )
+        if self.task == "i2v" and self.model.startswith("wan2.2"):
+            # Wan2.2 A14B i2v drops the CLIP branch (see tiny path note)
+            base = dataclasses.replace(base, clip_tokens=0)
         if self.task == "flf2v":
             base = dataclasses.replace(base,
                                        clip_tokens=base.clip_tokens * 2)
@@ -325,10 +333,14 @@ class WanPipeline(BasePipeline):
             model_key, c.sample_steps, c.use_ret_steps)
         # signal: e0 (6-way modulation) with ret steps, else raw time embed e
         # (wan_teacache.py:534: modulated_inp = e0 if use_ref_steps else e)
+        # (ti2v per-token-t packs a (t, t=0) pair; row 0 is the step's t —
+        # the t=0 row is step-constant and would dilute the rel-L1 signal)
         if c.use_ret_steps:
-            signal = lambda p, h, ctx: ctx["e0"]
+            signal = lambda p, h, ctx: (ctx["e0"][:, 0]
+                                        if ctx["e0"].ndim == 4 else ctx["e0"])
         else:
-            signal = lambda p, h, ctx: ctx["e"]
+            signal = lambda p, h, ctx: (ctx["e"][:, 0]
+                                        if ctx["e"].ndim == 3 else ctx["e"])
         return TeaCacheLanes(thresh=c.teacache_thresh, coefficients=coeffs,
                              ret_steps=ret, cutoff_steps=cutoff, lanes=2,
                              signal_fn=signal)
@@ -411,7 +423,9 @@ class WanPipeline(BasePipeline):
         Matches the reference's encode flow (wan.WanI2V.generate via
         ``magcache_generate.py:989-1018``): CLIP visual penultimate-block
         features + first-frame VAE latents under a zero-padded video."""
-        if getattr(self, "_clip", None) is None:
+        if getattr(self, "_clip", None) is None and not self.model_cfg.has_clip:
+            self._clip = None      # Wan2.2 i2v: no CLIP branch to feed
+        elif getattr(self, "_clip", None) is None:
             from magcache_tpu.models.clip import (
                 CLIPVisionConfig, clip_vision_forward,
                 convert_clip_vision_state_dict, init_clip_vision_params)
@@ -488,18 +502,24 @@ class WanPipeline(BasePipeline):
         - ``y`` f32[1, F_lat, lh, lw, 20]: 4 mask channels (first latent frame
           = 1) + 16 VAE latent channels of [image; zero frames] — the
           reference's ``msk``+``y`` concat (wan.WanI2V.generate);
-        - ``clip_fea`` f32[1, tokens, clip_dim]: CLIP visual features.
+        - ``clip_fea`` f32[1, tokens, clip_dim]: CLIP visual features, or
+          None for Wan2.2 A14B i2v (no CLIP branch — the reference forward
+          never consumes clip_fea, MagCache4Wan2.2
+          magcache_generate.py:216-246).
         """
         import numpy as _np
 
-        from magcache_tpu.models.clip import preprocess_clip_image
-
-        (ccfg, cparams, clip_fn), vae = self._i2v_encoders()
         img = _np.asarray(image)
         if img.dtype == _np.uint8:
             img = img.astype(_np.float32) / 255.0
 
-        clip_fea = clip_fn(cparams, preprocess_clip_image(img, ccfg))
+        if self.model_cfg.has_clip:
+            from magcache_tpu.models.clip import preprocess_clip_image
+            (ccfg, cparams, clip_fn), vae = self._i2v_encoders()
+            clip_fea = clip_fn(cparams, preprocess_clip_image(img, ccfg))
+        else:
+            _, vae = self._i2v_encoders()
+            clip_fea = None
 
         w, h = self.config.size
         img_r = jax.image.resize(jnp.asarray(img, jnp.float32)[None],
@@ -656,7 +676,9 @@ class WanPipeline(BasePipeline):
                 assert image is not None, "i2v needs image= or image_latents="
                 image_latents, clip_features = self.encode_image(image)
             cond["y"] = jnp.concatenate([image_latents] * 2, axis=0)
-            cond["clip_fea"] = jnp.concatenate([clip_features] * 2, axis=0)
+            if clip_features is not None:     # absent on Wan2.2 A14B i2v
+                cond["clip_fea"] = jnp.concatenate([clip_features] * 2,
+                                                   axis=0)
         if self.config.task == "vace":
             if vace_context is None:
                 vace_context = self.encode_vace(src_video, src_mask,

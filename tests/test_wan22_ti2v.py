@@ -72,3 +72,94 @@ def test_ti2v_full_config_geometry():
     assert (mc.dim, mc.layers, mc.heads) == (3072, 30, 24)
     assert mc.in_channels == 48 and mc.out_channels == 48
     assert mc.model_type == "t2v"           # no CLIP/mask i2v branch
+
+
+def test_ti2v_per_token_t_zero_equivalence():
+    """With t=0 the per-token-timestep pair degenerates to the uniform path:
+    segmented forward must be exactly the unsegmented forward."""
+    import jax
+    from magcache_tpu.models.wan import (WanConfig, init_wan_params,
+                                         make_wan_core)
+    cfg = WanConfig.tiny()
+    grid = (3, 2, 4)
+    core = make_wan_core(cfg, grid)
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 3, 4, 8, cfg.in_channels)), jnp.float32)
+    ctxt = jnp.asarray(rng.normal(size=(1, cfg.text_len, cfg.text_dim)),
+                       jnp.float32)
+    img = jnp.zeros((1, 1, 4, 8, cfg.in_channels), jnp.float32)
+
+    def fwd(cond, t):
+        hidden, ctx = core.prepare(params, x, t, cond)
+        return np.asarray(core.head(params, core.trunk(params, hidden, ctx),
+                                    ctx))
+
+    t0 = jnp.zeros((1,), jnp.float32)
+    np.testing.assert_allclose(
+        fwd({"context": ctxt, "ti2v_img": img}, t0),
+        fwd({"context": ctxt}, t0), rtol=1e-5, atol=1e-5)
+    # at t != 0 the conditioned-frame modulation runs at t=0 -> outputs differ
+    t5 = jnp.full((1,), 500.0, jnp.float32)
+    a = fwd({"context": ctxt}, t5)
+    b = fwd({"context": ctxt, "ti2v_img": img}, t5)
+    assert np.abs(a - b).max() > 1e-4
+
+
+def test_ti2v_head_prefix_uses_t0_row():
+    """Order check on the segmented head (per-token, no attention mixing):
+    frame-0 rows must equal the t=0 head, later frames the t=t head."""
+    import jax
+    from magcache_tpu.models.wan import (WanConfig, init_wan_params,
+                                         make_wan_core)
+    cfg = WanConfig.tiny()
+    grid = (3, 2, 4)
+    core = make_wan_core(cfg, grid)
+    params = init_wan_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 3, 4, 8, cfg.in_channels)), jnp.float32)
+    ctxt = jnp.asarray(rng.normal(size=(1, cfg.text_len, cfg.text_dim)),
+                       jnp.float32)
+    img = jnp.zeros((1, 1, 4, 8, cfg.in_channels), jnp.float32)
+    h = jnp.asarray(rng.normal(size=(1, 3 * 2 * 4, cfg.dim)), jnp.float32)
+
+    t5 = jnp.full((1,), 500.0, jnp.float32)
+    t0 = jnp.zeros((1,), jnp.float32)
+    _, ctx_seg = core.prepare(params, x, t5, {"context": ctxt,
+                                              "ti2v_img": img})
+    _, ctx_t5 = core.prepare(params, x, t5, {"context": ctxt})
+    _, ctx_t0 = core.prepare(params, x, t0, {"context": ctxt})
+    out_seg = np.asarray(core.head(params, h, ctx_seg))
+    out_t5 = np.asarray(core.head(params, h, ctx_t5))
+    out_t0 = np.asarray(core.head(params, h, ctx_t0))
+    np.testing.assert_allclose(out_seg[:, 0], out_t0[:, 0],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(out_seg[:, 1:], out_t5[:, 1:],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_wan22_i2v_no_clip_branch():
+    """Wan2.2 A14B i2v: y-concat only — no CLIP params, no clip_fea in cond
+    (the reference forward never consumes clip_fea,
+    MagCache4Wan2.2/magcache_generate.py:216-246)."""
+    cfg = WanPipelineConfig(model="wan2.2-i2v-A14B", task="i2v", tiny=True,
+                            size=(64, 32), frame_num=9, sample_steps=4,
+                            sample_solver="unipc", sample_shift=5.0,
+                            dtype="float32")
+    assert not cfg.model_config().has_clip
+    pipe = WanPipeline(cfg)
+    assert "img_emb" not in pipe.params
+    assert "cross_k_img" not in pipe.params["blocks"]
+    out = pipe.generate("a cat", seed=0, image=_image())
+    assert np.isfinite(np.asarray(out.latents)).all()
+    # full config keeps the 36-ch y-concat input without the branch
+    full = WanPipelineConfig(model="wan2.2-i2v-A14B", task="i2v",
+                             size=(832, 480), frame_num=81, sample_steps=40,
+                             sample_solver="unipc", sample_shift=5.0)
+    mc = full.model_config()
+    assert mc.in_channels == 36 and not mc.has_clip
+    # Wan2.1 i2v keeps its CLIP branch
+    w21 = WanPipelineConfig(model="wan2.1-i2v-480p", task="i2v",
+                            size=(832, 480), frame_num=81, sample_steps=40,
+                            sample_solver="unipc", sample_shift=3.0)
+    assert w21.model_config().has_clip
