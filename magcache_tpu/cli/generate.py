@@ -308,14 +308,23 @@ def _wan_pipeline(args):
         "t2v-A14B": "wan2.2-t2v-A14B", "i2v-A14B": "wan2.2-i2v-A14B",
         "vace-1.3B": "wan2.1-vace-1.3B", "vace-14B": "wan2.1-vace-14B",
     }[args.task]
+    # Wan2.2 per-task defaults — the wan.configs values the reference falls
+    # back to when flags are omitted (_validate_args, Wan2.2
+    # magcache_generate.py:409-419: steps/shift/guide/frame_num <- cfg.*)
+    wan22 = {
+        "t2v-A14B": dict(steps=40, shift=12.0, guide=(3.0, 4.0), frames=81),
+        "i2v-A14B": dict(steps=40, shift=5.0, guide=(3.5, 3.5), frames=81),
+        "ti2v-5B": dict(steps=50, shift=5.0, guide=5.0, frames=121),
+    }.get(args.task)
+    if wan22 and args.frame_num == build_parser().get_default("frame_num"):
+        args.frame_num = wan22["frames"]
     if args.tiny:
         w, h, args.frame_num = 64, 32, 9
     if args.task.startswith("t2i"):
         args.frame_num = 1
     guide = args.sample_guide_scale
-    if args.task.startswith("ti2v") and guide == build_parser().get_default(
-            "sample_guide_scale"):
-        guide = 5.0     # Wan2.2 ti2v_5B config default
+    if wan22 and guide == build_parser().get_default("sample_guide_scale"):
+        guide = wan22["guide"]
     cfg = WanPipelineConfig(
         model=preset,
         task=("flf2v" if args.task.startswith("flf2v")
@@ -323,8 +332,9 @@ def _wan_pipeline(args):
               else "i2v" if args.task.startswith("i2v")
               else "vace" if args.task.startswith("vace") else "t2v"),
         size=(w, h), frame_num=args.frame_num,
-        sample_steps=args.sample_steps or 50,
-        sample_shift=args.sample_shift or (8.0 if h <= 480 else 5.0),
+        sample_steps=args.sample_steps or (wan22["steps"] if wan22 else 50),
+        sample_shift=args.sample_shift or (
+            wan22["shift"] if wan22 else (8.0 if h <= 480 else 5.0)),
         sample_solver=args.sample_solver,
         guide_scale=guide,
         use_magcache=args.use_magcache,
@@ -827,6 +837,32 @@ def _normalize_argv(argv):
     return out
 
 
+def _save_media(task: str, out, save_file: str) -> None:
+    """Write decoded media like the reference CLIs do (Wan
+    magcache_generate.py:806-812 save_video fps=cfg.sample_fps 16/ti2v 24;
+    hyvideo save_videos_grid fps=24; FramePack save_bcthw_as_mp4 fps=30;
+    videosys save_video: cogvideox/latte/vchitect 8, open-sora(-plan) 24)."""
+    from magcache_tpu.utils.misc import save_image, save_video
+    if out.image is not None:
+        p = save_image(np.asarray(out.image), save_file + ".png")
+        print(f"image -> {p}")
+        return
+    if out.video is None:
+        return
+    vid = np.asarray(out.video)
+    if vid.ndim == 5:       # [B, T, H, W, 3] -> first sample
+        vid = vid[0]
+    fps = next((v for k, v in (
+        ("ti2v", 24), ("hunyuan", 24), ("framepack", 30),
+        ("cogvideox", 8), ("latte", 8), ("vchitect", 8),
+        ("open-sora", 24)) if task.startswith(k)), 16)
+    if vid.shape[0] == 1:   # single-frame (t2i) -> still image
+        p = save_image(vid[0], save_file + ".png")
+    else:
+        p = save_video(vid, save_file + ".mp4", fps=fps)
+    print(f"video -> {p}")
+
+
 def main(argv=None):
     if argv is None:
         argv = sys.argv[1:]
@@ -1070,6 +1106,7 @@ def main(argv=None):
         lat = np.asarray(out.latents)
         np.save(save_file + "_latents.npy", lat)
         print(f"latents {lat.shape} -> {save_file}_latents.npy")
+        _save_media(args.task, out, save_file)
     mode = ("taylorseer" if taylorseer else "teacache" if teacache
             else "magcache" if args.use_magcache else "full")
     print(f"done: {steps} steps in {dt:.1f}s "

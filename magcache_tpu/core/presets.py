@@ -31,7 +31,9 @@ class MagCachePreset:
 # E/K/R sources:
 #   wan2.1 1.3B: MagCache4Wan2.1/magcache_generate.py:745-759 (E=0.12 K=2 R=0.2)
 #   wan2.1 14B/i2v: MagCache4Wan2.1/README.md:19,33 (E=0.24 K=6)
-#   wan2.2: MagCache4Wan2.2/magcache_generate.py:548-562 (E=0.04-0.06 K=2)
+#   wan2.2: MagCache4Wan2.2/README.md:10-62 recommended commands (E=0.06 K=2;
+#     t2v-A14B R=0.4, i2v-A14B R=0.1, ti2v R=0.2 = the CLI default); the bare
+#     CLI default E is 0.04 (magcache_generate.py:548-562)
 #   hunyuan: magcache_sample_video.py:303-305 (E=0.24 K=6 R=0.2)
 #   flux: magcache_flux.py:466-468 (E=0.24 K=5 R=0.1, forced canonical step 11 of 28)
 #   flux-kontext: magcache_flux_kontext.py:465-467 (E=0.05 K=4 R=0.2)
@@ -47,7 +49,7 @@ PRESETS: dict[str, MagCachePreset] = {
     "wan2.1-vace-1.3B": MagCachePreset("wan2.1-vace-1.3B", 0.12, 2, 0.2, lanes=2),
     "wan2.1-vace-14B": MagCachePreset("wan2.1-vace-14B", 0.24, 6, 0.2, lanes=2),
     "wan2.2-t2v-A14B": MagCachePreset("wan2.2-t2v-A14B", 0.06, 2, 0.4, lanes=2),
-    "wan2.2-i2v-A14B": MagCachePreset("wan2.2-i2v-A14B", 0.06, 2, 0.2, lanes=2),
+    "wan2.2-i2v-A14B": MagCachePreset("wan2.2-i2v-A14B", 0.06, 2, 0.1, lanes=2),
     "wan2.2-ti2v-5B-t2v": MagCachePreset("wan2.2-ti2v-5B-t2v", 0.06, 2, 0.2, lanes=2),
     "wan2.2-ti2v-5B-i2v": MagCachePreset("wan2.2-ti2v-5B-i2v", 0.06, 2, 0.2, lanes=2),
     "hunyuanvideo-720p": MagCachePreset("hunyuanvideo-720p", 0.24, 6, 0.2, lanes=1),

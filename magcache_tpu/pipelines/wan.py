@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 import time
 from functools import cached_property
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +71,13 @@ def _ti2v_post(cond):
     return lambda x: jnp.concatenate([img.astype(x.dtype), x[:, 1:]], axis=1)
 
 
+# Wan2.2 A14B expert-switch boundaries — the external ``wan.configs`` values
+# the reference consumes as ``cfg.boundary`` (t2v_A14B 0.875 / i2v_A14B 0.900;
+# MagCache4Wan2.2/magcache_generate.py:697,773 computes high_noise_steps from
+# them). Applied when the caller doesn't set ``moe_boundary`` explicitly.
+MOE_BOUNDARIES = {"wan2.2-t2v-A14B": 0.875, "wan2.2-i2v-A14B": 0.900}
+
+
 @dataclasses.dataclass
 class WanPipelineConfig:
     model: str = "wan2.1-t2v-1.3B"       # preset key; also selects size table
@@ -82,7 +89,10 @@ class WanPipelineConfig:
     sample_solver: str = "unipc"         # unipc | dpm++ | euler (reference
                                          # CLI choices are unipc/dpm++,
                                          # magcache_generate.py:728-731)
-    guide_scale: float = 6.0
+    # scalar, or a (low_noise, high_noise) pair for the A14B MoE — the
+    # reference passes wan.configs' sample_guide_scale tuple straight through
+    # (t2v_A14B (3.0, 4.0) / i2v_A14B (3.5, 3.5); magcache_generate.py:715)
+    guide_scale: Union[float, Tuple[float, float]] = 6.0
     use_magcache: bool = False
     magcache_thresh: Optional[float] = None
     magcache_K: Optional[int] = None
@@ -114,6 +124,18 @@ class WanPipelineConfig:
     clip_ckpt: Optional[str] = None      # CLIP vision tower weights (i2v)
     vace_ref_images: int = 0             # VACE R2V: # reference images
     tiny: bool = False                   # toy-size model for smoke runs
+
+    def __post_init__(self):
+        if self.moe_boundary is None:
+            self.moe_boundary = MOE_BOUNDARIES.get(self.model)
+
+    @property
+    def guide_pair(self) -> Tuple[float, float]:
+        """(low_noise, high_noise) CFG scales — wan.configs tuple order."""
+        g = self.guide_scale
+        if isinstance(g, (tuple, list)):
+            return float(g[0]), float(g[1])
+        return float(g), float(g)
 
     def model_config(self) -> WanConfig:
         if self.tiny:
@@ -299,21 +321,34 @@ class WanPipeline(BasePipeline):
         base = FlowMatchSchedule(sch.sigmas, sch.timesteps)
         boundary = base.boundary_step(c.moe_boundary)
         cache_cfg = self._cache_cfg(sch)
-        init_carry, step_in, body = unipc_executor(
+        # per-phase CFG scales: the reference passes wan.configs'
+        # sample_guide_scale (low, high) tuple through to generate
+        # (magcache_generate.py:715); the high-noise expert runs first
+        g_low, g_high = c.guide_pair
+        init_carry, step_in, body_hi = unipc_executor(
             self.core, sch, cache_cfg=cache_cfg,
-            guidance_scale=c.guide_scale, batch=batch)
+            guidance_scale=g_high, batch=batch)
+        if g_low == g_high:
+            body_lo = body_hi
+        else:
+            _, _, body_lo = unipc_executor(
+                self.core, sch, cache_cfg=cache_cfg,
+                guidance_scale=g_low, batch=batch)
 
-        phase = jax.jit(lambda params, cond, carry, seg: jax.lax.scan(
-            body(params, cond), carry, seg)[0])
+        def make_phase(body):
+            return jax.jit(lambda params, cond, carry, seg: jax.lax.scan(
+                body(params, cond), carry, seg)[0])
+
+        phase_hi, phase_lo = make_phase(body_hi), make_phase(body_lo)
 
         def fn(params_high, params_low, x, cond):
             carry = init_carry(params_high, x, cond)
             hi = tuple(a[:boundary] for a in step_in)
             lo = tuple(a[boundary:] for a in step_in)
             if boundary > 0:
-                carry = phase(params_high, cond, carry, hi)
+                carry = phase_hi(params_high, cond, carry, hi)
             if boundary < sch.num_steps:
-                carry = phase(params_low, cond, carry, lo)
+                carry = phase_lo(params_low, cond, carry, lo)
             return carry[0]
 
         self._jit_cache[key] = fn
@@ -354,6 +389,11 @@ class WanPipeline(BasePipeline):
         sch = self._schedule()
         cache_cfg = None if calibrate else self._cache_cfg(sch)
         g = self.config.guide_scale
+        if isinstance(g, (tuple, list)):
+            # dense path only sees a pair on A14B calibration runs (generate
+            # routes non-calibrate MoE through _sample_fn_moe); the reference
+            # calibrates the high-noise expert (magcache_generate.py:704-708)
+            g = self.config.guide_pair[1]
         core = self.core
         if self.config.enable_teacache and not calibrate:
             if self.config.use_magcache:

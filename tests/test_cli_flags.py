@@ -216,3 +216,30 @@ def test_ti2v_cli_routing():
                    "--sample_guide_scale", "4.0"])
     _, cfg = _wan_pipeline(args)
     assert cfg.guide_scale == 4.0
+
+
+def test_save_media_writes_video_and_image(tmp_path):
+    """The CLI writes decoded media next to the latents (the reference CLIs'
+    save_video/save_videos_grid step) with per-family fps; single-frame
+    videos and .image outputs become stills."""
+    from magcache_tpu.cli.generate import _save_media
+    from magcache_tpu.pipelines.base import PipelineOutput
+
+    vid = (np.random.default_rng(0).random((5, 16, 16, 3)) * 255
+           ).astype(np.uint8)
+    out = PipelineOutput(latents=None, video=vid)
+    _save_media("t2v-1.3B", out, str(tmp_path / "v"))
+    assert (tmp_path / "v.mp4").exists() or (tmp_path / "v.npy").exists()
+
+    out_img = PipelineOutput(latents=None, image=vid[0])
+    _save_media("flux-dev", out_img, str(tmp_path / "i"))
+    assert (tmp_path / "i.png").exists() or (tmp_path / "i.npy").exists()
+
+    # single-frame video -> still
+    out_t2i = PipelineOutput(latents=None, video=vid[:1])
+    _save_media("qwen-image", out_t2i, str(tmp_path / "s"))
+    assert (tmp_path / "s.png").exists() or (tmp_path / "s.npy").exists()
+
+    # no decoded media -> no-op
+    _save_media("t2v-1.3B", PipelineOutput(latents=None), str(tmp_path / "n"))
+    assert not list(tmp_path.glob("n.*"))

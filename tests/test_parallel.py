@@ -253,3 +253,33 @@ def test_teacache_dynamic_skip_sharded_equals_single():
     with use_mesh(plan):
         out = jax.jit(run)(params_s, x_s, cond_s)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_ti2v_segmented_forward_sharded_equals_single():
+    """Wan2.2 ti2v per-token-timestep forward (static token-prefix split at
+    n0, models/wan.py::_wan_block) under an sp-sharded token axis must match
+    single-device — the concat-of-slices modulation is the construct most
+    likely to regress under pjit."""
+    core, params, x, cond = _setup()
+    img = jnp.asarray(np.random.default_rng(3).normal(
+        size=(2, 1) + LAT[1:] + (CFG.in_channels,)), jnp.float32)
+    cond = {"context": cond["context"][:2], "ti2v_img": img}
+
+    def fwd(p, xx, cc):
+        t = jnp.full((xx.shape[0],), 400.0, jnp.float32)
+        hidden, ctx = core.prepare(p, xx, t, cc)
+        return core.head(p, core.trunk(p, hidden, ctx), ctx)
+
+    ref = np.asarray(jax.jit(fwd)(params, x, cond))
+
+    mesh = build_mesh(dp=2, sp=2, tp=2)
+    plan = MeshPlan(mesh)
+    params_s = shard_params(params, mesh)
+    x_s = jax.device_put(x, activation_sharding(mesh, "latents", x.ndim))
+    cond_s = {k: jax.device_put(v, activation_sharding(mesh, "context", v.ndim)
+                                if k == "context" else
+                                activation_sharding(mesh, "latents", v.ndim))
+              for k, v in cond.items()}
+    with use_mesh(plan):
+        out = jax.jit(fwd)(params_s, x_s, cond_s)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
