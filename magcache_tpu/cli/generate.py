@@ -45,7 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference choices unipc/dpm++ "
                         "(magcache_generate.py:728-731); euler kept for "
                         "FramePack-style paths")
-    p.add_argument("--sample_guide_scale", type=float, default=6.0)
+    # None = resolve the family's reference default (Wan magcache CLI 5.0,
+    # qwen true_cfg 4.0, hyvideo embedded 6.0, open-sora 7.0, cogvideox 6.0,
+    # latte/vchitect/OSP 7.5)
+    p.add_argument("--sample_guide_scale", type=float, default=None)
     p.add_argument("--base_seed", type=int, default=0)
     p.add_argument("--prompt", default="Two anthropomorphic cats in comfy "
                    "boxing gear and bright gloves fight intensely on a "
@@ -323,8 +326,10 @@ def _wan_pipeline(args):
     if args.task.startswith("t2i"):
         args.frame_num = 1
     guide = args.sample_guide_scale
-    if wan22 and guide == build_parser().get_default("sample_guide_scale"):
-        guide = wan22["guide"]
+    if guide is None:
+        # Wan2.1 magcache CLI default 5.0 (magcache_generate.py:741-744);
+        # Wan2.2 tasks resolve wan.configs values
+        guide = wan22["guide"] if wan22 else 5.0
     cfg = WanPipelineConfig(
         model=preset,
         task=("flf2v" if args.task.startswith("flf2v")
@@ -332,9 +337,15 @@ def _wan_pipeline(args):
               else "i2v" if args.task.startswith("i2v")
               else "vace" if args.task.startswith("vace") else "t2v"),
         size=(w, h), frame_num=args.frame_num,
-        sample_steps=args.sample_steps or (wan22["steps"] if wan22 else 50),
+        # Wan2.1 _validate_args defaults (magcache_generate.py:569-580):
+        # steps 50 (i2v 40); shift 5.0, i2v@480-class 3.0, flf2v/vace 16
+        sample_steps=args.sample_steps or (wan22["steps"] if wan22 else (
+            40 if args.task.startswith("i2v") else 50)),
         sample_shift=args.sample_shift or (
-            wan22["shift"] if wan22 else (8.0 if h <= 480 else 5.0)),
+            wan22["shift"] if wan22 else (
+                3.0 if args.task.startswith("i2v") and min(w, h) <= 480
+                else 16.0 if args.task.startswith(("flf2v", "vace"))
+                else 5.0)),
         sample_solver=args.sample_solver,
         guide_scale=guide,
         use_magcache=args.use_magcache,
@@ -470,7 +481,10 @@ def _qwen_pipeline(args):
     cfg = QwenImagePipelineConfig(
         model=model, height=h, width=w,
         sample_steps=args.sample_steps or 50,
-        true_cfg_scale=args.sample_guide_scale,
+        # reference default true_cfg_scale=4.0 (QwenImageEdit
+        # magcache_generate.py:283; QwenImage :30)
+        true_cfg_scale=(4.0 if args.sample_guide_scale is None
+                        else args.sample_guide_scale),
         txt_len=8 if args.tiny else (args.txt_len or 256),
         use_magcache=args.use_magcache,
         magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
@@ -523,6 +537,8 @@ def _hunyuan_pipeline(args):
     guidance = args.sample_guide_scale
     if getattr(args, "embedded_cfg_scale", None) is not None:
         guidance = args.embedded_cfg_scale
+    if guidance is None:
+        guidance = 6.0      # hyvideo --embedded_cfg_scale default
     kw = {}
     shift = (args.sample_shift if args.sample_shift is not None
              else getattr(args, "flow_shift", None))
@@ -562,7 +578,8 @@ def _open_sora_pipeline(args):
         resolution=getattr(args, "resolution", None),
         aspect_ratio=getattr(args, "aspect_ratio", None),
         num_sampling_steps=args.sample_steps or 30,
-        cfg_scale=args.sample_guide_scale,
+        cfg_scale=(7.0 if args.sample_guide_scale is None
+                   else args.sample_guide_scale),  # OpenSoraConfig default
         caption_len=6 if args.tiny else (args.txt_len or 300),
         use_magcache=args.use_magcache,
         magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
@@ -578,7 +595,8 @@ def _cogvideox_pipeline(args):
     from magcache_tpu.pipelines.cogvideox import (
         CogVideoXPipeline, CogVideoXPipelineConfig)
     kw = dict(num_inference_steps=args.sample_steps or 50,
-              guidance_scale=args.sample_guide_scale,
+              guidance_scale=(6.0 if args.sample_guide_scale is None
+                              else args.sample_guide_scale),  # CogVideoXConfig default
               use_magcache=args.use_magcache, dtype=args.dtype,
               tiny=args.tiny,
               enable_pab=getattr(args, 'enable_pab', False))
@@ -601,7 +619,8 @@ def _cogvideox_pipeline(args):
 def _latte_pipeline(args):
     from magcache_tpu.pipelines.latte import LattePipeline, LattePipelineConfig
     kw = dict(num_sampling_steps=args.sample_steps or 50,
-              guidance_scale=args.sample_guide_scale,
+              guidance_scale=(7.5 if args.sample_guide_scale is None
+                              else args.sample_guide_scale),  # LatteConfig default
               use_magcache=args.use_magcache, dtype=args.dtype,
               tiny=args.tiny,
               enable_pab=getattr(args, 'enable_pab', False))
@@ -625,7 +644,8 @@ def _vchitect_pipeline(args):
     from magcache_tpu.pipelines.vchitect import (
         VchitectPipeline, VchitectPipelineConfig)
     kw = dict(num_inference_steps=args.sample_steps or 100,
-              guidance_scale=args.sample_guide_scale,
+              guidance_scale=(7.5 if args.sample_guide_scale is None
+                              else args.sample_guide_scale),  # VchitectConfig default
               use_magcache=args.use_magcache, dtype=args.dtype,
               tiny=args.tiny,
               enable_pab=getattr(args, 'enable_pab', False))
@@ -663,7 +683,8 @@ def _open_sora_plan_pipeline(args):
     from magcache_tpu.pipelines.open_sora_plan import (
         OpenSoraPlanPipeline, OpenSoraPlanPipelineConfig)
     kw = dict(num_inference_steps=args.sample_steps or 150,
-              guidance_scale=args.sample_guide_scale,
+              guidance_scale=(7.5 if args.sample_guide_scale is None
+                              else args.sample_guide_scale),  # OpenSoraPlanConfig default
               use_magcache=args.use_magcache, dtype=args.dtype,
               tiny=args.tiny,
               enable_pab=getattr(args, 'enable_pab', False))
