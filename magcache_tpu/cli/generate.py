@@ -447,7 +447,10 @@ def _t5_or_none(args, seq_len: int):
 def _flux_pipeline(args):
     from magcache_tpu.pipelines.flux import FluxPipeline, FluxPipelineConfig
 
-    w, h = (int(v) for v in args.size.split("*"))
+    if args.size == build_parser().get_default("size"):
+        w = h = 1024    # diffusers FluxPipeline default canvas (the
+    else:               # reference script passes no size, magcache_flux.py:479)
+        w, h = (int(v) for v in args.size.split("*"))
     if args.tiny:
         w = h = 64
     cfg = FluxPipelineConfig(
@@ -470,7 +473,10 @@ def _qwen_pipeline(args):
         QwenImagePipeline,
         QwenImagePipelineConfig,
     )
-    w, h = (int(v) for v in args.size.split("*"))
+    if args.size == build_parser().get_default("size"):
+        w, h = 1664, 928    # the reference's 16:9 default canvas
+    else:                   # (QwenImage magcache_generate.py:287-296)
+        w, h = (int(v) for v in args.size.split("*"))
     if args.tiny:
         w = h = 64
     # an input image means the Edit pipeline (reference ships separate

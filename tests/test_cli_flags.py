@@ -243,3 +243,34 @@ def test_save_media_writes_video_and_image(tmp_path):
     # no decoded media -> no-op
     _save_media("t2v-1.3B", PipelineOutput(latents=None), str(tmp_path / "n"))
     assert not list(tmp_path.glob("n.*"))
+
+
+def test_image_family_default_canvas():
+    """Bare flux/qwen tasks use the family's reference canvas, not the Wan
+    832*480 size default (diffusers FluxPipeline 1024^2; QwenImage 16:9
+    1664x928, magcache_generate.py:287-296); explicit --size wins."""
+    from magcache_tpu.cli.generate import _flux_pipeline, _qwen_pipeline
+
+    args = _parse(["--task", "flux-dev", "--tiny", "--prompt", "x"])
+    args.tiny = False
+    import magcache_tpu.pipelines.flux as F
+    import magcache_tpu.pipelines.qwen_image as Q
+    captured = {}
+
+    class _Stub:
+        def __init__(self, cfg, **kw):
+            captured["cfg"] = cfg
+    orig_f, F.FluxPipeline = F.FluxPipeline, _Stub
+    orig_q, Q.QwenImagePipeline = Q.QwenImagePipeline, _Stub
+    try:
+        _flux_pipeline(args)
+        assert (captured["cfg"].width, captured["cfg"].height) == (1024, 1024)
+        args2 = _parse(["--task", "flux-dev", "--prompt", "x",
+                        "--size", "512*768"])
+        _flux_pipeline(args2)
+        assert (captured["cfg"].width, captured["cfg"].height) == (512, 768)
+        args3 = _parse(["--task", "qwen-image", "--prompt", "x"])
+        _qwen_pipeline(args3)
+        assert (captured["cfg"].width, captured["cfg"].height) == (1664, 928)
+    finally:
+        F.FluxPipeline, Q.QwenImagePipeline = orig_f, orig_q
