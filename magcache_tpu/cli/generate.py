@@ -1102,6 +1102,11 @@ def main(argv=None):
         gen_kwargs["src_video"] = np.load(args.src_video)
     if args.src_mask:
         gen_kwargs["src_mask"] = np.load(args.src_mask)
+    if (args.task.startswith("qwen")
+            and "edit" not in getattr(pipe.config, "model", "")):
+        # qwen-image t2i appends the "positive magic" suffix (the Edit script
+        # doesn't; QwenImage magcache_generate.py:278-299)
+        args.prompt = args.prompt + ", Ultra HD, 4K, cinematic composition."
     out = pipe.generate(args.prompt, seed=args.base_seed, **gen_kwargs)
     dt = time.time() - t0
 

@@ -80,6 +80,14 @@ def make_omnigen2_cache_config(
         retention_ratio=retention_ratio, lanes=lanes)
 
 
+# the reference CLI's --negative_prompt default (inference.py:115-119)
+OMNIGEN2_DEFAULT_NEGATIVE = (
+    "(((deformed))), blurry, over saturation, bad anatomy, disfigured, "
+    "poorly drawn face, mutation, mutated, (extra_limb), (ugly), "
+    "(poorly drawn hands), fused fingers, messy drawing, broken legs censor, "
+    "censored, censor_bar")
+
+
 @dataclasses.dataclass
 class OmniGen2PipelineConfig:
     mode: str = "edit"                 # t2i | edit
@@ -464,7 +472,8 @@ class OmniGen2Pipeline(BasePipeline):
 
         return fn
 
-    def generate(self, prompt: str, negative_prompt: str = "",
+    def generate(self, prompt: str,
+                 negative_prompt: str = OMNIGEN2_DEFAULT_NEGATIVE,
                  seed: int = 0, ref_latents=None) -> PipelineOutput:
         t0 = time.time()
         gh, gw = self.grid

@@ -110,7 +110,10 @@ class QwenImagePipeline(BasePipeline):
         self._jit_cache[k] = jitted
         return jitted
 
-    def generate(self, prompt: str, negative_prompt: str = "", seed: int = 0,
+    # the reference scripts pass negative_prompt=" " (one space — encodes
+    # differently from "" under true-CFG; QwenImage magcache_generate.py:285,
+    # QwenImageEdit :284)
+    def generate(self, prompt: str, negative_prompt: str = " ", seed: int = 0,
                  ref_latents=None) -> PipelineOutput:
         t0 = time.time()
         gh, gw = self.grid

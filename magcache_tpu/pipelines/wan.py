@@ -53,7 +53,17 @@ from magcache_tpu.utils.misc import set_seed
 
 # Default negative prompt of the Wan CLI (behavioral default; the reference
 # ships a Chinese quality-control negative prompt — any string works here).
-DEFAULT_NEGATIVE = "low quality, blurry, distorted, disfigured, text, watermark"
+# the wan package's config.sample_neg_prompt — the default every reference
+# Wan generate uses when no negative prompt is given (wan_teacache.py:121
+# `n_prompt = self.sample_neg_prompt`; the string lives in the external
+# wan.configs shared base). Transcribed from the public Wan2.1 repo; verify
+# against the checkpoint's config on first real-weights contact.
+DEFAULT_NEGATIVE = (
+    "色调艳丽，过曝，静态，细节模糊不清，字幕，风格，作品，画作，画面，静止，"
+    "整体发灰，最差质量，低质量，JPEG压缩残留，丑陋的，残缺的，多余的手指，"
+    "画得不好的手部，画得不好的脸部，畸形的，毁容的，形态畸形的肢体，"
+    "手指融合，静止不动的画面，杂乱的背景，三条腿，背景人很多，倒着走"
+)
 
 VAE_STRIDE = (4, 8, 8)          # Wan2.1 VAE
 LATENT_CHANNELS = 16
