@@ -143,6 +143,33 @@ def _self_check(args) -> dict:
         result["wan"]["decoded_teacache_vs_full"] = compare_videos(
             dec["teacache"], dec["full"], metrics=("psnr", "ssim"))
 
+    # ---- Wan2.2 ti2v (latent-replacement i2v + per-token t): full/magcache
+    touts, tskips = {}, {}
+    params = None
+    img = (np.random.default_rng(args.seed).random((32, 64, 3)) * 255
+           ).astype(np.uint8)
+    for variant in ("full", "magcache"):
+        cfg = WanPipelineConfig(
+            model="wan2.2-ti2v-5B-i2v", task="ti2v", tiny=True,
+            size=(64, 32), frame_num=9, sample_steps=args.steps,
+            sample_solver="unipc", sample_shift=5.0, dtype="float32",
+            use_magcache=(variant == "magcache"),
+            magcache_thresh=0.3, retention_ratio=0.1)
+        pipe = WanPipeline(cfg, params=params)
+        pipe.record_skips = variant != "full"
+        params = pipe.params
+        t0 = time.time()
+        out = pipe.generate("a calico cat on a windowsill", seed=args.seed,
+                            image=img)
+        times[f"ti2v_{variant}"] = time.time() - t0
+        touts[variant] = _norm_latents(out.latents)
+        if out.skips is not None:
+            tskips[variant] = _skip_count(out.skips)
+    result["ti2v"] = {
+        "magcache_vs_full": _latent_metrics(touts["magcache"], touts["full"]),
+        "skips": tskips,
+    }
+
     # ---- FLUX (single-lane Euler): full / magcache ----------------------
     from magcache_tpu.models.flux import unpack_latents
     from magcache_tpu.pipelines.flux import FluxPipeline, FluxPipelineConfig
@@ -225,6 +252,7 @@ def _self_check(args) -> dict:
 
     # ---- the gate: a comparator that never skipped proves nothing -------
     for fam, key in (("wan", "magcache"), ("wan", "teacache"),
+                     ("ti2v", "magcache"),
                      ("flux", "magcache"), ("framepack", "teacache"),
                      ("omnigen2", "taylorseer")):
         sc = result[fam]["skips"].get(key)

@@ -455,6 +455,10 @@ def _flux_pipeline(args):
         w = h = 64
     cfg = FluxPipelineConfig(
         model=args.task, height=h, width=w,
+        # embedded guidance: flux-dev 3.5 (diffusers default); Kontext passes
+        # 2.5 (magcache_flux_kontext.py:478)
+        guidance=(args.sample_guide_scale if args.sample_guide_scale
+                  is not None else (2.5 if "kontext" in args.task else 3.5)),
         num_inference_steps=args.sample_steps or 28,
         txt_len=8 if args.tiny else (args.txt_len or 512),
         use_magcache=args.use_magcache,
@@ -544,7 +548,9 @@ def _hunyuan_pipeline(args):
     if getattr(args, "embedded_cfg_scale", None) is not None:
         guidance = args.embedded_cfg_scale
     if guidance is None:
-        guidance = 6.0      # hyvideo --embedded_cfg_scale default
+        # hyvideo --embedded_cfg_scale default 6.0; the FramePack demo's
+        # distilled-guidance slider default is 10.0 (magcache_demo_gradio.py)
+        guidance = 10.0 if is_fp else 6.0
     kw = {}
     shift = (args.sample_shift if args.sample_shift is not None
              else getattr(args, "flow_shift", None))
@@ -556,7 +562,8 @@ def _hunyuan_pipeline(args):
         pyramid=is_fp,                   # plain Hunyuan has no clean pyramid
         latent_window_size=2 if args.tiny else (frame_num - 1) // 4 + 1,
         total_sections=1 if not is_fp else 5,
-        steps=steps or 50,
+        # hyvideo --infer-steps default 50; FramePack demo steps default 25
+        steps=steps or (25 if is_fp else 50),
         guidance=guidance,
         **kw,
         txt_len=8 if args.tiny else (args.txt_len or 256),

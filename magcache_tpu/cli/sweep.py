@@ -21,7 +21,10 @@ def build_parser():
                    choices=["full", "magcache", "teacache", "rolling"])
     p.add_argument("--teacache_thresh", type=float, default=0.2)
     p.add_argument("--use_ret_steps", action="store_true")
-    p.add_argument("--prompts", default=None, help="txt file, one prompt/line")
+    p.add_argument("--prompts", default=None,
+                   help="txt file (one prompt/line) or a VBench JSON list with prompt_en fields")
+    p.add_argument("--loop", type=int, default=1,
+                   help="videos per prompt; the VBench protocol uses 5 with seed=loop index (experiments/utils.py:9-14)")
     p.add_argument("--start_index", type=int, default=0)
     p.add_argument("--end_index", type=int, default=None)
     p.add_argument("--out_dir", default="sweep_out")
@@ -64,7 +67,7 @@ def main(argv=None):
         magcache_K=args.magcache_K, retention_ratio=args.retention_ratio,
         teacache_thresh=args.teacache_thresh, use_ret_steps=args.use_ret_steps,
         dp=args.dp, sp=args.sp, tp=args.tp, dtype=args.dtype,
-        ckpt_dir=args.ckpt_dir, tiny=args.tiny)
+        ckpt_dir=args.ckpt_dir, tiny=args.tiny, loop=args.loop)
     summary = run_sweep(cfg)
 
     if args.compare_to:

@@ -44,10 +44,17 @@ DEFAULT_PROMPTS = [
 
 
 def load_prompts(path: Optional[str]) -> List[str]:
+    """Plain-text (one per line) or the VBench JSON list the reference eval
+    reads (``[{"prompt_en": ...}, ...]``, experiments/utils.py:17-21)."""
     if path is None:
         return list(DEFAULT_PROMPTS)
     with open(path) as f:
-        return [ln.strip() for ln in f if ln.strip()]
+        text = f.read()
+    if text.lstrip().startswith("["):
+        items = json.loads(text)
+        return [it["prompt_en"] if isinstance(it, dict) else str(it)
+                for it in items]
+    return [ln.strip() for ln in text.splitlines() if ln.strip()]
 
 
 @dataclasses.dataclass
@@ -58,6 +65,10 @@ class SweepConfig:
     end_index: Optional[int] = None      # exclusive; None = all
     out_dir: str = "sweep_out"
     base_seed: int = 0
+    # videos per prompt: the VBench protocol generates 5 per prompt with
+    # seed = loop index (experiments/utils.py:9-14, ``seed=l``); 1 keeps the
+    # fixed per-prompt-seed behavior
+    loop: int = 1
     # pipeline knobs (forwarded to WanPipelineConfig)
     model: str = "wan2.1-t2v-1.3B"
     size: tuple = (832, 480)
@@ -116,31 +127,41 @@ def run_sweep(cfg: SweepConfig, pipeline=None) -> dict:
     t_all = time.time()
     batch = max(1, cfg.dp)
     with open(manifest_path, "w") as mf:
-        for b0 in range(0, len(sl), batch):
-            ids = sl[b0:b0 + batch]
-            t0 = time.time()
-            if batch > 1 and len(ids) == batch:
-                out = pipeline.generate_batch(
-                    [prompts[i] for i in ids], seed=cfg.base_seed + ids[0])
-                arrs = np.asarray(out.latents)
-            else:
-                outs = [pipeline.generate(prompts[i], seed=cfg.base_seed + i)
-                        for i in ids]
-                arrs = np.concatenate([np.asarray(o.latents) for o in outs], 0)
-            dt = (time.time() - t0) / len(ids)
-            for j, i in enumerate(ids):
-                arr = arrs[j]
-                if cfg.decode and pipeline.vae is not None:
-                    arr = np.asarray(pipeline.vae.decode(arr[None]))[0]
-                np.save(os.path.join(cfg.out_dir, f"{i:05d}.npy"), arr)
-                times.append(dt)
-                mf.write(json.dumps({
-                    "index": i, "prompt": prompts[i],
-                    "seed": cfg.base_seed + (i if batch == 1 else ids[0]),
-                    "sec_per_video": round(dt, 3),
-                    "variant": cfg.variant,
-                }) + "\n")
-            logger.info("sweep [%d..%d]: %.2fs/video", ids[0], ids[-1], dt)
+        for lp in range(max(1, cfg.loop)):
+            for b0 in range(0, len(sl), batch):
+                ids = sl[b0:b0 + batch]
+                # loop mode follows the VBench protocol's seed = loop index
+                # (experiments/utils.py:13, ``seed=l``)
+                seed_of = (lambda i: lp) if cfg.loop > 1 else (
+                    lambda i: cfg.base_seed + i)
+                t0 = time.time()
+                if batch > 1 and len(ids) == batch:
+                    out = pipeline.generate_batch(
+                        [prompts[i] for i in ids], seed=seed_of(ids[0]))
+                    arrs = np.asarray(out.latents)
+                else:
+                    outs = [pipeline.generate(prompts[i], seed=seed_of(i))
+                            for i in ids]
+                    arrs = np.concatenate(
+                        [np.asarray(o.latents) for o in outs], 0)
+                dt = (time.time() - t0) / len(ids)
+                tag = f"-{lp}" if cfg.loop > 1 else ""
+                for j, i in enumerate(ids):
+                    arr = arrs[j]
+                    if cfg.decode and pipeline.vae is not None:
+                        arr = np.asarray(pipeline.vae.decode(arr[None]))[0]
+                    np.save(os.path.join(cfg.out_dir, f"{i:05d}{tag}.npy"),
+                            arr)
+                    times.append(dt)
+                    mf.write(json.dumps({
+                        "index": i, "prompt": prompts[i],
+                        "loop": lp,
+                        "seed": seed_of(i if batch == 1 else ids[0]),
+                        "sec_per_video": round(dt, 3),
+                        "variant": cfg.variant,
+                    }) + "\n")
+                logger.info("sweep [%d..%d] loop %d: %.2fs/video",
+                            ids[0], ids[-1], lp, dt)
 
     summary = {
         "variant": cfg.variant,

@@ -274,3 +274,39 @@ def test_image_family_default_canvas():
         assert (captured["cfg"].width, captured["cfg"].height) == (1664, 928)
     finally:
         F.FluxPipeline, Q.QwenImagePipeline = orig_f, orig_q
+
+
+def test_framepack_vs_hunyuan_defaults():
+    """FramePack tasks default to the demo's 25 steps / gs 10.0; hunyuan
+    keeps hyvideo's 50 / 6.0 (magcache_demo_gradio.py sliders vs hyvideo
+    args)."""
+    args = _parse(["--task", "framepack", "--tiny", "--prompt", "x"])
+    _, cfg = _hunyuan_pipeline(args)
+    assert cfg.steps == 25 and cfg.guidance == 10.0
+    args = _parse(["--task", "hunyuanvideo", "--tiny", "--prompt", "x"])
+    _, cfg = _hunyuan_pipeline(args)
+    assert cfg.steps == 50 and cfg.guidance == 6.0
+
+
+def test_flux_guidance_defaults():
+    """flux-dev embedded guidance 3.5, Kontext 2.5
+    (magcache_flux_kontext.py:478); --sample_guide_scale overrides."""
+    from magcache_tpu.cli.generate import _flux_pipeline
+    import magcache_tpu.pipelines.flux as F
+    captured = {}
+
+    class _Stub:
+        def __init__(self, cfg, **kw):
+            captured["cfg"] = cfg
+    orig, F.FluxPipeline = F.FluxPipeline, _Stub
+    try:
+        for argv, want in (
+                (["--task", "flux-dev", "--tiny", "--prompt", "x"], 3.5),
+                (["--task", "flux-kontext-dev", "--tiny", "--prompt", "x"],
+                 2.5),
+                (["--task", "flux-dev", "--tiny", "--prompt", "x",
+                  "--sample_guide_scale", "4.5"], 4.5)):
+            _flux_pipeline(_parse(argv))
+            assert captured["cfg"].guidance == want
+    finally:
+        F.FluxPipeline = orig

@@ -50,3 +50,26 @@ def test_sweep_dp_batched(tmp_path):
     assert summary["count"] == 4
     assert sorted(os.listdir(out))[:4] == [
         "00000.npy", "00001.npy", "00002.npy", "00003.npy"]
+
+
+def test_sweep_vbench_loop_and_json_prompts(tmp_path):
+    """VBench protocol: JSON prompt list with prompt_en fields and 5 videos
+    per prompt at seed = loop index (experiments/utils.py:9-21)."""
+    pf = tmp_path / "prompts.json"
+    pf.write_text(json.dumps([{"prompt_en": "a red fox"},
+                              {"prompt_en": "a blue bird"}]))
+    out = tmp_path / "s"
+    cfg = _tiny_cfg(out_dir=str(out), prompts_file=str(pf), loop=2)
+    summary = run_sweep(cfg)
+    assert summary["count"] == 2
+    files = sorted(f for f in os.listdir(out) if f.endswith(".npy"))
+    assert files == ["00000-0.npy", "00000-1.npy",
+                     "00001-0.npy", "00001-1.npy"]
+    rows = [json.loads(l) for l in open(out / "manifest.jsonl")]
+    assert sorted({r["prompt"] for r in rows}) == ["a blue bird", "a red fox"]
+    # seed == loop index, NOT base_seed + prompt index
+    assert {(r["loop"], r["seed"]) for r in rows} == {(0, 0), (1, 1)}
+    # same prompt, different seeds -> different latents
+    a = np.load(out / "00000-0.npy")
+    b = np.load(out / "00000-1.npy")
+    assert np.abs(a - b).max() > 1e-4
