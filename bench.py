@@ -42,9 +42,30 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _init_backend_or_die(timeout_s: int = 300):
+    """Fail fast when the TPU tunnel is down — backend init otherwise blocks
+    indefinitely (observed 25 min before an UNAVAILABLE error)."""
+    import signal
+
+    def _handler(signum, frame):
+        raise TimeoutError(f"backend init exceeded {timeout_s}s")
+
+    signal.signal(signal.SIGALRM, _handler)
+    signal.alarm(timeout_s)
+    try:
+        import jax
+        return jax.devices()
+    except Exception as e:
+        log(f"FATAL: jax backend init failed: {e}")
+        sys.exit(2)
+    finally:
+        signal.alarm(0)
+
+
 def main():
     import jax
 
+    log(f"devices: {_init_backend_or_die()}")
     if jax.default_backend() != "cpu":
         # persistent cache only helps (and is only portable) on the TPU
         # backend; CPU AOT entries are machine-feature-pinned and loading one

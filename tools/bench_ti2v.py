@@ -29,9 +29,30 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _init_backend_or_die(timeout_s: int = 240):
+    """Fail fast when the TPU tunnel is down — backend init otherwise blocks
+    indefinitely (observed 25 min before an UNAVAILABLE error)."""
+    import signal
+
+    def _handler(signum, frame):
+        raise TimeoutError(f"backend init exceeded {timeout_s}s")
+
+    signal.signal(signal.SIGALRM, _handler)
+    signal.alarm(timeout_s)
+    try:
+        import jax
+        return jax.devices()
+    except Exception as e:
+        log(f"FATAL: jax backend init failed: {e}")
+        sys.exit(2)
+    finally:
+        signal.alarm(0)
+
+
 def main():
     import jax
 
+    log(f"devices: {_init_backend_or_die()}")
     if jax.default_backend() != "cpu":
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 
