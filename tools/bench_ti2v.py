@@ -30,23 +30,30 @@ def log(*a):
 
 
 def _init_backend_or_die(timeout_s: int = 240):
-    """Fail fast when the TPU tunnel is down — backend init otherwise blocks
-    indefinitely (observed 25 min before an UNAVAILABLE error)."""
-    import signal
+    """Fail fast when the TPU tunnel is down. Backend init blocks inside a C
+    call (observed 25 min before UNAVAILABLE), which Python signal handlers
+    cannot interrupt — so probe device init in a subprocess with a hard
+    timeout first, then initialize in-process only on success."""
+    import subprocess
+    import sys as _sys
 
-    def _handler(signum, frame):
-        raise TimeoutError(f"backend init exceeded {timeout_s}s")
-
-    signal.signal(signal.SIGALRM, _handler)
-    signal.alarm(timeout_s)
+    import jax
+    plat = jax.config.jax_platforms
+    if plat and plat.split(",")[0] == "cpu":
+        return jax.devices()        # CPU-forced run: init is instant
+    code = "import jax; print(jax.devices())"
     try:
-        import jax
-        return jax.devices()
-    except Exception as e:
-        log(f"FATAL: jax backend init failed: {e}")
-        sys.exit(2)
-    finally:
-        signal.alarm(0)
+        r = subprocess.run([_sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        log(f"FATAL: jax backend init probe exceeded {timeout_s}s "
+            "(TPU tunnel down?)")
+        _sys.exit(2)
+    if r.returncode != 0:
+        log(f"FATAL: jax backend init probe failed:\n{r.stderr[-2000:]}")
+        _sys.exit(2)
+    import jax
+    return jax.devices()
 
 
 def main():
