@@ -572,6 +572,7 @@ def _hunyuan_pipeline(args):
         retention_ratio=args.retention_ratio,
         use_teacache=getattr(args, "enable_teacache", False),
         teacache_thresh=getattr(args, "teacache_thresh", None),
+        magcache_calibration=args.magcache_calibration,
         dtype=args.dtype, tiny=args.tiny, ckpt_dir=args.ckpt_dir)
     text, pooled = _real_encoders(args, cfg.txt_len)
     return FramePackPipeline(cfg, text_encoder=text, pooled_encoder=pooled), cfg
@@ -723,6 +724,7 @@ def _omnigen2_pipeline(args):
     kw = dict(mode="t2i" if args.image is None else "edit",
               num_inference_steps=args.sample_steps or 50,
               use_magcache=args.use_magcache,
+              magcache_calibration=args.magcache_calibration,
               enable_taylorseer=getattr(args, "enable_taylorseer", False),
               enable_teacache=getattr(args, "enable_teacache", False),
               dtype=args.dtype, tiny=args.tiny)

@@ -485,6 +485,7 @@ def calibrate_euler(
     dts: np.ndarray,
     lanes: int = 1,
     guidance_scale: Optional[float] = None,
+    combine_fn: Optional[Callable] = None,
     dpm_coeffs=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full-compute run recording calibration stats.
@@ -493,9 +494,14 @@ def calibrate_euler(
     reference's ``cnt >= lanes`` convention: step i compares against step i-1's
     same-lane residual (``magcache_generate.py:165-175``); callers interleave
     lanes to recover the reference's flat ``cnt`` ordering.
+
+    ``combine_fn``: N-branch guidance combine (OmniGen2-style), same contract
+    as the samplers'; lanes are stacked on the batch axis when it is given.
     """
     batch = x_init.shape[0]
-    x_l0 = _stack_lanes(x_init, 2 if guidance_scale is not None else 1)
+    n_stack = (2 if guidance_scale is not None
+               else lanes if combine_fn is not None else 1)
+    x_l0 = _stack_lanes(x_init, n_stack)
     cache0 = _init_cache(core, params, x_l0, jnp.asarray(timesteps[:1]), cond)
     ts = jnp.asarray(np.asarray(timesteps, np.float32))
     dts_a = jnp.asarray(np.asarray(dts, np.float32))
@@ -510,8 +516,8 @@ def calibrate_euler(
 
     def body(carry, step_in):
         x, cache, x0p = carry
-        t, dt, dpc = step_in
-        x2 = _stack_lanes(x, 2 if guidance_scale is not None else 1)
+        t, dt, idx, dpc = step_in
+        x2 = _stack_lanes(x, n_stack)
         tvec = jnp.full((x2.shape[0],), t, jnp.float32)
         hidden, ctx = core.prepare(params, x2, tvec, cond)
         h = core.trunk(params, hidden, ctx)
@@ -525,7 +531,7 @@ def calibrate_euler(
         ]
         stats = jnp.stack(per_lane)  # [lanes, 3]
         out = core.head(params, h, ctx)
-        v = _cfg_combine(out, guidance_scale, batch)
+        v = _cfg_combine(out, guidance_scale, batch, combine_fn, lanes, idx)
         if dpm_coeffs is not None:
             sg, av, bv, cxd, cdd = (c_.astype(x.dtype) for c_ in dpc)
             x0 = x - sg * v.astype(x.dtype)
@@ -537,7 +543,7 @@ def calibrate_euler(
 
     (x_fin, _, _), stats = jax.lax.scan(
         body, (x_init, cache0, jnp.zeros_like(x_init)),
-        (ts, dts_a, dpm_steps))
+        (ts, dts_a, jnp.arange(n_cal), dpm_steps))
     return x_fin, stats[1:]  # step 0 has no previous residual
 
 

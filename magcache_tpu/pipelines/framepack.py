@@ -70,6 +70,10 @@ class FramePackPipelineConfig:
     # MagCache (fresh policy state each section scan)
     use_teacache: bool = False
     teacache_thresh: Optional[float] = None   # None -> FramePack default 0.15
+    # full-compute run recording per-step magnitude stats, per section (the
+    # reference patches `magcache_calibration` into the same forward:
+    # magcache_sample_video.py:349 comment / magcache_demo_gradio.py)
+    magcache_calibration: bool = False
     dtype: str = "float32"
     tiny: bool = False
     ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
@@ -163,11 +167,19 @@ class FramePackPipeline(BasePipeline):
                 self.model_cfg, c.txt_len, self.grid, framepack_pad=pad,
                 framepack_order="f1" if c.model.endswith("f1") else "padded")
 
-        def fn(params, x, cond):
-            return sample_euler(core, params, x, cond,
-                                timesteps=sch.timesteps, dts=dts,
-                                cache_cfg=cache_cfg, dynamic_skip=tea,
-                                return_skips=rs)
+        if c.magcache_calibration:
+            from magcache_tpu.core.sampler import calibrate_euler
+
+            def fn(params, x, cond):
+                return calibrate_euler(core, params, x, cond,
+                                       timesteps=sch.timesteps, dts=dts,
+                                       lanes=1)
+        else:
+            def fn(params, x, cond):
+                return sample_euler(core, params, x, cond,
+                                    timesteps=sch.timesteps, dts=dts,
+                                    cache_cfg=cache_cfg, dynamic_skip=tea,
+                                    return_skips=rs)
 
         self._section_fn[(pad, rs)] = jax.jit(fn)
         return self._section_fn[(pad, rs)]
@@ -191,9 +203,14 @@ class FramePackPipeline(BasePipeline):
         rs = bool(getattr(self, "record_skips", False))
         sec_skips: List[np.ndarray] = []
 
+        sec_stats: List[np.ndarray] = []
+
         def _run(fn, x0, cond):
             out = fn(self.params, x0, cond)
-            if rs:
+            if self.config.magcache_calibration:
+                out, stats = out
+                sec_stats.append(np.asarray(jax.device_get(stats)))
+            elif rs:
                 out, sk = out
                 sec_skips.append(np.asarray(jax.device_get(sk)))
             out.block_until_ready()
@@ -276,7 +293,17 @@ class FramePackPipeline(BasePipeline):
                 if on_section is not None:
                     on_section(s, sec)
         full = jnp.asarray(np.concatenate(history, axis=1))
-        return PipelineOutput(latents=full,
+        calibration = None
+        if c.magcache_calibration:
+            # sections run the same patched forward back to back; the
+            # reference's class-level lists accumulate across sections
+            flat = np.concatenate(sec_stats, axis=0).reshape(-1, 3)
+            calibration = {
+                "norm_ratio": [round(float(v), 5) for v in flat[:, 0]],
+                "norm_std": [round(float(v), 5) for v in flat[:, 1]],
+                "cos_dis": [round(float(v), 5) for v in flat[:, 2]],
+            }
+        return PipelineOutput(latents=full, calibration=calibration,
                               timings={"total_s": time.time() - t0,
                                        "sections": c.total_sections},
                               skips=(np.stack(sec_skips) if rs else None))

@@ -120,6 +120,10 @@ class OmniGen2PipelineConfig:
     # reference --scheduler choice (inference.py:41-47): euler (default) or
     # dpmsolver++ (flow-match DPM-Solver++ 2M, schedulers/dpm_flow.py)
     scheduler: str = "euler"
+    # full-compute run recording per-branch magnitude stats (the reference's
+    # calibration forwards in magcache/magcache_utils.py; branch order
+    # cond, uncond[, ref] interleaved into the flat cnt ordering)
+    magcache_calibration: bool = False
     dtype: str = "float32"
     tiny: bool = False
     ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
@@ -210,7 +214,8 @@ class OmniGen2Pipeline(BasePipeline):
 
     def _sample_fn(self):
         k = (self.config.use_magcache, self.config.enable_taylorseer,
-             self.config.enable_teacache, self.config.scheduler)
+             self.config.enable_teacache, self.config.scheduler,
+             self.config.magcache_calibration)
         if k in self._jit_cache:
             return self._jit_cache[k]
         c = self.config
@@ -232,7 +237,9 @@ class OmniGen2Pipeline(BasePipeline):
                 K=c.magcache_K, retention_ratio=c.retention_ratio)
         core, lanes, combine = self.core, self.lanes, self._combine()
 
-        if c.enable_taylorseer:
+        if c.magcache_calibration:
+            fn = self._calibrate_fn(sch, dpm)
+        elif c.enable_taylorseer:
             fn = self._taylorseer_fn(sch)
         elif c.enable_teacache:
             fn = self._teacache_fn(sch)
@@ -307,6 +314,79 @@ class OmniGen2Pipeline(BasePipeline):
         jitted = jax.jit(fn)
         self._jit_cache[k] = jitted
         return jitted
+
+    def _calibrate_fn(self, sch, dpm):
+        """Full-compute calibration (the reference's magcache_calibration
+        forwards): per-branch magnitude/std/cosine stats each step. t2i rides
+        the generic N-lane recorder; edit keeps the split-lane program pair
+        with lane order (cond, uncond, ref)."""
+        from magcache_tpu.core.sampler import (calibrate_euler,
+                                               calibration_stats)
+        c = self.config
+        core, lanes, combine = self.core, self.lanes, self._combine()
+        ts = jnp.asarray(sch.timesteps.astype(np.float32))
+        dts = jnp.asarray(np.diff(sch.sigmas).astype(np.float32))
+        n = c.num_inference_steps
+        if c.mode != "edit":
+            def fn(params, x, cond):
+                return calibrate_euler(core, params, x, cond,
+                                       timesteps=sch.timesteps,
+                                       dts=np.diff(sch.sigmas),
+                                       lanes=lanes, combine_fn=combine,
+                                       dpm_coeffs=dpm)
+            return fn
+
+        core_nor = self.core_noref
+        if dpm is not None:
+            dpm_steps = tuple(jnp.asarray(dpm[kk]) for kk in
+                              ("sigma_t", "a", "b", "c_x", "c_d"))
+        else:
+            dpm_steps = tuple(jnp.zeros(n, jnp.float32) for _ in range(5))
+
+        def fn(params, x, cond):
+            cond_a = {"txt": cond["txt"][jnp.asarray([0, 2])],
+                      "ref": jnp.concatenate([cond["ref"]] * 2, axis=0)}
+            cond_b = {"txt": cond["txt"][1:2]}
+
+            def body(carry, step_in):
+                x, ra_p, rb_p, x0p = carry
+                t, dt, idx, dpc = step_in
+                x2 = jnp.concatenate([x, x], axis=0)
+                tv2 = jnp.full((2,), t, jnp.float32)
+                ha, ctxa = core.prepare(params, x2, tv2, cond_a)
+                ha_out = core.trunk(params, ha, ctxa)
+                ra = ha_out - ha
+                outa = core.head(params, ha_out, ctxa)
+                tv1 = jnp.full((1,), t, jnp.float32)
+                hb, ctxb = core_nor.prepare(params, x, tv1, cond_b)
+                hb_out = core_nor.trunk(params, hb, ctxb)
+                rb = hb_out - hb
+                outb = core_nor.head(params, hb_out, ctxb)
+                # branch order (cond, uncond, ref) = the reference's flat cnt
+                stats = jnp.stack([
+                    calibration_stats(ra[0:1], ra_p[0:1]),
+                    calibration_stats(rb, rb_p),
+                    calibration_stats(ra[1:2], ra_p[1:2])])  # [3, 3]
+                e = combine((outa[0:1], outb, outa[1:2]), idx)
+                if dpm is not None:
+                    sg, av, bv, cxd, cdd = (v.astype(x.dtype) for v in dpc)
+                    x0 = x - sg * e.astype(x.dtype)
+                    x = cxd * x + cdd * (av * x0 + bv * x0p)
+                    x0p = x0
+                else:
+                    x = x + dt.astype(x.dtype) * e.astype(x.dtype)
+                return (x, ra, rb, x0p), stats
+
+            t0v = ts[:1]
+            x2 = jnp.concatenate([x, x], axis=0)
+            ra0 = _init_cache(core, params, x2, t0v, cond_a)
+            rb0 = _init_cache(core_nor, params, x, t0v, cond_b)
+            (x_fin, _, _, _), stats = jax.lax.scan(
+                body, (x, ra0, rb0, jnp.zeros_like(x)),
+                (ts, dts, jnp.arange(n), dpm_steps))
+            return x_fin, stats[1:]   # step 0 has no previous residual
+
+        return fn
 
     def _taylorseer_fn(self, sch):
         """TaylorSeer sampling (reference's third switch). t2i rides the
@@ -492,7 +572,18 @@ class OmniGen2Pipeline(BasePipeline):
             cond["ref"] = ref_latents
         x0 = jax.random.normal(set_seed(seed),
                                (1, gh * pp, gw * pp, c_in), jnp.float32)
-        latents = self._sample_fn()(self.params, x0, cond)
+        out = self._sample_fn()(self.params, x0, cond)
+        calibration = None
+        if self.config.magcache_calibration:
+            latents, stats = out
+            flat = np.asarray(jax.device_get(stats)).reshape(-1, 3)
+            calibration = {
+                "norm_ratio": [round(float(v), 5) for v in flat[:, 0]],
+                "norm_std": [round(float(v), 5) for v in flat[:, 1]],
+                "cos_dis": [round(float(v), 5) for v in flat[:, 2]],
+            }
+        else:
+            latents = out
         latents.block_until_ready()
-        return PipelineOutput(latents=latents,
+        return PipelineOutput(latents=latents, calibration=calibration,
                               timings={"total_s": time.time() - t0})

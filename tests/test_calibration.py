@@ -94,3 +94,43 @@ def test_unipc_calibration_differs_from_euler_and_matches_trajectory():
     x_gen = sample_unipc(core, params, x, cond, usch, guidance_scale=5.0)
     np.testing.assert_allclose(np.asarray(xu), np.asarray(x_gen),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_framepack_calibration_mode():
+    """FramePack calibration (the reference patches magcache_calibration into
+    the same per-section forward): per-section full-compute stats accumulate
+    across sections like the reference's class-level lists."""
+    from magcache_tpu.pipelines.framepack import (FramePackPipeline,
+                                                  FramePackPipelineConfig)
+    steps, sections = 4, 2
+    cfg = FramePackPipelineConfig(
+        tiny=True, pyramid=False, height=64, width=64, txt_len=16,
+        latent_window_size=3, total_sections=sections, steps=steps,
+        magcache_calibration=True)
+    pipe = FramePackPipeline(cfg)
+    out = pipe.generate("a cat", seed=0)
+    assert out.calibration is not None
+    n = (steps - 1) * 1 * sections          # (steps-1) x 1 lane x sections
+    assert len(out.calibration["norm_ratio"]) == n
+    r = np.asarray(out.calibration["norm_ratio"])
+    assert np.isfinite(r).all() and (r > 0).all()
+
+
+def test_omnigen2_calibration_t2i_and_edit():
+    """OmniGen2 calibration: per-branch stats in the reference's flat
+    (cond, uncond[, ref]) cnt order — 2 lanes for t2i, 3 for edit (the
+    split-lane program pair)."""
+    from magcache_tpu.pipelines.omnigen2 import (OmniGen2Pipeline,
+                                                 OmniGen2PipelineConfig)
+    steps = 4
+    for mode, lanes in (("t2i", 2), ("edit", 3)):
+        cfg = OmniGen2PipelineConfig(
+            mode=mode, tiny=True, num_inference_steps=steps,
+            magcache_calibration=True, dtype="float32")
+        pipe = OmniGen2Pipeline(cfg)
+        out = pipe.generate("a cat", seed=0)
+        assert out.calibration is not None, mode
+        n = (steps - 1) * lanes
+        assert len(out.calibration["norm_ratio"]) == n, mode
+        r = np.asarray(out.calibration["norm_ratio"])
+        assert np.isfinite(r).all() and (r > 0).all(), mode
