@@ -594,6 +594,7 @@ def _open_sora_pipeline(args):
         num_sampling_steps=args.sample_steps or 30,
         cfg_scale=(7.0 if args.sample_guide_scale is None
                    else args.sample_guide_scale),  # OpenSoraConfig default
+        magcache_calibration=args.magcache_calibration,
         caption_len=6 if args.tiny else (args.txt_len or 300),
         use_magcache=args.use_magcache,
         magcache_thresh=args.magcache_thresh, magcache_K=args.magcache_K,
@@ -611,8 +612,9 @@ def _cogvideox_pipeline(args):
     kw = dict(num_inference_steps=args.sample_steps or 50,
               guidance_scale=(6.0 if args.sample_guide_scale is None
                               else args.sample_guide_scale),  # CogVideoXConfig default
-              use_magcache=args.use_magcache, dtype=args.dtype,
-              tiny=args.tiny,
+              use_magcache=args.use_magcache,
+              magcache_calibration=args.magcache_calibration,
+              dtype=args.dtype, tiny=args.tiny,
               enable_pab=getattr(args, 'enable_pab', False))
     if args.magcache_thresh is not None:
         kw["magcache_thresh"] = args.magcache_thresh
@@ -635,8 +637,9 @@ def _latte_pipeline(args):
     kw = dict(num_sampling_steps=args.sample_steps or 50,
               guidance_scale=(7.5 if args.sample_guide_scale is None
                               else args.sample_guide_scale),  # LatteConfig default
-              use_magcache=args.use_magcache, dtype=args.dtype,
-              tiny=args.tiny,
+              use_magcache=args.use_magcache,
+              magcache_calibration=args.magcache_calibration,
+              dtype=args.dtype, tiny=args.tiny,
               enable_pab=getattr(args, 'enable_pab', False))
     if args.magcache_thresh is not None:
         kw["magcache_thresh"] = args.magcache_thresh
@@ -660,8 +663,9 @@ def _vchitect_pipeline(args):
     kw = dict(num_inference_steps=args.sample_steps or 100,
               guidance_scale=(7.5 if args.sample_guide_scale is None
                               else args.sample_guide_scale),  # VchitectConfig default
-              use_magcache=args.use_magcache, dtype=args.dtype,
-              tiny=args.tiny,
+              use_magcache=args.use_magcache,
+              magcache_calibration=args.magcache_calibration,
+              dtype=args.dtype, tiny=args.tiny,
               enable_pab=getattr(args, 'enable_pab', False))
     if args.magcache_thresh is not None:
         kw["magcache_thresh"] = args.magcache_thresh
@@ -699,8 +703,9 @@ def _open_sora_plan_pipeline(args):
     kw = dict(num_inference_steps=args.sample_steps or 150,
               guidance_scale=(7.5 if args.sample_guide_scale is None
                               else args.sample_guide_scale),  # OpenSoraPlanConfig default
-              use_magcache=args.use_magcache, dtype=args.dtype,
-              tiny=args.tiny,
+              use_magcache=args.use_magcache,
+              magcache_calibration=args.magcache_calibration,
+              dtype=args.dtype, tiny=args.tiny,
               enable_pab=getattr(args, 'enable_pab', False))
     if args.magcache_thresh is not None:
         kw["magcache_thresh"] = args.magcache_thresh

@@ -262,10 +262,18 @@ def sample_euler(
     dpm_coeffs=None,
     return_skips: bool = False,
     post_step: Optional[Callable] = None,
+    calibrate: bool = False,
 ) -> jnp.ndarray:
     """Linear-update sampler: ``x <- cx_i * x + dt_i * v [+ ns_i * z_i]`` per
     step, with MagCache. ``x_coeffs`` defaults to ones (plain Euler);
     CogVideoX's DDIM passes its host-precomputed (c_x, c_v=dts) pair.
+
+    ``calibrate=True``: full-compute run (no cache/skip machinery) that emits
+    per-step per-lane magnitude stats ``f32[num_steps-1, lanes, 3]`` as the
+    second return value — calibration then rides the *same trajectory* the
+    pipeline samples with (DDIM/EA/PNDM/DPM coefficients included), the
+    reference's patched-forward semantics. Mutually exclusive with
+    ``cache_cfg``/``dynamic_skip``/``return_skips``.
 
     ``post_step``: ``x -> x`` applied to the sample after every update —
     latent-replacement conditioning (Wan2.2 ti2v re-imposes the encoded image
@@ -303,6 +311,10 @@ def sample_euler(
     """
     num_steps = len(timesteps)
     batch = x_init.shape[0]
+    if calibrate:
+        assert cache_cfg is None and dynamic_skip is None \
+            and skip_mask_override is None and not return_skips, (
+                "calibrate is a full-compute recording mode")
     skip_mask, n_lanes, lane_of_row, partial_lanes = _lane_setup(
         cache_cfg, num_steps, guidance_scale, lanes, combine_fn, batch)
     if dynamic_skip is not None:
@@ -350,6 +362,7 @@ def sample_euler(
 
     def body(carry, step_in):
         x, cache, state, x0_prev = carry
+        cache_prev = cache[0] if dynamic_skip is not None else cache
         t, dt, cx, cin, ns, skip_bits, idx, dpc = step_in
         x2 = _stack_lanes(cin.astype(x.dtype) * x, n_lanes)
         tvec = jnp.full((x2.shape[0],), t, jnp.float32)
@@ -382,14 +395,23 @@ def sample_euler(
             x = x + ns.astype(x.dtype) * z
         if post_step is not None:
             x = post_step(x)
-        emitted = (skip_now if dynamic_skip is not None
-                   else skip_bits) if return_skips else None
+        if calibrate:
+            rpl = x2.shape[0] // n_lanes
+            emitted = jnp.stack([
+                calibration_stats(cache[l * rpl:(l + 1) * rpl],
+                                  cache_prev[l * rpl:(l + 1) * rpl])
+                for l in range(n_lanes)])          # [lanes, 3]
+        else:
+            emitted = (skip_now if dynamic_skip is not None
+                       else skip_bits) if return_skips else None
         return (x, cache, state, x0_prev), emitted
 
     (x_fin, _, _, _), emitted = jax.lax.scan(
         body, (x_init, cache0, state0, jnp.zeros_like(x_init)),
         (ts, dts_a, cxs, cins, nss, skips, jnp.arange(num_steps),
          (dsig, da, db, dcx, dcd)))
+    if calibrate:
+        return x_fin, emitted[1:]   # step 0 has no previous residual
     if return_skips:
         return x_fin, emitted
     return x_fin

@@ -33,3 +33,17 @@ class BasePipeline:
 
     def __call__(self, *args, **kwargs) -> PipelineOutput:
         return self.generate(*args, **kwargs)
+
+
+def calibration_dict(stats) -> dict:
+    """Flatten sampler calibration stats [steps-1, lanes, 3] into the
+    reference's printed lists (norm_ratio / norm_std / cos_dis in flat cnt
+    order, 5-decimal rounding — ``magcache_generate.py:921-928``)."""
+    import jax
+
+    flat = np.asarray(jax.device_get(stats)).reshape(-1, 3)
+    return {
+        "norm_ratio": [round(float(v), 5) for v in flat[:, 0]],
+        "norm_std": [round(float(v), 5) for v in flat[:, 1]],
+        "cos_dis": [round(float(v), 5) for v in flat[:, 2]],
+    }

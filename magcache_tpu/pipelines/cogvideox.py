@@ -38,6 +38,9 @@ class CogVideoXPipelineConfig:
     txt_len: int = 226
     use_magcache: bool = False
     magcache_ratios: Optional[tuple] = None   # calibrate per deployment
+    # full-compute run recording per-lane magnitude stats on the pipeline's
+    # own DDIM trajectory (feed the norm_ratio list back via magcache_ratios)
+    magcache_calibration: bool = False
     magcache_thresh: float = 0.12
     magcache_K: int = 3
     retention_ratio: float = 0.2
@@ -93,10 +96,11 @@ class CogVideoXPipeline(BasePipeline):
         if self._fn is not None:
             return self._fn
         c = self.config
+        calibrate = c.magcache_calibration
         sch = CogVideoDDIMSchedule.create(c.num_inference_steps)
         c_x, c_v = sch.step_arrays()
         cache_cfg = None
-        if c.use_magcache:
+        if c.use_magcache and not calibrate:
             ratios = c.magcache_ratios
             if ratios is None:
                 # no published CogVideoX calibration in the reference — run
@@ -116,7 +120,8 @@ class CogVideoXPipeline(BasePipeline):
             return sample_euler(core, params, z, cond,
                                 timesteps=sch.timesteps.astype(np.float32),
                                 dts=c_v, x_coeffs=c_x, cache_cfg=cache_cfg,
-                                lanes=2, combine_fn=combine)
+                                lanes=2, combine_fn=combine,
+                                calibrate=calibrate)
 
         self._fn = jax.jit(fn)
         return self._fn
@@ -127,7 +132,14 @@ class CogVideoXPipeline(BasePipeline):
         cond = {"txt": self.text_encoder([prompt, negative_prompt])}
         z = jax.random.normal(set_seed(seed), (1,) + self.latent_shape,
                               jnp.float32)
-        latents = self._sample_fn()(self.params, z, cond)
+        out = self._sample_fn()(self.params, z, cond)
+        calibration = None
+        if self.config.magcache_calibration:
+            from magcache_tpu.pipelines.base import calibration_dict
+            latents, stats = out
+            calibration = calibration_dict(stats)
+        else:
+            latents = out
         latents.block_until_ready()
         video = None
         if self.vae is not None:
@@ -138,4 +150,5 @@ class CogVideoXPipeline(BasePipeline):
             dec = getattr(self.vae, "decode_tiled", None) or self.vae.decode
             video = np.asarray(dec(z))
         return PipelineOutput(latents=latents, video=video,
+                              calibration=calibration,
                               timings={"total_s": time.time() - t0})

@@ -32,6 +32,8 @@ class LattePipelineConfig:
     guidance_scale: float = 7.5
     caption_len: int = 120
     use_magcache: bool = False
+    # full-compute magnitude-stat recording on this pipeline's trajectory
+    magcache_calibration: bool = False
     magcache_ratios: Optional[tuple] = None
     magcache_thresh: float = 0.12
     magcache_K: int = 3
@@ -89,7 +91,7 @@ class LattePipeline(BasePipeline):
         sch = RFlowSchedule.create(c.num_sampling_steps)
         dts = np.array([sch.dt(i) for i in range(sch.num_steps)], np.float32)
         cache_cfg = None
-        if c.use_magcache:
+        if c.use_magcache and not c.magcache_calibration:
             ratios = c.magcache_ratios or tuple(np.ones(c.num_sampling_steps))
             cache_cfg = MagCacheConfig(
                 num_steps=c.num_sampling_steps, mag_ratios=tuple(ratios),
@@ -100,7 +102,8 @@ class LattePipeline(BasePipeline):
         def fn(params, z, cond):
             return sample_euler(core, params, z, cond, timesteps=sch.timesteps,
                                 dts=dts, cache_cfg=cache_cfg,
-                                guidance_scale=g)
+                                guidance_scale=g,
+                                calibrate=c.magcache_calibration)
 
         self._fn = jax.jit(fn)
         return self._fn
@@ -111,10 +114,18 @@ class LattePipeline(BasePipeline):
         cond = {"y": self.text_encoder([prompt, negative_prompt])}
         z = jax.random.normal(set_seed(seed), (1,) + self.latent_shape,
                               jnp.float32)
-        latents = self._sample_fn()(self.params, z, cond)
+        out = self._sample_fn()(self.params, z, cond)
+        calibration = None
+        if self.config.magcache_calibration:
+            from magcache_tpu.pipelines.base import calibration_dict
+            latents, stats = out
+            calibration = calibration_dict(stats)
+        else:
+            latents = out
         latents.block_until_ready()
         video = None
         if self.vae is not None:
             video = np.asarray(self.vae.decode(latents))
         return PipelineOutput(latents=latents, video=video,
+                              calibration=calibration,
                               timings={"total_s": time.time() - t0})

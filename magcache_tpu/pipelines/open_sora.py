@@ -65,6 +65,9 @@ class OpenSoraPipelineConfig:
     # acceleration strategies (mutually composable in principle; the reference
     # evaluates them separately)
     use_magcache: bool = False
+    # full-compute magnitude-stat recording on the RFLOW trajectory (the
+    # eval calibrations' path); plain t2v loop only (no mask strategy)
+    magcache_calibration: bool = False
     magcache_thresh: Optional[float] = None
     magcache_K: Optional[int] = None
     retention_ratio: Optional[float] = None
@@ -141,7 +144,7 @@ class OpenSoraPipeline(BasePipeline):
 
     def _cache_cfg(self):
         c = self.config
-        if not c.use_magcache:
+        if not c.use_magcache or c.magcache_calibration:
             return None
         if c.cache_policy == "rolling":
             from magcache_tpu.core.rolling import RollingCacheConfig
@@ -187,7 +190,8 @@ class OpenSoraPipeline(BasePipeline):
             # joint batch of 2 rides the row axis through a single forward
             return sample_euler(core, params, z, cond, timesteps=sch.timesteps,
                                 dts=dts, cache_cfg=cache_cfg, lanes=2,
-                                combine_fn=combine, return_skips=rs)
+                                combine_fn=combine, return_skips=rs,
+                                calibrate=c.magcache_calibration)
 
         self._fn = jax.jit(fn)
         return self._fn
@@ -314,13 +318,19 @@ class OpenSoraPipeline(BasePipeline):
                 # is a per-frame no-op; routing to the static scan keeps the
                 # cheaper compiled program
                 masks = None
+            assert not (self.config.magcache_calibration
+                        and masks is not None), (
+                "calibration records the plain t2v trajectory; drop the "
+                "mask strategy / loop conditioning")
             if masks is None:
                 out = self._sample_fn()(self.params, jnp.asarray(z), cond)
             else:
                 out = self._sample_fn_masked()(
                     self.params, jnp.asarray(z), cond,
                     jnp.asarray(masks, jnp.float32), nkey)
-            if rs:
+            if self.config.magcache_calibration:
+                out, cal_stats = out
+            elif rs:
                 out, sk = out
                 all_skips.append(np.asarray(jax.device_get(sk)))
             out.block_until_ready()
@@ -336,6 +346,11 @@ class OpenSoraPipeline(BasePipeline):
         video = None
         if self.vae is not None:
             video = np.asarray(self.vae.decode(latents))
+        calibration = None
+        if self.config.magcache_calibration:
+            from magcache_tpu.pipelines.base import calibration_dict
+            calibration = calibration_dict(cal_stats)
         return PipelineOutput(latents=latents, video=video,
+                              calibration=calibration,
                               skips=(np.stack(all_skips) if rs else None),
                               timings={"total_s": time.time() - t0})

@@ -42,6 +42,9 @@ class OpenSoraPlanPipelineConfig:
     guidance_scale: float = 7.5
     caption_len: int = 512
     use_magcache: bool = False
+    # full-compute magnitude-stat recording (v120 Euler-Ancestral trajectory;
+    # v110's PNDM recorder is not wired)
+    magcache_calibration: bool = False
     magcache_ratios: Optional[tuple] = None
     magcache_thresh: float = 0.12
     magcache_K: int = 3
@@ -137,7 +140,7 @@ class OpenSoraPlanPipeline(BasePipeline):
 
     def _cache_cfg(self) -> Optional[MagCacheConfig]:
         c = self.config
-        if not c.use_magcache:
+        if not c.use_magcache or c.magcache_calibration:
             return None
         n = c.num_inference_steps * 2
         ratios = c.magcache_ratios
@@ -159,6 +162,10 @@ class OpenSoraPlanPipeline(BasePipeline):
         cache_cfg = self._cache_cfg()
 
         if c.version == "v110":
+            if c.magcache_calibration:
+                raise ValueError("magcache_calibration supports the v120 "
+                                 "Euler-Ancestral path; v110 PNDM is not "
+                                 "wired for recording")
             sch = PNDMSchedule.create(c.num_inference_steps)
 
             def fn(params, z, cond, noise_key):
@@ -172,7 +179,8 @@ class OpenSoraPlanPipeline(BasePipeline):
                     core, params, z, cond, timesteps=sch.timesteps,
                     dts=sch.dts, in_scales=sch.in_scales,
                     noise_scales=sch.noise_scales, noise_key=noise_key,
-                    cache_cfg=cache_cfg, guidance_scale=g)
+                    cache_cfg=cache_cfg, guidance_scale=g,
+                    calibrate=c.magcache_calibration)
 
         self._fn = jax.jit(fn)
         return self._fn
@@ -188,10 +196,18 @@ class OpenSoraPlanPipeline(BasePipeline):
                       self.config.num_inference_steps).init_noise_sigma)
         z = jax.random.normal(k_init, (1,) + self.latent_shape,
                               jnp.float32) * sigma0
-        latents = self._sample_fn()(self.params, z, cond, k_anc)
+        out = self._sample_fn()(self.params, z, cond, k_anc)
+        calibration = None
+        if self.config.magcache_calibration:
+            from magcache_tpu.pipelines.base import calibration_dict
+            latents, stats = out
+            calibration = calibration_dict(stats)
+        else:
+            latents = out
         latents.block_until_ready()
         video = None
         if self.vae is not None:
             video = np.asarray(self.vae.decode(latents))
         return PipelineOutput(latents=latents, video=video,
+                              calibration=calibration,
                               timings={"total_s": time.time() - t0})

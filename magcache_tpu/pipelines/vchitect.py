@@ -40,6 +40,8 @@ class VchitectPipelineConfig:
     txt_len: int = 77
     sample_shift: float = 1.0            # FlowMatch shift (SD3 default 1.0)
     use_magcache: bool = False
+    # full-compute magnitude-stat recording on this pipeline's trajectory
+    magcache_calibration: bool = False
     magcache_ratios: Optional[tuple] = None
     magcache_thresh: float = 0.12
     magcache_K: int = 3
@@ -104,7 +106,7 @@ class VchitectPipeline(BasePipeline):
 
     def _cache_cfg(self) -> Optional[MagCacheConfig]:
         c = self.config
-        if not c.use_magcache:
+        if not c.use_magcache or c.magcache_calibration:
             return None
         n = c.num_inference_steps * 2
         ratios = c.magcache_ratios
@@ -130,7 +132,8 @@ class VchitectPipeline(BasePipeline):
         def fn(params, z, cond):
             return sample_euler(core, params, z, cond, timesteps=sch.timesteps,
                                 dts=np.diff(sch.sigmas), cache_cfg=cache_cfg,
-                                guidance_scale=g)
+                                guidance_scale=g,
+                                calibrate=c.magcache_calibration)
 
         self._fn = jax.jit(fn)
         return self._fn
@@ -144,10 +147,18 @@ class VchitectPipeline(BasePipeline):
         }
         z = jax.random.normal(set_seed(seed), (1,) + self.latent_shape,
                               jnp.float32)
-        latents = self._sample_fn()(self.params, z, cond)
+        out = self._sample_fn()(self.params, z, cond)
+        calibration = None
+        if self.config.magcache_calibration:
+            from magcache_tpu.pipelines.base import calibration_dict
+            latents, stats = out
+            calibration = calibration_dict(stats)
+        else:
+            latents = out
         latents.block_until_ready()
         video = None
         if self.vae is not None:
             video = np.asarray(self.vae.decode(latents))
         return PipelineOutput(latents=latents, video=video,
+                              calibration=calibration,
                               timings={"total_s": time.time() - t0})

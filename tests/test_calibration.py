@@ -134,3 +134,77 @@ def test_omnigen2_calibration_t2i_and_edit():
         assert len(out.calibration["norm_ratio"]) == n, mode
         r = np.asarray(out.calibration["norm_ratio"])
         assert np.isfinite(r).all() and (r > 0).all(), mode
+
+
+def test_sample_euler_calibrate_matches_calibrate_euler():
+    """sample_euler(calibrate=True) — calibration riding the pipeline's own
+    trajectory — agrees with the standalone recorder on the plain-euler path
+    (differences are compile-variant f32 rounding only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from magcache_tpu.core.sampler import calibrate_euler, sample_euler
+    from magcache_tpu.models.wan import (WanConfig, init_wan_params,
+                                         make_wan_core)
+    cfg = WanConfig.tiny()
+    core = make_wan_core(cfg, (2, 2, 4))
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 2, 4, 8, cfg.in_channels)),
+                    jnp.float32)
+    cond = {"context": jnp.asarray(
+        rng.normal(size=(2, cfg.text_len, cfg.text_dim)), jnp.float32)}
+    ts = np.linspace(1000, 1, 5).astype(np.float32)
+    dts = -np.ones(5, np.float32) * 0.1
+    xa, sa = calibrate_euler(core, params, x, cond, timesteps=ts, dts=dts,
+                             lanes=2, guidance_scale=5.0)
+    xb, sb = sample_euler(core, params, x, cond, timesteps=ts, dts=dts,
+                          guidance_scale=5.0, calibrate=True)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                               rtol=1e-3, atol=1e-5)
+    assert np.asarray(sb).shape == (4, 2, 3)
+
+
+def test_videosys_families_calibration_mode():
+    """Every videosys-family pipeline records calibration on its own
+    trajectory (DDIM / RFLOW / flow-match / Euler-Ancestral); lengths follow
+    (steps-1) x lanes; OSP v110's PNDM recorder is explicitly rejected."""
+    import pytest
+
+    steps = 4
+    from magcache_tpu.pipelines.latte import LattePipeline, LattePipelineConfig
+    out = LattePipeline(LattePipelineConfig(
+        tiny=True, num_frames=4, height=64, width=64, caption_len=6,
+        num_sampling_steps=steps, magcache_calibration=True)).generate("x")
+    # CFG dual-lane recording (guidance_scale set -> cond/uncond lanes)
+    assert len(out.calibration["norm_ratio"]) == (steps - 1) * 2
+
+    from magcache_tpu.pipelines.vchitect import (VchitectPipeline,
+                                                 VchitectPipelineConfig)
+    out = VchitectPipeline(VchitectPipelineConfig(
+        tiny=True, num_frames=4, height=32, width=32, txt_len=6,
+        num_inference_steps=steps, magcache_calibration=True)).generate("x")
+    assert len(out.calibration["norm_ratio"]) == (steps - 1) * 2
+
+    from magcache_tpu.pipelines.open_sora import (OpenSoraPipeline,
+                                                  OpenSoraPipelineConfig)
+    out = OpenSoraPipeline(OpenSoraPipelineConfig(
+        tiny=True, num_sampling_steps=steps,
+        magcache_calibration=True)).generate("x")
+    assert len(out.calibration["norm_ratio"]) == (steps - 1) * 2
+
+    from magcache_tpu.pipelines.open_sora_plan import (
+        OpenSoraPlanPipeline, OpenSoraPlanPipelineConfig)
+    out = OpenSoraPlanPipeline(OpenSoraPlanPipelineConfig(
+        tiny=True, version="v120", num_frames=5, height=32, width=32,
+        caption_len=6, num_inference_steps=steps,
+        magcache_calibration=True)).generate("x")
+    assert len(out.calibration["norm_ratio"]) == (steps - 1) * 2
+
+    with pytest.raises(ValueError, match="v120"):
+        OpenSoraPlanPipeline(OpenSoraPlanPipelineConfig(
+            tiny=True, version="v110", num_frames=5, height=32, width=32,
+            caption_len=6, num_inference_steps=steps,
+            magcache_calibration=True)).generate("x")
