@@ -295,14 +295,10 @@ class FramePackPipeline(BasePipeline):
         full = jnp.asarray(np.concatenate(history, axis=1))
         calibration = None
         if c.magcache_calibration:
+            from magcache_tpu.pipelines.base import calibration_dict
             # sections run the same patched forward back to back; the
             # reference's class-level lists accumulate across sections
-            flat = np.concatenate(sec_stats, axis=0).reshape(-1, 3)
-            calibration = {
-                "norm_ratio": [round(float(v), 5) for v in flat[:, 0]],
-                "norm_std": [round(float(v), 5) for v in flat[:, 1]],
-                "cos_dis": [round(float(v), 5) for v in flat[:, 2]],
-            }
+            calibration = calibration_dict(np.concatenate(sec_stats, axis=0))
         return PipelineOutput(latents=full, calibration=calibration,
                               timings={"total_s": time.time() - t0,
                                        "sections": c.total_sections},

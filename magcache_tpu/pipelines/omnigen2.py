@@ -575,13 +575,9 @@ class OmniGen2Pipeline(BasePipeline):
         out = self._sample_fn()(self.params, x0, cond)
         calibration = None
         if self.config.magcache_calibration:
+            from magcache_tpu.pipelines.base import calibration_dict
             latents, stats = out
-            flat = np.asarray(jax.device_get(stats)).reshape(-1, 3)
-            calibration = {
-                "norm_ratio": [round(float(v), 5) for v in flat[:, 0]],
-                "norm_std": [round(float(v), 5) for v in flat[:, 1]],
-                "cos_dis": [round(float(v), 5) for v in flat[:, 2]],
-            }
+            calibration = calibration_dict(stats)
         else:
             latents = out
         latents.block_until_ready()

@@ -131,13 +131,9 @@ class QwenImagePipeline(BasePipeline):
         out = self._sample_fn()(self.params, x0, cond)
         calibration = None
         if self.config.magcache_calibration:
+            from magcache_tpu.pipelines.base import calibration_dict
             latents, stats = out
-            s = np.asarray(jax.device_get(stats)).reshape(-1, 3)
-            calibration = {
-                "norm_ratio": [round(float(v), 5) for v in s[:, 0]],
-                "norm_std": [round(float(v), 5) for v in s[:, 1]],
-                "cos_dis": [round(float(v), 5) for v in s[:, 2]],
-            }
+            calibration = calibration_dict(stats)
         else:
             latents = out
         latents.block_until_ready()

@@ -51,8 +51,6 @@ from magcache_tpu.schedulers.flow_match import FlowMatchSchedule
 from magcache_tpu.schedulers.unipc import UniPCSchedule
 from magcache_tpu.utils.misc import set_seed
 
-# Default negative prompt of the Wan CLI (behavioral default; the reference
-# ships a Chinese quality-control negative prompt — any string works here).
 # the wan package's config.sample_neg_prompt — the default every reference
 # Wan generate uses when no negative prompt is given (wan_teacache.py:121
 # `n_prompt = self.sample_neg_prompt`; the string lives in the external
@@ -773,15 +771,10 @@ class WanPipeline(BasePipeline):
             out, skips = out
             skips = np.asarray(jax.device_get(skips))
         if calibrate:
+            from magcache_tpu.pipelines.base import calibration_dict
             latents, stats = out
-            stats = np.asarray(jax.device_get(stats))
-            # flatten to the reference's cnt ordering [cond, uncond, ...]
-            flat = stats.reshape(-1, 3)
-            calibration = {
-                "norm_ratio": [round(float(v), 5) for v in flat[:, 0]],
-                "norm_std": [round(float(v), 5) for v in flat[:, 1]],
-                "cos_dis": [round(float(v), 5) for v in flat[:, 2]],
-            }
+            # flattens to the reference's cnt ordering [cond, uncond, ...]
+            calibration = calibration_dict(stats)
         else:
             latents = out
         latents.block_until_ready()
