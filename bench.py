@@ -43,30 +43,8 @@ def log(*a):
 
 
 def _init_backend_or_die(timeout_s: int = 300):
-    """Fail fast when the TPU tunnel is down. Backend init blocks inside a C
-    call (observed 25 min before UNAVAILABLE), which Python signal handlers
-    cannot interrupt — so probe device init in a subprocess with a hard
-    timeout first, then initialize in-process only on success."""
-    import subprocess
-    import sys as _sys
-
-    import jax
-    plat = jax.config.jax_platforms
-    if plat and plat.split(",")[0] == "cpu":
-        return jax.devices()        # CPU-forced run: init is instant
-    code = "import jax; print(jax.devices())"
-    try:
-        r = subprocess.run([_sys.executable, "-c", code],
-                           capture_output=True, text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        log(f"FATAL: jax backend init probe exceeded {timeout_s}s "
-            "(TPU tunnel down?)")
-        _sys.exit(2)
-    if r.returncode != 0:
-        log(f"FATAL: jax backend init probe failed:\n{r.stderr[-2000:]}")
-        _sys.exit(2)
-    import jax
-    return jax.devices()
+    from magcache_tpu.utils.backend import init_backend_or_die
+    return init_backend_or_die(timeout_s, log=log)
 
 
 def main():

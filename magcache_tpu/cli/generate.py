@@ -36,7 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "hunyuan-720p | framepack | open-sora | "
                         "open-sora-plan | cogvideox | latte | vchitect | "
                         "omnigen2 | ...")
-    p.add_argument("--size", default="832*480", help="W*H pixels")
+    p.add_argument("--size", default=None,
+               help="W*H pixels (unset = per-family reference default: wan/hunyuan/open-sora 832*480, flux 1024*1024, qwen 1664*928, omnigen2 1024*1024)")
     p.add_argument("--frame_num", type=int, default=81)
     p.add_argument("--sample_steps", type=int, default=None)
     p.add_argument("--sample_shift", type=float, default=None)
@@ -292,10 +293,20 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _parse_size(size, default_wh):
+    """``--size W*H`` -> (w, h); unset (None) -> the family's reference
+    default canvas. An explicit value always wins, even when it equals a
+    family default."""
+    if size is None:
+        return default_wh
+    w, h = (int(v) for v in size.split("*"))
+    return w, h
+
+
 def _wan_pipeline(args):
     from magcache_tpu.pipelines.wan import WanPipeline, WanPipelineConfig
 
-    w, h = (int(v) for v in args.size.split("*"))
+    w, h = _parse_size(args.size, (832, 480))
     preset = {
         "t2v-1.3B": "wan2.1-t2v-1.3B", "t2v-14B": "wan2.1-t2v-14B",
         "t2i-14B": "wan2.1-t2v-14B",   # t2i = single-frame t2v (reference task)
@@ -447,10 +458,9 @@ def _t5_or_none(args, seq_len: int):
 def _flux_pipeline(args):
     from magcache_tpu.pipelines.flux import FluxPipeline, FluxPipelineConfig
 
-    if args.size == build_parser().get_default("size"):
-        w = h = 1024    # diffusers FluxPipeline default canvas (the
-    else:               # reference script passes no size, magcache_flux.py:479)
-        w, h = (int(v) for v in args.size.split("*"))
+    # unset --size = diffusers FluxPipeline default canvas (the reference
+    # script passes no size, magcache_flux.py:479)
+    w, h = _parse_size(args.size, (1024, 1024))
     if args.tiny:
         w = h = 64
     cfg = FluxPipelineConfig(
@@ -477,10 +487,9 @@ def _qwen_pipeline(args):
         QwenImagePipeline,
         QwenImagePipelineConfig,
     )
-    if args.size == build_parser().get_default("size"):
-        w, h = 1664, 928    # the reference's 16:9 default canvas
-    else:                   # (QwenImage magcache_generate.py:287-296)
-        w, h = (int(v) for v in args.size.split("*"))
+    # unset --size = the reference's 16:9 default canvas
+    # (QwenImage magcache_generate.py:287-296)
+    w, h = _parse_size(args.size, (1664, 928))
     if args.tiny:
         w = h = 64
     # an input image means the Edit pipeline (reference ships separate
@@ -536,7 +545,7 @@ def _hunyuan_pipeline(args):
     if getattr(args, "video_size", None):
         h, w = args.video_size          # hyvideo orders height width
     else:
-        w, h = (int(v) for v in args.size.split("*"))
+        w, h = _parse_size(args.size, (832, 480))
     frame_num = args.video_length or args.frame_num
     # canonical flags win; aliases fill in when the canonical one is unset
     steps = args.sample_steps or args.infer_steps
@@ -583,7 +592,7 @@ def _open_sora_pipeline(args):
         OpenSoraPipeline,
         OpenSoraPipelineConfig,
     )
-    w, h = (int(v) for v in args.size.split("*"))
+    w, h = _parse_size(args.size, (832, 480))
     if args.tiny:
         w = h = 32
         args.frame_num = 8
@@ -735,7 +744,7 @@ def _omnigen2_pipeline(args):
               dtype=args.dtype, tiny=args.tiny)
     if getattr(args, "teacache_thresh", None) is not None:
         kw["teacache_thresh"] = args.teacache_thresh
-    if args.size != "832*480":
+    if args.size is not None:
         # explicitly-set --size (or the --height/--width aliases) overrides
         # the omnigen2 reference default of 1024x1024
         w, h = (int(v) for v in args.size.split("*"))
@@ -919,7 +928,7 @@ def main(argv=None):
     if getattr(args, "output_image_path", None) and not args.save_file:
         args.save_file = args.output_image_path
     if getattr(args, "height", None) and getattr(args, "width", None) \
-            and args.size == parser_defaults.size:
+            and args.size is None:
         args.size = f"{args.width}*{args.height}"
     if getattr(args, "num_inference_step", None) and not args.sample_steps:
         args.sample_steps = args.num_inference_step

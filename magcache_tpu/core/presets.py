@@ -92,6 +92,7 @@ def make_config(
     retention_ratio: Optional[float] = None,
     split_step: Optional[int] = None,
     mode: str = "t2v",
+    ratios=None,
 ) -> MagCacheConfig:
     """Build a ready-to-run MagCacheConfig for ``sample_steps`` scheduler steps.
 
@@ -102,10 +103,15 @@ def make_config(
     """
     p = PRESETS[preset]
     num_steps = sample_steps * p.lanes
-    ratios = prepare_mag_ratios(
-        get_calibrated_ratios(p.ratio_key), num_steps, lanes=p.lanes,
-        pad=ratio_pad(p.ratio_key),
-    )
+    if ratios is not None:
+        # user-recorded calibration (unpadded norm_ratio list) replaces the
+        # published table; same pad+resample install path
+        ratios = prepare_mag_ratios(ratios, num_steps, lanes=p.lanes)
+    else:
+        ratios = prepare_mag_ratios(
+            get_calibrated_ratios(p.ratio_key), num_steps, lanes=p.lanes,
+            pad=ratio_pad(p.ratio_key),
+        )
     return MagCacheConfig(
         num_steps=num_steps,
         mag_ratios=tuple(ratios),

@@ -263,6 +263,7 @@ def sample_euler(
     return_skips: bool = False,
     post_step: Optional[Callable] = None,
     calibrate: bool = False,
+    calibrate_lanes: Optional[int] = None,
 ) -> jnp.ndarray:
     """Linear-update sampler: ``x <- cx_i * x + dt_i * v [+ ns_i * z_i]`` per
     step, with MagCache. ``x_coeffs`` defaults to ones (plain Euler);
@@ -274,6 +275,13 @@ def sample_euler(
     pipeline samples with (DDIM/EA/PNDM/DPM coefficients included), the
     reference's patched-forward semantics. Mutually exclusive with
     ``cache_cfg``/``dynamic_skip``/``return_skips``.
+
+    ``calibrate_lanes``: how many lane groups the calibration stats are
+    emitted for — set to the *cache's* lane count when it differs from the
+    sampler's CFG lanes (CogVideoX / Open-Sora cache the joint CFG batch in
+    one lane, so their recorded ratios must be one joint residual per step,
+    directly installable via ``prepare_mag_ratios(..., lanes=1)``). Defaults
+    to the sampler lane count.
 
     ``post_step``: ``x -> x`` applied to the sample after every update —
     latent-replacement conditioning (Wan2.2 ti2v re-imposes the encoded image
@@ -315,6 +323,9 @@ def sample_euler(
         assert cache_cfg is None and dynamic_skip is None \
             and skip_mask_override is None and not return_skips, (
                 "calibrate is a full-compute recording mode")
+        if calibrate_lanes is not None:
+            assert batch % calibrate_lanes == 0 or calibrate_lanes == 1, (
+                calibrate_lanes, batch)
     skip_mask, n_lanes, lane_of_row, partial_lanes = _lane_setup(
         cache_cfg, num_steps, guidance_scale, lanes, combine_fn, batch)
     if dynamic_skip is not None:
@@ -396,11 +407,12 @@ def sample_euler(
         if post_step is not None:
             x = post_step(x)
         if calibrate:
-            rpl = x2.shape[0] // n_lanes
+            cl = calibrate_lanes or n_lanes
+            rpl = x2.shape[0] // cl
             emitted = jnp.stack([
                 calibration_stats(cache[l * rpl:(l + 1) * rpl],
                                   cache_prev[l * rpl:(l + 1) * rpl])
-                for l in range(n_lanes)])          # [lanes, 3]
+                for l in range(cl)])               # [calibrate_lanes, 3]
         else:
             emitted = (skip_now if dynamic_skip is not None
                        else skip_bits) if return_skips else None
@@ -509,6 +521,8 @@ def calibrate_euler(
     guidance_scale: Optional[float] = None,
     combine_fn: Optional[Callable] = None,
     dpm_coeffs=None,
+    prev_residual: Optional[jnp.ndarray] = None,
+    return_residual: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full-compute run recording calibration stats.
 
@@ -519,12 +533,20 @@ def calibrate_euler(
 
     ``combine_fn``: N-branch guidance combine (OmniGen2-style), same contract
     as the samplers'; lanes are stacked on the batch axis when it is given.
+
+    ``prev_residual``: seed for step 0's predecessor residual — FramePack's
+    section loop passes the previous section's final residual so the recording
+    matches the reference's class-level lists that accumulate one continuous
+    ``cnt`` across sections (the cross-section boundary ratio is kept); stats
+    then has ``num_steps`` rows. ``return_residual=True`` additionally returns
+    the run's final residual for that carry.
     """
     batch = x_init.shape[0]
     n_stack = (2 if guidance_scale is not None
                else lanes if combine_fn is not None else 1)
     x_l0 = _stack_lanes(x_init, n_stack)
-    cache0 = _init_cache(core, params, x_l0, jnp.asarray(timesteps[:1]), cond)
+    cache0 = (prev_residual if prev_residual is not None else
+              _init_cache(core, params, x_l0, jnp.asarray(timesteps[:1]), cond))
     ts = jnp.asarray(np.asarray(timesteps, np.float32))
     dts_a = jnp.asarray(np.asarray(dts, np.float32))
     rows = x_l0.shape[0]
@@ -563,10 +585,14 @@ def calibrate_euler(
             x = x + dt.astype(x.dtype) * v.astype(x.dtype)
         return (x, resid, x0p), stats
 
-    (x_fin, _, _), stats = jax.lax.scan(
+    (x_fin, resid_fin, _), stats = jax.lax.scan(
         body, (x_init, cache0, jnp.zeros_like(x_init)),
         (ts, dts_a, jnp.arange(n_cal), dpm_steps))
-    return x_fin, stats[1:]  # step 0 has no previous residual
+    if prev_residual is None:
+        stats = stats[1:]  # step 0 has no previous residual
+    if return_residual:
+        return x_fin, stats, resid_fin
+    return x_fin, stats
 
 
 def unipc_executor(

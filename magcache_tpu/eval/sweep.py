@@ -51,9 +51,24 @@ def load_prompts(path: Optional[str]) -> List[str]:
     with open(path) as f:
         text = f.read()
     if text.lstrip().startswith("["):
-        items = json.loads(text)
-        return [it["prompt_en"] if isinstance(it, dict) else str(it)
-                for it in items]
+        # VBench JSON list — but a plain-text prompt file may also start
+        # with '[' (e.g. "[cinematic] ..."), so fall through on parse failure
+        try:
+            items = json.loads(text)
+        except json.JSONDecodeError:
+            items = None
+        if isinstance(items, list):
+            out = []
+            for it in items:
+                if isinstance(it, dict):
+                    if "prompt_en" not in it:
+                        raise KeyError(
+                            f"VBench prompt entry missing 'prompt_en': "
+                            f"{sorted(it)[:8]}")
+                    out.append(it["prompt_en"])
+                else:
+                    out.append(str(it))
+            return out
     return [ln.strip() for ln in text.splitlines() if ln.strip()]
 
 
@@ -131,17 +146,19 @@ def run_sweep(cfg: SweepConfig, pipeline=None) -> dict:
             for b0 in range(0, len(sl), batch):
                 ids = sl[b0:b0 + batch]
                 # loop mode follows the VBench protocol's seed = loop index
-                # (experiments/utils.py:13, ``seed=l``)
-                seed_of = (lambda i: lp) if cfg.loop > 1 else (
-                    lambda i: cfg.base_seed + i)
+                # (experiments/utils.py:13, ``seed=l``); explicit per-element
+                # seeds so batched dp runs draw the same noise the manifest
+                # records (no dp-rank offset)
+                seeds = [lp if cfg.loop > 1 else cfg.base_seed + i
+                         for i in ids]
                 t0 = time.time()
                 if batch > 1 and len(ids) == batch:
                     out = pipeline.generate_batch(
-                        [prompts[i] for i in ids], seed=seed_of(ids[0]))
+                        [prompts[i] for i in ids], seeds=seeds)
                     arrs = np.asarray(out.latents)
                 else:
-                    outs = [pipeline.generate(prompts[i], seed=seed_of(i))
-                            for i in ids]
+                    outs = [pipeline.generate(prompts[i], seed=s)
+                            for i, s in zip(ids, seeds)]
                     arrs = np.concatenate(
                         [np.asarray(o.latents) for o in outs], 0)
                 dt = (time.time() - t0) / len(ids)
@@ -156,7 +173,7 @@ def run_sweep(cfg: SweepConfig, pipeline=None) -> dict:
                     mf.write(json.dumps({
                         "index": i, "prompt": prompts[i],
                         "loop": lp,
-                        "seed": seed_of(i if batch == 1 else ids[0]),
+                        "seed": seeds[j],
                         "sec_per_video": round(dt, 3),
                         "variant": cfg.variant,
                     }) + "\n")

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from magcache_tpu.core.magcache import MagCacheConfig
+from magcache_tpu.core.magcache import MagCacheConfig, prepare_mag_ratios
 from magcache_tpu.core.sampler import sample_euler
 from magcache_tpu.models.cogvideox import (
     CogVideoXConfig,
@@ -105,7 +105,12 @@ class CogVideoXPipeline(BasePipeline):
             if ratios is None:
                 # no published CogVideoX calibration in the reference — run
                 # calibration mode per deployment; a flat near-1 prior here
-                ratios = tuple(np.ones(c.num_inference_steps))
+                ratios = tuple(np.ones(c.num_inference_steps - 1))
+            # user-fed ratios are the calibration recording's norm_ratio list
+            # (joint single-lane, num_steps-1 entries): pad + resample like
+            # the reference install path
+            ratios = prepare_mag_ratios(np.asarray(ratios),
+                                        c.num_inference_steps, lanes=1)
             cache_cfg = MagCacheConfig(
                 num_steps=c.num_inference_steps, mag_ratios=tuple(ratios),
                 thresh=c.magcache_thresh, max_consecutive_skips=c.magcache_K,
@@ -121,7 +126,7 @@ class CogVideoXPipeline(BasePipeline):
                                 timesteps=sch.timesteps.astype(np.float32),
                                 dts=c_v, x_coeffs=c_x, cache_cfg=cache_cfg,
                                 lanes=2, combine_fn=combine,
-                                calibrate=calibrate)
+                                calibrate=calibrate, calibrate_lanes=1)
 
         self._fn = jax.jit(fn)
         return self._fn

@@ -123,16 +123,20 @@ class FramePackPipeline(BasePipeline):
             key, self.model_cfg)
         self._section_fn = None
 
-    def _sample_section(self, pad: Optional[int] = None):
+    def _sample_section(self, pad: Optional[int] = None,
+                        with_prev: bool = False):
         """One jitted per-section sampler; reused across sections with the
         same timeline padding (fresh cache carry each call == the reference's
         per-section reset). In pyramid mode each distinct ``pad`` value gets
-        its own compiled program (the padding schedule uses at most 4)."""
-        rs = bool(getattr(self, "record_skips", False))
+        its own compiled program (the padding schedule uses at most 4).
+        ``with_prev``: calibration-mode variant taking the previous section's
+        final residual as a fourth argument."""
+        rs = (bool(getattr(self, "record_skips", False))
+              and not self.config.magcache_calibration)
         if self._section_fn is None:
             self._section_fn = {}
-        if (pad, rs) in self._section_fn:
-            return self._section_fn[(pad, rs)]
+        if (pad, rs, with_prev) in self._section_fn:
+            return self._section_fn[(pad, rs, with_prev)]
         c = self.config
         sch = FlowMatchSchedule.create(c.steps, shift=c.flow_shift)
         dts = np.diff(sch.sigmas)
@@ -170,10 +174,21 @@ class FramePackPipeline(BasePipeline):
         if c.magcache_calibration:
             from magcache_tpu.core.sampler import calibrate_euler
 
-            def fn(params, x, cond):
-                return calibrate_euler(core, params, x, cond,
-                                       timesteps=sch.timesteps, dts=dts,
-                                       lanes=1)
+            if with_prev:
+                # sections after the first carry the previous section's final
+                # residual in, so the cross-section boundary ratio is recorded
+                # (the reference's class-level lists run one continuous cnt
+                # across the whole sampling call)
+                def fn(params, x, cond, prev):
+                    return calibrate_euler(core, params, x, cond,
+                                           timesteps=sch.timesteps, dts=dts,
+                                           lanes=1, prev_residual=prev,
+                                           return_residual=True)
+            else:
+                def fn(params, x, cond):
+                    return calibrate_euler(core, params, x, cond,
+                                           timesteps=sch.timesteps, dts=dts,
+                                           lanes=1, return_residual=True)
         else:
             def fn(params, x, cond):
                 return sample_euler(core, params, x, cond,
@@ -181,8 +196,8 @@ class FramePackPipeline(BasePipeline):
                                     cache_cfg=cache_cfg, dynamic_skip=tea,
                                     return_skips=rs)
 
-        self._section_fn[(pad, rs)] = jax.jit(fn)
-        return self._section_fn[(pad, rs)]
+        self._section_fn[(pad, rs, with_prev)] = jax.jit(fn)
+        return self._section_fn[(pad, rs, with_prev)]
 
     def generate(self, prompt: str, seed: int = 31337, on_section=None,
                  start_latent=None) -> PipelineOutput:
@@ -200,19 +215,32 @@ class FramePackPipeline(BasePipeline):
             "guidance": jnp.full((1,), c.guidance, jnp.float32),
         }
         history: List[np.ndarray] = []
-        rs = bool(getattr(self, "record_skips", False))
+        rs = (bool(getattr(self, "record_skips", False))
+              and not c.magcache_calibration)
         sec_skips: List[np.ndarray] = []
 
         sec_stats: List[np.ndarray] = []
+        prev_resid: List = [None]   # residual carry across sections
 
-        def _run(fn, x0, cond):
-            out = fn(self.params, x0, cond)
-            if self.config.magcache_calibration:
-                out, stats = out
+        def _run(pad, x0, cond):
+            if c.magcache_calibration:
+                # sections after the first record the cross-section boundary
+                # ratio via the residual carry (one continuous cnt, the
+                # reference's class-level calibration lists)
+                wp = prev_resid[0] is not None
+                fn = self._sample_section(pad, with_prev=wp)
+                if wp:
+                    out, stats, resid = fn(self.params, x0, cond,
+                                           prev_resid[0])
+                else:
+                    out, stats, resid = fn(self.params, x0, cond)
+                prev_resid[0] = resid
                 sec_stats.append(np.asarray(jax.device_get(stats)))
-            elif rs:
-                out, sk = out
-                sec_skips.append(np.asarray(jax.device_get(sk)))
+            else:
+                out = self._sample_section(pad)(self.params, x0, cond)
+                if rs:
+                    out, sk = out
+                    sec_skips.append(np.asarray(jax.device_get(sk)))
             out.block_until_ready()
             return out
 
@@ -227,7 +255,6 @@ class FramePackPipeline(BasePipeline):
                      else jnp.zeros((1, 1) + hw, jnp.float32))
             hbuf = jnp.concatenate(
                 [jnp.zeros((1, 16 + 2 + 1) + hw, jnp.float32), start], axis=1)
-            fn = self._sample_section(0)
             for s in range(c.total_sections):
                 key, sub = jax.random.split(key)
                 x0 = jax.random.normal(sub, (1,) + self.lat_shape, jnp.float32)
@@ -237,7 +264,7 @@ class FramePackPipeline(BasePipeline):
                 cond["clean"] = jnp.concatenate([start, c1x], axis=1)
                 cond["clean_2x"] = c2x
                 cond["clean_4x"] = c4x
-                lat = _run(fn, x0, cond)
+                lat = _run(0, x0, cond)
                 hbuf = jnp.concatenate([hbuf, lat], axis=1)
                 sec = np.asarray(lat)
                 history.append(sec)
@@ -255,7 +282,6 @@ class FramePackPipeline(BasePipeline):
                      else jnp.zeros((1, 1) + hw, jnp.float32))
             hbuf = jnp.zeros((1, 1 + 2 + 16) + hw, jnp.float32)
             for s, pad in enumerate(paddings):
-                fn = self._sample_section(pad)
                 key, sub = jax.random.split(key)
                 x0 = jax.random.normal(sub, (1,) + self.lat_shape, jnp.float32)
                 post, c2x, c4x = hbuf[:, :1], hbuf[:, 1:3], hbuf[:, 3:19]
@@ -263,7 +289,7 @@ class FramePackPipeline(BasePipeline):
                 cond["clean"] = jnp.concatenate([start, post], axis=1)
                 cond["clean_2x"] = c2x
                 cond["clean_4x"] = c4x
-                lat = _run(fn, x0, cond)
+                lat = _run(pad, x0, cond)
                 if pad == 0:  # last section: prepend the start latent
                     lat = jnp.concatenate([start, lat], axis=1)
                 hbuf = jnp.concatenate([lat, hbuf], axis=1)
@@ -272,7 +298,6 @@ class FramePackPipeline(BasePipeline):
                 if on_section is not None:
                     on_section(s, sec)
         else:
-            fn = self._sample_section()
             hf = c.history_frames
             hist_shape = (1, hf) + hw
             if start_latent is not None:
@@ -285,7 +310,7 @@ class FramePackPipeline(BasePipeline):
                 cond = dict(base_cond)
                 if hf:
                     cond["history"] = hbuf
-                lat = _run(fn, x0, cond)
+                lat = _run(None, x0, cond)
                 if hf:
                     hbuf = lat[:, -hf:]
                 sec = np.asarray(lat)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from magcache_tpu.core.magcache import MagCacheConfig
+from magcache_tpu.core.magcache import MagCacheConfig, prepare_mag_ratios
 from magcache_tpu.core.sampler import sample_euler
 from magcache_tpu.models.latte import LatteConfig, init_latte_params, make_latte_core
 from magcache_tpu.models.text import MockTextEncoder, TextEncoder
@@ -92,7 +92,12 @@ class LattePipeline(BasePipeline):
         dts = np.array([sch.dt(i) for i in range(sch.num_steps)], np.float32)
         cache_cfg = None
         if c.use_magcache and not c.magcache_calibration:
-            ratios = c.magcache_ratios or tuple(np.ones(c.num_sampling_steps))
+            # user-fed ratios are the calibration recording's norm_ratio list
+            # (joint single-lane, steps-1 entries): pad + resample to install
+            ratios = c.magcache_ratios or tuple(
+                np.ones(c.num_sampling_steps - 1))
+            ratios = prepare_mag_ratios(np.asarray(ratios),
+                                        c.num_sampling_steps, lanes=1)
             cache_cfg = MagCacheConfig(
                 num_steps=c.num_sampling_steps, mag_ratios=tuple(ratios),
                 thresh=c.magcache_thresh, max_consecutive_skips=c.magcache_K,
@@ -103,7 +108,8 @@ class LattePipeline(BasePipeline):
             return sample_euler(core, params, z, cond, timesteps=sch.timesteps,
                                 dts=dts, cache_cfg=cache_cfg,
                                 guidance_scale=g,
-                                calibrate=c.magcache_calibration)
+                                calibrate=c.magcache_calibration,
+                                calibrate_lanes=1)
 
         self._fn = jax.jit(fn)
         return self._fn

@@ -71,6 +71,9 @@ class OpenSoraPipelineConfig:
     magcache_thresh: Optional[float] = None
     magcache_K: Optional[int] = None
     retention_ratio: Optional[float] = None
+    # recorded calibration feedback (the calibration output's norm_ratio
+    # list, joint single-lane, num_steps-1 entries); None = published table
+    magcache_ratios: Optional[tuple] = None
     # "adapter" = the published opensora-v1.2 preset rule; "rolling" = the
     # eval scripts' exact single-lane variant (ratio[t-1], non-abs error,
     # experiments/opensora.py:296-312)
@@ -161,7 +164,8 @@ class OpenSoraPipeline(BasePipeline):
         # single-lane over the joint CFG batch (experiments/opensora.py:420-433)
         return make_config("opensora-v1.2", c.num_sampling_steps,
                            thresh=c.magcache_thresh, K=c.magcache_K,
-                           retention_ratio=c.retention_ratio)
+                           retention_ratio=c.retention_ratio,
+                           ratios=c.magcache_ratios)
 
     def _combine(self):
         g = self.config.cfg_scale
@@ -191,7 +195,8 @@ class OpenSoraPipeline(BasePipeline):
             return sample_euler(core, params, z, cond, timesteps=sch.timesteps,
                                 dts=dts, cache_cfg=cache_cfg, lanes=2,
                                 combine_fn=combine, return_skips=rs,
-                                calibrate=c.magcache_calibration)
+                                calibrate=c.magcache_calibration,
+                                calibrate_lanes=1)
 
         self._fn = jax.jit(fn)
         return self._fn

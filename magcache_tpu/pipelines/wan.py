@@ -792,15 +792,24 @@ class WanPipeline(BasePipeline):
 
     # ---- batched generation ----------------------------------------------
     def generate_batch(self, prompts, negative_prompt: str = DEFAULT_NEGATIVE,
-                       seed: int = 0) -> PipelineOutput:
+                       seed: int = 0, seeds=None) -> PipelineOutput:
         """Generate several prompts in one batched denoise (batch rides the
         `dp` mesh axis when a plan is active — the reference's DP/eval-time
-        prompt sharding, `wan_eval.sh` / utils.py:19-34 per-rank seeds)."""
+        prompt sharding, `wan_eval.sh` / utils.py:19-34 per-rank seeds).
+
+        ``seeds``: explicit per-element seed list — element ``j``'s noise is
+        drawn with ``set_seed(seeds[j])`` exactly (no dp-rank offset), so a
+        batched run reproduces the corresponding single ``generate(seed=s)``
+        calls; the VBench loop protocol's seed=loop-index needs this."""
         b = len(prompts)
         ctx_c = self.text_encoder(list(prompts))
         ctx_u = self.text_encoder([negative_prompt] * b)
         cond = {"context": jnp.concatenate([ctx_c, ctx_u], axis=0)}
-        keys = [set_seed(seed, dp_rank=i) for i in range(b)]
+        if seeds is not None:
+            assert len(seeds) == b, (len(seeds), b)
+            keys = [set_seed(s) for s in seeds]
+        else:
+            keys = [set_seed(seed, dp_rank=i) for i in range(b)]
         x0 = jnp.concatenate(
             [jax.random.normal(k, (1,) + self.latent_shape, jnp.float32)
              for k in keys], axis=0)

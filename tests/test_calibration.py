@@ -108,9 +108,17 @@ def test_framepack_calibration_mode():
         latent_window_size=3, total_sections=sections, steps=steps,
         magcache_calibration=True)
     pipe = FramePackPipeline(cfg)
+    # record_skips + calibration must not crash (the evaluator's standard
+    # comparator setup); calibration wins, skips stay None
+    pipe.record_skips = True
     out = pipe.generate("a cat", seed=0)
     assert out.calibration is not None
-    n = (steps - 1) * 1 * sections          # (steps-1) x 1 lane x sections
+    assert out.skips is None
+    # one continuous cnt across sections: section boundaries carry the
+    # previous section's final residual, so only the very first forward has
+    # no predecessor (steps * sections - 1 entries, the reference's
+    # class-level lists)
+    n = steps * sections - 1
     assert len(out.calibration["norm_ratio"]) == n
     r = np.asarray(out.calibration["norm_ratio"])
     assert np.isfinite(r).all() and (r > 0).all()
@@ -175,11 +183,17 @@ def test_videosys_families_calibration_mode():
 
     steps = 4
     from magcache_tpu.pipelines.latte import LattePipeline, LattePipelineConfig
-    out = LattePipeline(LattePipelineConfig(
+    cal = LattePipeline(LattePipelineConfig(
         tiny=True, num_frames=4, height=64, width=64, caption_len=6,
         num_sampling_steps=steps, magcache_calibration=True)).generate("x")
-    # CFG dual-lane recording (guidance_scale set -> cond/uncond lanes)
-    assert len(out.calibration["norm_ratio"]) == (steps - 1) * 2
+    # the Latte cache is single-lane over the joint CFG batch, so the
+    # recording must be one joint residual ratio per step (installable back)
+    assert len(cal.calibration["norm_ratio"]) == steps - 1
+    out = LattePipeline(LattePipelineConfig(
+        tiny=True, num_frames=4, height=64, width=64, caption_len=6,
+        num_sampling_steps=steps, use_magcache=True, magcache_thresh=1e9,
+        magcache_ratios=tuple(cal.calibration["norm_ratio"]))).generate("x")
+    assert out.latents.shape == cal.latents.shape
 
     from magcache_tpu.pipelines.vchitect import (VchitectPipeline,
                                                  VchitectPipelineConfig)
@@ -190,10 +204,26 @@ def test_videosys_families_calibration_mode():
 
     from magcache_tpu.pipelines.open_sora import (OpenSoraPipeline,
                                                   OpenSoraPipelineConfig)
-    out = OpenSoraPipeline(OpenSoraPipelineConfig(
+    cal = OpenSoraPipeline(OpenSoraPipelineConfig(
         tiny=True, num_sampling_steps=steps,
         magcache_calibration=True)).generate("x")
-    assert len(out.calibration["norm_ratio"]) == (steps - 1) * 2
+    assert len(cal.calibration["norm_ratio"]) == steps - 1
+    out = OpenSoraPipeline(OpenSoraPipelineConfig(
+        tiny=True, num_sampling_steps=steps, use_magcache=True,
+        magcache_ratios=tuple(cal.calibration["norm_ratio"]))).generate("x")
+    assert out.latents.shape == cal.latents.shape
+
+    from magcache_tpu.pipelines.cogvideox import (CogVideoXPipeline,
+                                                  CogVideoXPipelineConfig)
+    cal = CogVideoXPipeline(CogVideoXPipelineConfig(
+        tiny=True, num_frames=9, height=32, width=32, txt_len=6,
+        num_inference_steps=steps, magcache_calibration=True)).generate("x")
+    assert len(cal.calibration["norm_ratio"]) == steps - 1
+    out = CogVideoXPipeline(CogVideoXPipelineConfig(
+        tiny=True, num_frames=9, height=32, width=32, txt_len=6,
+        num_inference_steps=steps, use_magcache=True,
+        magcache_ratios=tuple(cal.calibration["norm_ratio"]))).generate("x")
+    assert out.latents.shape == cal.latents.shape
 
     from magcache_tpu.pipelines.open_sora_plan import (
         OpenSoraPlanPipeline, OpenSoraPlanPipelineConfig)
