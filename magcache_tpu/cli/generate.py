@@ -38,7 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "omnigen2 | ...")
     p.add_argument("--size", default=None,
                help="W*H pixels (unset = per-family reference default: wan/hunyuan/open-sora 832*480, flux 1024*1024, qwen 1664*928, omnigen2 1024*1024)")
-    p.add_argument("--frame_num", type=int, default=81)
+    p.add_argument("--frame_num", type=int, default=None,
+               help="unset = per-task reference default (wan 81, ti2v-5B 121)")
     p.add_argument("--sample_steps", type=int, default=None)
     p.add_argument("--sample_shift", type=float, default=None)
     p.add_argument("--sample_solver", default="unipc",
@@ -330,8 +331,8 @@ def _wan_pipeline(args):
         "i2v-A14B": dict(steps=40, shift=5.0, guide=(3.5, 3.5), frames=81),
         "ti2v-5B": dict(steps=50, shift=5.0, guide=5.0, frames=121),
     }.get(args.task)
-    if wan22 and args.frame_num == build_parser().get_default("frame_num"):
-        args.frame_num = wan22["frames"]
+    if args.frame_num is None:
+        args.frame_num = wan22["frames"] if wan22 else 81
     if args.tiny:
         w, h, args.frame_num = 64, 32, 9
     if args.task.startswith("t2i"):
@@ -546,7 +547,7 @@ def _hunyuan_pipeline(args):
         h, w = args.video_size          # hyvideo orders height width
     else:
         w, h = _parse_size(args.size, (832, 480))
-    frame_num = args.video_length or args.frame_num
+    frame_num = args.video_length or args.frame_num or 81
     # canonical flags win; aliases fill in when the canonical one is unset
     steps = args.sample_steps or args.infer_steps
     is_fp = args.task.startswith("framepack")
@@ -597,7 +598,7 @@ def _open_sora_pipeline(args):
         w = h = 32
         args.frame_num = 8
     cfg = OpenSoraPipelineConfig(
-        num_frames=args.frame_num, height=h, width=w,
+        num_frames=args.frame_num or 81, height=h, width=w,
         resolution=getattr(args, "resolution", None),
         aspect_ratio=getattr(args, "aspect_ratio", None),
         num_sampling_steps=args.sample_steps or 30,
@@ -695,8 +696,10 @@ def _vchitect_pipeline(args):
         # CLIP-bigG penultimate states + projected pooled, T5 len 256)
         from magcache_tpu.models.text import (ClipTextEncoder, Sd3TextStack,
                                               make_t5_encoder)
-        clip_l = ClipTextEncoder(args.clip_text_ckpt, hidden_skip=1)
-        clip_g = ClipTextEncoder(args.clip_text_ckpt2, hidden_skip=1)
+        clip_l = ClipTextEncoder(args.clip_text_ckpt, hidden_skip=1,
+                                 project=True)
+        clip_g = ClipTextEncoder(args.clip_text_ckpt2, hidden_skip=1,
+                                 project=True)
         t5_len = 256
         stack = Sd3TextStack(clip_l, clip_g,
                              make_t5_encoder(args.t5_ckpt, seq_len=t5_len))
@@ -868,13 +871,13 @@ def _load_image(path: str) -> np.ndarray:
     return img
 
 
-def _normalize_argv(argv):
+def _normalize_argv(argv, parser=None):
     """Accept the hyvideo scripts' dash spelling (``--video-size``,
     ``--infer-steps``, ... — magcache_sample_video.py registers dashed
     flags) for every underscore-registered option.
     """
     known = set()
-    for act in build_parser()._actions:
+    for act in (parser or build_parser())._actions:
         known.update(act.option_strings)
     out = []
     for tok in argv:
@@ -916,8 +919,9 @@ def _save_media(task: str, out, save_file: str) -> None:
 def main(argv=None):
     if argv is None:
         argv = sys.argv[1:]
-    args = build_parser().parse_args(_normalize_argv(list(argv)))
-    parser_defaults = build_parser().parse_args(["--task", args.task])
+    parser = build_parser()   # built once; parse_args does not mutate it
+    args = parser.parse_args(_normalize_argv(list(argv), parser))
+    parser_defaults = parser.parse_args(["--task", args.task])
     if getattr(args, "instruction", None) is not None \
             and args.prompt == parser_defaults.prompt:
         args.prompt = args.instruction

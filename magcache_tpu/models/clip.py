@@ -314,7 +314,8 @@ def init_clip_text_params(key: jax.Array, cfg: CLIPTextConfig):
 
 
 def clip_text_forward(params, cfg: CLIPTextConfig, input_ids: jnp.ndarray,
-                      attention_mask=None, hidden_skip: int = 0):
+                      attention_mask=None, hidden_skip: int = 0,
+                      project: bool = False):
     """Causal-masked text tower. Returns ``(hidden f32[B, S, d],
     pooled f32[B, d])``.
 
@@ -322,9 +323,14 @@ def clip_text_forward(params, cfg: CLIPTextConfig, input_ids: jnp.ndarray,
     first-EOS row of it (``CLIPTextTransformer`` pooling). ``hidden_skip=k>0``
     returns the UN-normed state after ``layers-k`` blocks — diffusers'
     ``hidden_states[-(k+1)]``, e.g. the SD3/Vchitect recipe's penultimate
-    states (k=1) — while pooled still comes from the full normed pass. When
-    the params carry ``text_proj`` (CLIPTextModelWithProjection), pooled is
-    projected (``text_embeds``)."""
+    states (k=1) — while pooled still comes from the full normed pass.
+
+    ``project=True``: pooled goes through ``text_proj``
+    (CLIPTextModelWithProjection ``text_embeds`` — the SD3/Vchitect recipe).
+    Projection is explicit, NOT inferred from key presence: FLUX/hyvideo
+    consume the un-projected pooler_output, and a full CLIP export (e.g.
+    openai/clip-vit-large-patch14) carries text_projection.weight even when
+    the consumer wants the plain pooled vector."""
     b, s = input_ids.shape
     h = params["tok"][input_ids] + params["pos"][:s]
 
@@ -365,7 +371,11 @@ def clip_text_forward(params, cfg: CLIPTextConfig, input_ids: jnp.ndarray,
     eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32),
                          axis=-1)
     pooled = h[jnp.arange(b), eos_pos]
-    if "text_proj" in params:
+    if project:
+        if "text_proj" not in params:
+            raise KeyError(
+                "project=True needs text_projection.weight in the checkpoint "
+                "(CLIPTextModelWithProjection); this one has none")
         pooled = pooled @ params["text_proj"].astype(jnp.float32)
     hidden = h if hidden_skip == 0 else hs[-1 - hidden_skip].astype(jnp.float32)
     return hidden, pooled

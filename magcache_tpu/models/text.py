@@ -75,13 +75,22 @@ class FallbackHashTokenizer:
 
     def __call__(self, texts, padding=None, truncation=None, max_length=77,
                  return_tensors=None):
-        lo = max(2, self.eos + 1)
-        span = max(1, self.vocab_size - lo)
+        # hash into [2, vocab_size), stepping over eos/pad — ids must stay
+        # in-table even when eos is the LAST vocab id (CLIP: eos=49407,
+        # vocab=49408, where a "hash above eos" rule has an empty range)
+        span = self.vocab_size - 2
+        assert span >= 3, f"vocab_size {self.vocab_size} too small"
+
+        def wid(w):
+            v = 2 + (int.from_bytes(
+                hashlib.sha256(w.encode()).digest()[:4], "little") % span)
+            while v in (self.eos, self.pad):
+                v = 2 + ((v - 1) % span)
+            return v
+
         ids = np.full((len(texts), max_length), self.pad, np.int64)
         for i, t in enumerate(texts):
-            toks = [lo + (int.from_bytes(
-                hashlib.sha256(w.encode()).digest()[:4], "little") % span)
-                for w in t.split()][: max_length - 1]
+            toks = [wid(w) for w in t.split()][: max_length - 1]
             ids[i, :len(toks)] = toks
             ids[i, len(toks)] = self.eos
         return {"input_ids": ids,
@@ -269,7 +278,7 @@ class ClipTextEncoder:
 
     def __init__(self, path_or_config, seq_len: Optional[int] = None,
                  tokenizer=None, params=None, states: bool = False,
-                 hidden_skip: int = 0):
+                 hidden_skip: int = 0, project: bool = False):
         from magcache_tpu.models.clip import (CLIPTextConfig,
                                               clip_text_forward,
                                               convert_clip_text_state_dict,
@@ -309,9 +318,17 @@ class ClipTextEncoder:
             self.tokenizer = tokenizer
         self.seq_len = seq_len or self.cfg.max_len
         self.states = states
+        self.project = project
+        if project and "text_proj" not in self.params:
+            raise ValueError(
+                "project=True (the SD3/Vchitect text_embeds recipe) needs a "
+                "CLIPTextModelWithProjection checkpoint carrying "
+                "text_projection.weight; this one has none — the pooled "
+                "vector would silently be the un-projected pooler_output")
         self._fwd = jax.jit(
             lambda p, ids, m: clip_text_forward(p, self.cfg, ids, m,
-                                                hidden_skip=hidden_skip))
+                                                hidden_skip=hidden_skip,
+                                                project=project))
 
     def __call__(self, prompts: Sequence[str]) -> jnp.ndarray:
         assert self.tokenizer is not None, "tokenizer required for raw prompts"
@@ -354,6 +371,12 @@ class Sd3TextStack:
             return self._memo[1]
         t5_h = self.t5(list(prompts))
         t5_dim = self.t5_dim or t5_h.shape[-1]
+        if self.clip_l.seq_len != self.clip_g.seq_len:
+            raise ValueError(
+                f"SD3 stack concatenates the two CLIP towers' penultimate "
+                f"states on the channel axis, so their sequence lengths must "
+                f"match: clip_l={self.clip_l.seq_len} "
+                f"clip_g={self.clip_g.seq_len}")
         parts, pooled = [], []
         for enc in (self.clip_l, self.clip_g):
             tok = enc.tokenizer(list(prompts), padding="max_length",
@@ -611,14 +634,23 @@ class QwenVLTextEncoder:
             n_merged = img_embeds.shape[0]
             crop = QWEN_IMAGE_EDIT_CROP_START
             pad_tok = "<|image_pad|>"
-            texts = [QWEN_IMAGE_EDIT_PROMPT_TEMPLATE.format(p).replace(
-                pad_tok, pad_tok * n_merged) for p in prompts]
+            # expand the placeholder in the TEMPLATE before the prompt is
+            # substituted — a literal "<|image_pad|>" inside the user prompt
+            # must not become extra vision-splice positions
+            template = QWEN_IMAGE_EDIT_PROMPT_TEMPLATE.replace(
+                pad_tok, pad_tok * n_merged)
+            texts = [template.format(p) for p in prompts]
             tok = self.tokenizer(
                 texts, padding="max_length", truncation=True,
                 max_length=self.out_len + crop, return_tensors="np")
             ids = np.asarray(tok["input_ids"])
             am = np.asarray(tok["attention_mask"])
             ov_mask = ids == self.image_token_id
+            if int(ov_mask[0].sum()) > n_merged:
+                raise ValueError(
+                    f"prompt contains the reserved {pad_tok} token "
+                    f"({int(ov_mask[0].sum())} image positions for "
+                    f"{n_merged} vision embeddings)")
             if 0 < ov_mask[0].sum() < n_merged:
                 raise ValueError(
                     f"image occupies {n_merged} tokens but only "

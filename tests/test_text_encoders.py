@@ -444,7 +444,8 @@ def test_clip_text_projection_parity_vs_torch():
                    attention_mask=torch.tensor(mask),
                    output_hidden_states=True)
     h, pooled = clip_text_forward(params, cfg, jnp.asarray(ids),
-                                  jnp.asarray(mask), hidden_skip=1)
+                                  jnp.asarray(mask), hidden_skip=1,
+                                  project=True)
     # hidden_states[-2]: the SD3 prompt-embedding slice (un-normed)
     np.testing.assert_allclose(np.asarray(h),
                                t_out.hidden_states[-2].numpy(),
@@ -453,6 +454,16 @@ def test_clip_text_projection_parity_vs_torch():
     np.testing.assert_allclose(np.asarray(pooled),
                                t_out.text_embeds.numpy(),
                                rtol=2e-4, atol=2e-4)
+    # projection must be opt-in: with project unset (the FLUX/hyvideo pooled
+    # consumers), the same checkpoint yields the un-projected pooler output
+    # even though it carries text_projection.weight
+    _, pooled_raw = clip_text_forward(params, cfg, jnp.asarray(ids),
+                                      jnp.asarray(mask))
+    np.testing.assert_allclose(
+        np.asarray(pooled_raw @ params["text_proj"]), np.asarray(pooled),
+        rtol=2e-4, atol=2e-4)
+    assert not np.allclose(np.asarray(pooled_raw)[..., :24],
+                           np.asarray(pooled))
 
 
 class _FakeTok:
