@@ -88,6 +88,15 @@ def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
     if not files:
         files = sorted(f for pat in ("*.pth", "*.pt", "*.bin")
                        for f in glob.glob(os.path.join(path, pat)))
+        if len(files) > 1:
+            # a wan-style ckpt_dir ships the text encoder / VAE / CLIP as
+            # separately-named .pth next to the DiT; loading them all would
+            # triple peak host RAM and silently mix models — keep only the
+            # files that don't match the known auxiliary names
+            aux = ("umt5", "_vae", "vae_", "clip", "tokenizer")
+            main = [f for f in files
+                    if not any(a in os.path.basename(f).lower() for a in aux)]
+            files = main or files
     assert files, f"no safetensors or torch weights found under {path}"
     for f in files:
         if f.endswith(".safetensors"):
@@ -95,7 +104,14 @@ def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
                 for k in fp.keys():
                     sd[k] = fp.get_tensor(k)
         else:
-            sd.update(_torch_load_flat(f))
+            flat = _torch_load_flat(f)
+            dup = sd.keys() & flat.keys()
+            if dup:
+                raise ValueError(
+                    f"duplicate keys across torch weight files under {path} "
+                    f"(e.g. {sorted(dup)[:3]}): pass the intended file "
+                    "directly instead of the directory")
+            sd.update(flat)
     return sd
 
 

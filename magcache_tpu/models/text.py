@@ -204,8 +204,11 @@ def make_t5_encoder(path_or_config, seq_len: int = 512, mesh=None,
         with open(cj) as f:
             model_type = json.load(f).get("model_type")
     is_umt5 = model_type == "umt5"
-    if model_type is None and not is_umt5:
-        # wan ckpt_dirs ship the encoder as models_t5_umt5-xxl-enc-*.pth
+    if not is_umt5 and model_type not in ("t5", "mt5"):
+        # wan ckpt_dirs ship the encoder as models_t5_umt5-xxl-enc-*.pth —
+        # next to a config.json that describes the DiT (model_type "t2v"/
+        # "i2v"/...), so the filename sniff must run for any non-T5
+        # model_type, not only when config.json is absent
         cand = ([path_or_config] if path_or_config.endswith(".pth")
                 else glob.glob(os.path.join(path_or_config, "*.pth")))
         is_umt5 = any("umt5" in os.path.basename(c) for c in cand)

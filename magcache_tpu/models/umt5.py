@@ -263,13 +263,20 @@ def _load_state_dict_any(path: str) -> Dict[str, np.ndarray]:
     import os
 
     if os.path.isdir(path):
-        if glob.glob(os.path.join(path, "*.safetensors")):
+        # a wan ckpt_dir holds the DiT as safetensors NEXT TO the umt5 .pth,
+        # so the *umt5* name wins over the safetensors branch — otherwise the
+        # DiT weights would load and conversion would KeyError on
+        # shared.weight / token_embedding.weight
+        named = sorted(glob.glob(os.path.join(path, "*umt5*.pth")))
+        if named:
+            path = named[0]
+        elif glob.glob(os.path.join(path, "*.safetensors")):
             from magcache_tpu.models.convert import load_safetensors_dir
             return load_safetensors_dir(path)
-        pths = (sorted(glob.glob(os.path.join(path, "*umt5*.pth")))
-                or sorted(glob.glob(os.path.join(path, "*.pth"))))
-        assert pths, f"no safetensors or .pth under {path}"
-        path = pths[0]
+        else:
+            pths = sorted(glob.glob(os.path.join(path, "*.pth")))
+            assert pths, f"no safetensors or .pth under {path}"
+            path = pths[0]
     if path.endswith((".pth", ".pt", ".bin")):
         from magcache_tpu.models.convert import _torch_load_flat
         return _torch_load_flat(path)
@@ -316,6 +323,13 @@ class UMT5Encoder:
                         break
                     except Exception:
                         tokenizer = None
+                if tokenizer is None:
+                    # same degradation as JaxT5Encoder behind the shared
+                    # make_t5_encoder entry point: weights-only dirs keep
+                    # working for structural runs (loud warning inside)
+                    from magcache_tpu.models.text import FallbackHashTokenizer
+                    tokenizer = FallbackHashTokenizer(
+                        self.cfg.vocab_size, eos_token_id=1, pad_token_id=0)
         else:
             self.cfg = path_or_config
             params = init_umt5_params(jax.random.PRNGKey(0), self.cfg)

@@ -820,6 +820,7 @@ class WanPipeline(BasePipeline):
                     for k, v in cond.items()}
         t0 = time.time()
         if self.config.moe_boundary is not None:
+            assert self.config.sample_solver == "unipc", "MoE path uses UniPC"
             fn = self._sample_fn_moe(batch=b)
             with use_mesh(self.plan):
                 latents = fn(self.params, self.params_low, x0, cond)

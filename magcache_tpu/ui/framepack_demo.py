@@ -83,6 +83,7 @@ class DemoSession:
         self.out_dir = out_dir
         self.stream: Optional[AsyncStream] = None
         self._thread: Optional[threading.Thread] = None
+        self._built_kw: Optional[dict] = None   # cfg the session built from
 
     def _build_pipeline(self, **cfg_kw):
         from magcache_tpu.pipelines.framepack import (FramePackPipeline,
@@ -93,7 +94,7 @@ class DemoSession:
     def _worker(self, prompt: str, seed: int, start_latent, stream: AsyncStream):
         pipe = self.pipeline
         os.makedirs(self.out_dir, exist_ok=True)
-        job = f"job_{int(time.time())}_{seed}"
+        job = f"job_{int(time.time() * 1000)}_{seed}"
         total = pipe.config.total_sections
         stream.push(("progress", (None, "Starting ...", 0)))
         done: list = []
@@ -130,8 +131,22 @@ class DemoSession:
     # -- UI surface --------------------------------------------------------
     def start(self, prompt: str, seed: int = 31337, start_latent=None,
               **cfg_kw) -> AsyncStream:
+        if self._thread is not None and self._thread.is_alive():
+            # a second Start while a worker runs would orphan it (Stop could
+            # no longer reach the old stream) and interleave device work
+            raise RuntimeError(
+                "a generation is already running; press Stop (session.end) "
+                "and wait for it to finish first")
         if self.pipeline is None:
             self.pipeline = self._build_pipeline(**cfg_kw)
+            self._built_kw = dict(cfg_kw)
+        elif self._built_kw is not None and cfg_kw and \
+                dict(cfg_kw) != self._built_kw:
+            # the UI widgets changed between runs: the caching config lives
+            # in the pipeline, so it must be rebuilt (an externally injected
+            # pipeline — _built_kw None — is left alone)
+            self.pipeline = self._build_pipeline(**cfg_kw)
+            self._built_kw = dict(cfg_kw)
         self.stream = AsyncStream()
         self._thread = threading.Thread(
             target=self._worker, args=(prompt, seed, start_latent, self.stream),
@@ -188,6 +203,9 @@ def build_ui(session: Optional[DemoSession] = None, **cfg_kw):
             elif flag == "progress":
                 _, desc, pct = data
                 yield gr.update(), gr.update(), gr.update(value=f"{desc} ({pct}%)")
+            elif flag == "error":
+                yield gr.update(), gr.update(), gr.update(
+                    value=f"**Generation failed:** {data}")
         yield gr.update(), gr.update(interactive=True), gr.update(
             interactive=False)
 

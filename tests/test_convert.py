@@ -743,3 +743,29 @@ def test_load_safetensors_dir_torch_pth_fallback(tmp_path):
     torch.save({"state_dict": {"c.weight": w}}, tmp_path / "vae.pth")
     sd3 = load_safetensors_dir(str(tmp_path / "vae.pth"))
     np.testing.assert_allclose(sd3["c.weight"], w.numpy())
+
+
+def test_load_torch_dir_skips_aux_and_flags_duplicates(tmp_path):
+    """A wan-style all-.pth ckpt_dir: the umt5/VAE/CLIP files must NOT be
+    merged into the DiT state dict (silent last-wins + tripled host RAM);
+    genuinely colliding torch shards raise instead of overwriting."""
+    torch = pytest.importorskip("torch")
+
+    from magcache_tpu.models.convert import load_safetensors_dir
+
+    w = torch.ones(2, 2)
+    torch.save({"dit.weight": w}, tmp_path / "model.pth")
+    torch.save({"token_embedding.weight": w * 2},
+               tmp_path / "models_t5_umt5-xxl-enc-bf16.pth")
+    torch.save({"decoder.weight": w * 3}, tmp_path / "Wan2.1_VAE.pth")
+    torch.save({"visual.weight": w * 4},
+               tmp_path / "models_clip_open-clip-xlm.pth")
+    sd = load_safetensors_dir(str(tmp_path))
+    assert set(sd) == {"dit.weight"}
+
+    d2 = tmp_path / "dup"
+    d2.mkdir()
+    torch.save({"x.weight": w}, d2 / "part_a.pth")
+    torch.save({"x.weight": w * 5}, d2 / "part_b.pth")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        load_safetensors_dir(str(d2))

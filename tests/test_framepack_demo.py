@@ -61,3 +61,35 @@ def test_end_interrupts_after_first_section(tmp_path):
             break
     s.join()
     assert 1 <= seen_files < 4               # stopped well before completion
+
+
+def test_cfg_change_rebuilds_pipeline_and_start_guards_running(tmp_path):
+    """The UI widgets feed cfg_kw into every start(): a changed caching
+    config must rebuild the pipeline (it used to be silently ignored after
+    the first run), and Start during a live run must refuse instead of
+    orphaning the running worker."""
+    import pytest
+
+    kw = dict(tiny=True, pyramid=False, height=64, width=64, txt_len=8,
+              latent_window_size=2, total_sections=2, steps=3)
+    s = DemoSession(out_dir=str(tmp_path))
+    s.start("a cat", seed=0, **kw)
+    with pytest.raises(RuntimeError, match="already running"):
+        s.start("a cat", seed=1, **kw)
+    list(s.events())
+    s.join()
+    first = s.pipeline
+    assert first.config.use_magcache is False
+
+    s.start("a cat", seed=0, use_magcache=True, magcache_thresh=1e9, **kw)
+    list(s.events())
+    s.join()
+    assert s.pipeline is not first
+    assert s.pipeline.config.use_magcache is True
+
+    # unchanged cfg reuses the built pipeline (no recompile churn)
+    second = s.pipeline
+    s.start("a cat", seed=2, use_magcache=True, magcache_thresh=1e9, **kw)
+    list(s.events())
+    s.join()
+    assert s.pipeline is second

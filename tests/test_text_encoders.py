@@ -328,9 +328,21 @@ def test_umt5_pth_ckpt_dir_routing(tmp_path):
     torch.save({k: v.to(torch.bfloat16) for k, v in wan_sd.items()},
                tmp_path / "models_t5_umt5-xxl-enc-bf16.pth")
     torch.save({"unrelated": torch.zeros(2)}, tmp_path / "Wan2.1_VAE.pth")
+    # the REAL Wan2.1 repo layout: the DiT ships as safetensors next to the
+    # encoder .pth, and the top-level config.json describes the DiT — the
+    # umt5 sniff must still win over both (regression: model_type "t2v" used
+    # to block detection, and the safetensors branch used to load the DiT)
+    (tmp_path / "config.json").write_text('{"model_type": "t2v"}')
+    from safetensors.numpy import save_file
+    save_file({"dit.blocks.0.w": np.zeros((2, 2), np.float32)},
+              str(tmp_path / "diffusion_pytorch_model.safetensors"))
 
     enc = make_t5_encoder(str(tmp_path), seq_len=8)
     assert isinstance(enc, UMT5Encoder)
+    # weights-only dir (no tokenizer files): degrades to the hash tokenizer
+    # like JaxT5Encoder instead of leaving tokenizer=None
+    assert enc.tokenizer is not None
+    assert np.asarray(enc(["a cat"])).shape == (1, 8, enc.cfg.d_model)
     ids = np.array([[3, 5, 7, 11, 2, 1, 0, 0]], np.int64)
     mask = (ids != 0).astype(np.int64)
     out = np.asarray(enc.encode_ids(ids, mask))
