@@ -972,7 +972,6 @@ def main(argv=None):
     if args.ulysses_size:
         args.sp = args.ulysses_size
     if args.ring_size:
-        import os
         args.sp = args.ring_size
         os.environ.setdefault("MAGCACHE_ATTN_IMPL", "ring")
     if args.cpu:
@@ -1104,7 +1103,12 @@ def main(argv=None):
             hw = pipe.latent_shape[1:]
             lat = _image_to_grid_latent(pipe, _load_image(args.image),
                                         hw[0], hw[1], hw[2])
-            ref_path = "/tmp/opensora_i2v_ref.npy"
+            # unique temp file: a fixed /tmp name is a concurrent-run and
+            # symlink hazard (two runs would clobber each other's reference)
+            import tempfile
+            fd, ref_path = tempfile.mkstemp(prefix="opensora_i2v_ref_",
+                                            suffix=".npy")
+            os.close(fd)
             np.save(ref_path, lat[None])          # [T=1, H, W, C]
             args.refs = ref_path
             if not args.ms:

@@ -76,7 +76,13 @@ def compute_rolling_schedule(num_forwards: int, ratios: np.ndarray,
     lane (the reference scripts only support their exact step counts)."""
     need = num_forwards - cache_time
     r = np.asarray(ratios, np.float64)
+    # the ratio table interleaves lanes starting at forward ``cache_time``;
+    # ``r[t - cache_time]`` lands on lane ``t % lanes`` only when cache_time
+    # is lane-aligned (10 and 1 in the references both are)
+    assert lanes == 1 or cache_time % lanes == 0, (cache_time, lanes)
     if len(r) != need:
+        assert len(r) >= lanes, (
+            f"ratio table too short to resample per lane: {len(r)} < {lanes}")
         # resample each lane's sub-sequence to preserve the interleaving
         # (cond/uncond forwards carry distinct trajectories when lanes=2)
         per = need // lanes + (1 if need % lanes else 0)
@@ -109,6 +115,17 @@ def compute_rolling_schedule(num_forwards: int, ratios: np.ndarray,
             acc_sim[lane] = 1.0
             acc_steps[lane] = 0
             acc_err[lane] = 0.0
+    if not skip.any():
+        # the eval scripts' argparse defaults (thresh=0.015, K=-1) are
+        # deliberately inert — acc_steps is incremented before the <=K check,
+        # so K=-1 can never skip; the published VBench runs passed
+        # --magcache_thresh 0.12 --magcache_K 2/4 (wan_eval.sh). Warn so a
+        # bare `--cache_policy rolling` run isn't mistaken for a cached one.
+        from magcache_tpu.utils.logging import get_logger
+        get_logger(__name__).warning(
+            "rolling cache schedule has ZERO skips (thresh=%s K=%s) — the "
+            "reference eval defaults are inert; the published runs used "
+            "--magcache_thresh 0.12 --magcache_K 2 (or 4)", thresh, K)
     return skip
 
 

@@ -438,7 +438,8 @@ def sample_rflow_masked(
     timesteps: np.ndarray,
     dts: np.ndarray,                # (t_i - t_{i+1})/T per step
     num_train_timesteps: int,
-    mask: jnp.ndarray,              # f32[B, T]: 1=condition frame, (0,1)=edit
+    mask: jnp.ndarray,              # f32[B, T]: 0=condition frame (frozen),
+                                    # (0,1)=edit ratio, 1=freely generated
     noise_key: jax.Array,
     lanes: int = 2,
     combine_fn: Optional[Callable] = None,

@@ -368,8 +368,15 @@ def clip_text_forward(params, cfg: CLIPTextConfig, input_ids: jnp.ndarray,
                              params["blocks"])
     h = layer_norm(h, params["final_norm_w"], params["final_norm_b"],
                    eps=cfg.eps).astype(jnp.float32)
-    eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32),
-                         axis=-1)
+    if cfg.eos_token_id == 2:
+        # legacy CLIP configs (openai/clip-vit-large-patch14 — the FLUX/
+        # hyvideo text_encoder) declare eos_token_id=2, an id that never
+        # appears in CLIP token streams; transformers special-cases this
+        # with argmax over the raw ids (the true EOS 49407 is the largest)
+        eos_pos = jnp.argmax(input_ids, axis=-1)
+    else:
+        eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32),
+                             axis=-1)
     pooled = h[jnp.arange(b), eos_pos]
     if project:
         if "text_proj" not in params:

@@ -100,15 +100,6 @@ class OpenSoraPipelineConfig:
         return OpenSoraPipeline
 
 
-VAE_STRIDE = (17, 8, 8)  # OpenSora: micro-frame 17 -> 5 latents? handled below
-
-
-def dframe_to_frame(num: int) -> int:
-    """Latent frames -> video frames (``pipeline_open_sora.py:877-879``)."""
-    assert num % 5 == 0, f"Invalid num: {num}"
-    return num // 5 * 17
-
-
 class OpenSoraPipeline(BasePipeline):
     def __init__(self, config: OpenSoraPipelineConfig,
                  text_encoder: Optional[TextEncoder] = None, params=None,
@@ -142,8 +133,8 @@ class OpenSoraPipeline(BasePipeline):
             params = load_stdit3_checkpoint(c.ckpt_dir, self.model_cfg)
         self.params = params if params is not None else init_stdit3_params(
             key, self.model_cfg)
-        self._fn = None
-        self._fn_masked = None
+        self._fn = {}         # keyed on record_skips (like flux/wan)
+        self._fn_masked = {}
 
     def _cache_cfg(self):
         c = self.config
@@ -181,14 +172,14 @@ class OpenSoraPipeline(BasePipeline):
         return combine
 
     def _sample_fn(self):
-        if self._fn is not None:
-            return self._fn
+        rs = bool(getattr(self, "record_skips", False))
+        if rs in self._fn:
+            return self._fn[rs]
         c = self.config
         sch = self.schedule
         dts = np.array([sch.dt(i) for i in range(sch.num_steps)], np.float32)
         cache_cfg = self._cache_cfg()
         core, combine = self.core, self._combine()
-        rs = bool(getattr(self, "record_skips", False))
 
         def fn(params, z, cond):
             # joint batch of 2 rides the row axis through a single forward
@@ -198,18 +189,18 @@ class OpenSoraPipeline(BasePipeline):
                                 calibrate=c.magcache_calibration,
                                 calibrate_lanes=1)
 
-        self._fn = jax.jit(fn)
-        return self._fn
+        self._fn[rs] = jax.jit(fn)
+        return self._fn[rs]
 
     def _sample_fn_masked(self):
-        if self._fn_masked is not None:
-            return self._fn_masked
+        rs = bool(getattr(self, "record_skips", False))
+        if rs in self._fn_masked:
+            return self._fn_masked[rs]
         c = self.config
         sch = self.schedule
         dts = np.array([sch.dt(i) for i in range(sch.num_steps)], np.float32)
         cache_cfg = self._cache_cfg()
         core, combine = self.core, self._combine()
-        rs = bool(getattr(self, "record_skips", False))
         ntt = sch.num_train_timesteps
 
         def fn(params, z, cond, mask, noise_key):
@@ -219,8 +210,8 @@ class OpenSoraPipeline(BasePipeline):
                 lanes=2, combine_fn=combine, cache_cfg=cache_cfg,
                 return_skips=rs)
 
-        self._fn_masked = jax.jit(fn)
-        return self._fn_masked
+        self._fn_masked[rs] = jax.jit(fn)
+        return self._fn_masked[rs]
 
     # ---- reference collection -------------------------------------------
     def _collect_references(self, reference_paths: List[Optional[str]]
@@ -318,10 +309,13 @@ class OpenSoraPipeline(BasePipeline):
             masks = oc.apply_mask_strategy(z, refs_x, ms_l, loop_i,
                                            align=align)
             if masks is not None and (masks >= 1.0).all():
-                # all-ones mask (no strategy touched this loop) is the plain
-                # t2v path — the reference runs its masked loop anyway, which
-                # is a per-frame no-op; routing to the static scan keeps the
-                # cheaper compiled program
+                # all-ones mask is exactly the plain CFG loop: the reference
+                # pre-marks mask==1 frames as noise_added (never re-noised,
+                # never reverted, x_mask all-True == regular modulation) and
+                # denoises whatever apply_mask_strategy pasted into z as the
+                # current sample — which the static scan does too, on the
+                # same (already-pasted) z. Routing there keeps the cheaper
+                # compiled program; edit_ratio=1.0 pastes stay honored.
                 masks = None
             assert not (self.config.magcache_calibration
                         and masks is not None), (
@@ -342,8 +336,9 @@ class OpenSoraPipeline(BasePipeline):
             clips.append(np.asarray(out))
 
         # trim each follow-on clip's conditioning frames, then concat in time
-        # (:640-642; latent-space trim — dframe_to_frame is its video-space
-        # equivalent when decoding per clip)
+        # (:640-642; the reference trims decoded video via dframe_to_frame
+        # [latent//5*17 frames] — trimming in latent space before one joint
+        # decode is the equivalent here)
         for i in range(1, loop):
             clips[i] = clips[i][:, condition_frame_length:]
         latents = jnp.asarray(np.concatenate(clips, axis=1))

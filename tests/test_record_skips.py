@@ -78,3 +78,26 @@ def test_framepack_per_section_skips():
     # per-section reset: the forced first step never skips in either section
     assert not a[:, 0].any()
     assert a.sum() > 0
+
+
+def test_open_sora_record_skips_toggle_after_first_generate():
+    """The jit memo must be keyed on record_skips: generating once plain and
+    then toggling pipe.record_skips used to reuse the no-skips program and
+    crash unpacking (and vice versa)."""
+    from magcache_tpu.pipelines.open_sora import (OpenSoraPipeline,
+                                                  OpenSoraPipelineConfig)
+
+    cfg = OpenSoraPipelineConfig(tiny=True, num_sampling_steps=4,
+                                 use_magcache=True, magcache_thresh=1e9,
+                                 retention_ratio=0.25)
+    pipe = OpenSoraPipeline(cfg)
+    out = pipe.generate("x", seed=0)
+    assert out.skips is None
+    pipe.record_skips = True
+    out2 = pipe.generate("x", seed=0)
+    assert out2.skips is not None and np.asarray(out2.skips).sum() > 0
+    pipe.record_skips = False
+    out3 = pipe.generate("x", seed=0)
+    assert out3.skips is None
+    np.testing.assert_allclose(np.asarray(out.latents),
+                               np.asarray(out3.latents))

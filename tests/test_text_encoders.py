@@ -90,6 +90,43 @@ def test_clip_text_parity_vs_torch():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_clip_text_legacy_eos2_pooling_parity():
+    """Legacy CLIP-L configs (openai/clip-vit-large-patch14 — the FLUX/
+    hyvideo text_encoder) declare eos_token_id=2, an id that never appears
+    in the token stream; transformers special-cases it with argmax over the
+    raw ids. A naive (ids == 2) match returns position 0 for every prompt —
+    a constant pooled vector."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from magcache_tpu.models.clip import (
+        CLIPTextConfig, clip_text_forward, convert_clip_text_state_dict)
+
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=16, eos_token_id=2, bos_token_id=94,
+        hidden_act="quick_gelu")
+    with torch.no_grad():
+        tm = transformers.CLIPTextModel(hf_cfg).eval()
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+        cfg = CLIPTextConfig.tiny(eos_token_id=2)
+        params = convert_clip_text_state_dict(sd, cfg)
+        # the REAL eos in CLIP streams is the largest vocab id (95 here),
+        # at different positions per prompt
+        ids = np.array([[94, 3, 7, 12, 95, 0, 0, 0],
+                        [94, 20, 95, 0, 0, 0, 0, 0]], np.int64)
+        mask = (ids != 0).astype(np.int64)
+        t_out = tm(input_ids=torch.tensor(ids),
+                   attention_mask=torch.tensor(mask))
+    _, pooled = clip_text_forward(params, cfg, jnp.asarray(ids),
+                                  jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(pooled),
+                               t_out.pooler_output.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    assert not np.allclose(np.asarray(pooled)[0], np.asarray(pooled)[1])
+
+
 def test_clip_vision_parity_vs_torch():
     """Penultimate-block states (the Wan i2v conditioning slice) vs a real
     transformers.CLIPVisionModel's hidden_states[-2]."""
