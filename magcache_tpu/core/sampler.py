@@ -891,7 +891,9 @@ def sample_pndm(
 ) -> jnp.ndarray:
     """PNDM/PLMS sampler (Open-Sora-Plan v1.1's scheduler) with MagCache:
     Adams-Bashforth epsilon history + host-precomputed (c_x, c_e) transfer,
-    as one `lax.scan` (schedulers/pndm.py documents the math)."""
+    as one `lax.scan` over the n+1 plms iterations — the duplicated second
+    timestep's Heun redo runs from the stashed counter-0 sample
+    (schedulers/pndm.py documents the math)."""
     n = schedule.num_steps
     batch = x_init.shape[0]
     skip_mask, n_lanes, lane_of_row, partial_lanes = _lane_setup(
@@ -901,7 +903,7 @@ def sample_pndm(
     ts0 = jnp.asarray(schedule.timesteps[:1])
     cache0 = _init_cache(core, params, x_l0, ts0, cond)
     state0 = _init_trunk_state(core, params, x_l0, ts0, cond)
-    e_hist0 = jnp.stack([jnp.zeros_like(x_init)] * 4)
+    e_hist0 = jnp.stack([jnp.zeros_like(x_init)] * 3)   # h0, h1, h2
 
     step_in = (
         jnp.arange(n),
@@ -909,11 +911,12 @@ def sample_pndm(
         jnp.asarray(skip_mask),
         jnp.asarray(schedule.c_x), jnp.asarray(schedule.c_e),
         jnp.asarray(schedule.eps_weights),
+        jnp.asarray(schedule.push_eps), jnp.asarray(schedule.use_cur),
     )
 
     def body(carry, inp):
         x, e_hist, cache, state = carry
-        idx, t, skip_bits, cx, ce, wts = inp
+        idx, t, skip_bits, cx, ce, wts, push, use_cur = inp
         x2 = _stack_lanes(x, n_lanes)
         tvec = jnp.full((x2.shape[0],), t, jnp.float32)
         hidden, ctx = core.prepare(params, x2, tvec, cond)
@@ -924,9 +927,15 @@ def sample_pndm(
         out = core.head(params, h_out, ctx)
         e = _cfg_combine(out, guidance_scale, batch, combine_fn,
                          n_lanes).astype(x.dtype)
-        e_hist = jnp.concatenate([e[None], e_hist[:-1]], axis=0)
-        e_prime = jnp.tensordot(wts, e_hist, axes=1)
-        x = cx.astype(x.dtype) * x + ce.astype(x.dtype) * e_prime
+        e_all = jnp.concatenate([e[None], e_hist], axis=0)     # [4, ...]
+        e_prime = jnp.tensordot(wts, e_all, axes=1)
+        # counter 1 redoes the first transfer from the stashed counter-0
+        # sample (x_init — cur_sample is only ever read there)
+        base = jnp.where(use_cur.astype(bool), x_init, x)
+        x = cx.astype(x.dtype) * base + ce.astype(x.dtype) * e_prime
+        e_hist = jnp.where(push.astype(bool),
+                           jnp.concatenate([e[None], e_hist[:-1]], axis=0),
+                           e_hist)
         return (x, e_hist, cache, state), None
 
     (x_fin, _, _, _), _ = jax.lax.scan(

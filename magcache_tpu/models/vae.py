@@ -227,6 +227,10 @@ class CausalVAE:
     windows with a carried causal feature cache; equal to full decode.
     """
 
+    # causal time compression keeps frame 1: 1 + (mf-1)//ds latents per
+    # chunk, no num_frames hint (see MicroFrameVAE.decode)
+    front_padded_latents = False
+
     def __init__(self, cfg: CausalVAEConfig, params):
         self.cfg = cfg
         self.params = params
@@ -515,10 +519,12 @@ class MicroFrameVAE:
 
     def decode(self, z, latent_chunk: Optional[int] = None):
         """latents -> pixels; chunks decode independently (per-micro-frame
-        reset, unlike `CausalVAE.decode_chunked`'s carried-cache streaming)."""
-        import inspect
-        want_nf = ("num_frames"
-                   in inspect.signature(self.temporal.decode).parameters)
+        reset, unlike `CausalVAE.decode_chunked`'s carried-cache streaming).
+
+        Chunk sizing follows the temporal VAE's declared
+        ``front_padded_latents`` invariant (VAE_Temporal front-pads and takes
+        a num_frames hint; CausalVAE keeps frame 1 causally)."""
+        want_nf = bool(getattr(self.temporal, "front_padded_latents", False))
         ds = 2 ** sum(self.temporal.cfg.temporal_downsample)
         if latent_chunk is None:
             if want_nf:        # VAE_Temporal front-pads: ceil(mf / ds) latents

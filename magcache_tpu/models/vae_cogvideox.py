@@ -257,6 +257,10 @@ class CogVideoXVAE:
         self.cfg = cfg
         self.params = params
         self._jit_dec = jax.jit(lambda p, z: self._decode_core(p, z, {})[0])
+        # streaming variant: conv caches ride as a pytree argument so each
+        # (tile shape, slice length) pair compiles once instead of the whole
+        # decoder dispatching op-by-op per frame slice
+        self._jit_dec_stream = jax.jit(self._decode_core)
         self._jit_enc = jax.jit(self._encode_core)
 
     # -- resnet ------------------------------------------------------------
@@ -376,7 +380,7 @@ class CogVideoXVAE:
             while s0 < T:
                 sl = tz[:, s0:s0 + (first if s0 == 0 else fb)]
                 s0 += sl.shape[1]
-                out, caches = self._decode_core(self.params, sl, caches)
+                out, caches = self._jit_dec_stream(self.params, sl, caches)
                 outs.append(out)
             return jnp.concatenate(outs, axis=1)
 

@@ -141,6 +141,11 @@ def _res(p, x, groups):
 class VAETemporal:
     """Encode pixels-latents over time only (spatial stride 1)."""
 
+    # decode consumes a num_frames hint and FRONT-pads latents:
+    # ceil(micro_frame / ds) latents per chunk (MicroFrameVAE keys its
+    # chunking on this declared invariant, not signature sniffing)
+    front_padded_latents = True
+
     def __init__(self, cfg: VAETemporalConfig, params):
         self.cfg = cfg
         self.params = params

@@ -234,7 +234,6 @@ class WanVAE:
             params = _cast_conv_params(params, self.jdtype)
         self.params = params
         self._jit_enc = jax.jit(self._encode_core)
-        self._jit_enc_stream = jax.jit(self._encode_core)
         self._jit_dec = jax.jit(lambda p, z: self._decode_core(p, z, None))
         self._jit_dec_stream = jax.jit(self._decode_core)
 
@@ -326,7 +325,7 @@ class WanVAE:
         means, logvars = [], []
         for i in [0] + list(range(1, x.shape[1], pixel_chunk)):
             end = 1 if i == 0 else min(i + pixel_chunk, x.shape[1])
-            (m, lv_), caches = self._jit_enc_stream(
+            (m, lv_), caches = self._jit_enc(
                 self.params, x[:, i:end], caches)
             means.append(m)
             logvars.append(lv_)

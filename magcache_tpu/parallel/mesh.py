@@ -60,6 +60,11 @@ def init_distributed(coordinator_address: Optional[str] = None,
     (no-op). Returns the global device count; after this, `build_mesh` over
     `jax.devices()` spans all hosts and pjit emits ICI/DCN collectives."""
     if num_processes is not None and num_processes > 1 or coordinator_address:
+        # jax requires the full triple once a coordinator is given explicitly
+        # (bare metal has no cluster env to auto-detect them from)
+        assert num_processes is not None and process_id is not None, (
+            "explicit coordinator_address needs num_processes and process_id "
+            "(no cluster environment to auto-detect them from)")
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)

@@ -43,11 +43,19 @@ class LattePipelineConfig:
     dtype: str = "float32"
     tiny: bool = False
     ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
+    # None -> 8 for the full model (published Latte-1 predicts eps+variance,
+    # learn_sigma), tiny default for tiny runs
+    out_channels: Optional[int] = None
 
     def model_config(self) -> LatteConfig:
         if self.tiny:
-            return LatteConfig.tiny(dtype=self.dtype)
-        return LatteConfig(dtype=self.dtype)
+            kw = {} if self.out_channels is None else {
+                "out_channels": self.out_channels}
+            return LatteConfig.tiny(dtype=self.dtype, **kw)
+        # the sampler consumes the first 4 channels (diffusers
+        # chunk(2, dim=1)[0])
+        return LatteConfig(dtype=self.dtype,
+                           out_channels=self.out_channels or 8)
 
     @property
     def pipeline_cls(self):
@@ -103,11 +111,19 @@ class LattePipeline(BasePipeline):
                 thresh=c.magcache_thresh, max_consecutive_skips=c.magcache_K,
                 retention_ratio=c.retention_ratio, lanes=1)
         core, g = self.core, c.guidance_scale
+        C = self.model_cfg.in_channels
+
+        def combine(chunks):
+            # eps+variance head: the scheduler consumes the first C channels
+            # (diffusers LattePipeline: model_output.chunk(2, dim=1)[0])
+            cond_o = chunks[0][..., :C]
+            uncond_o = chunks[1][..., :C]
+            return uncond_o + g * (cond_o - uncond_o)
 
         def fn(params, z, cond):
             return sample_euler(core, params, z, cond, timesteps=sch.timesteps,
                                 dts=dts, cache_cfg=cache_cfg,
-                                guidance_scale=g,
+                                lanes=2, combine_fn=combine,
                                 calibrate=c.magcache_calibration,
                                 calibrate_lanes=1)
 

@@ -60,16 +60,25 @@ class OpenSoraPlanPipelineConfig:
     dtype: str = "float32"
     tiny: bool = False
     ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
+    # None -> 8 for the full models (published OSP transformers predict
+    # eps+variance), tiny default for tiny runs
+    out_channels: Optional[int] = None
 
     def model_config(self):
+        # the sampler consumes the first 4 channels (diffusers
+        # chunk(2, dim=1)[0])
+        kw = {} if self.out_channels is None else {
+            "out_channels": self.out_channels}
         if self.version == "v110":
             from magcache_tpu.models.latte import LatteConfig
             if self.tiny:
-                return LatteConfig.tiny(dtype=self.dtype)
-            return LatteConfig(dtype=self.dtype)
+                return LatteConfig.tiny(dtype=self.dtype, **kw)
+            return LatteConfig(dtype=self.dtype,
+                               out_channels=self.out_channels or 8)
         if self.tiny:
-            return OpenSoraPlanConfig.tiny(dtype=self.dtype)
-        return OpenSoraPlanConfig(dtype=self.dtype)
+            return OpenSoraPlanConfig.tiny(dtype=self.dtype, **kw)
+        return OpenSoraPlanConfig(dtype=self.dtype,
+                                  out_channels=self.out_channels or 8)
 
     @property
     def pipeline_cls(self):
@@ -138,11 +147,14 @@ class OpenSoraPlanPipeline(BasePipeline):
             key, self.model_cfg)
         self._fn = None
 
-    def _cache_cfg(self) -> Optional[MagCacheConfig]:
+    def _cache_cfg(self, scan_steps: Optional[int] = None
+                   ) -> Optional[MagCacheConfig]:
         c = self.config
         if not c.use_magcache or c.magcache_calibration:
             return None
-        n = c.num_inference_steps * 2
+        # v110's PLMS runs num_inference_steps+1 model calls (duplicated
+        # second timestep); the skip schedule covers every forward
+        n = (scan_steps or c.num_inference_steps) * 2
         ratios = c.magcache_ratios
         if ratios is None:
             ratios = tuple(np.ones(n))
@@ -160,6 +172,13 @@ class OpenSoraPlanPipeline(BasePipeline):
         c = self.config
         core, g = self.core, c.guidance_scale
         cache_cfg = self._cache_cfg()
+        C = self.model_cfg.in_channels
+
+        def combine(chunks):
+            # eps+variance head: the scheduler consumes the first C channels
+            cond_o = chunks[0][..., :C]
+            uncond_o = chunks[1][..., :C]
+            return uncond_o + g * (cond_o - uncond_o)
 
         if c.version == "v110":
             if c.magcache_calibration:
@@ -167,10 +186,12 @@ class OpenSoraPlanPipeline(BasePipeline):
                                  "Euler-Ancestral path; v110 PNDM is not "
                                  "wired for recording")
             sch = PNDMSchedule.create(c.num_inference_steps)
+            cache_cfg = self._cache_cfg(sch.num_steps)
 
             def fn(params, z, cond, noise_key):
                 return sample_pndm(core, params, z, cond, sch,
-                                   cache_cfg=cache_cfg, guidance_scale=g)
+                                   cache_cfg=cache_cfg, lanes=2,
+                                   combine_fn=combine)
         else:
             sch = EulerAncestralSchedule.create(c.num_inference_steps)
 
@@ -179,7 +200,7 @@ class OpenSoraPlanPipeline(BasePipeline):
                     core, params, z, cond, timesteps=sch.timesteps,
                     dts=sch.dts, in_scales=sch.in_scales,
                     noise_scales=sch.noise_scales, noise_key=noise_key,
-                    cache_cfg=cache_cfg, guidance_scale=g,
+                    cache_cfg=cache_cfg, lanes=2, combine_fn=combine,
                     calibrate=c.magcache_calibration)
 
         self._fn = jax.jit(fn)

@@ -322,6 +322,9 @@ class WanPipeline(BasePipeline):
         key = ("moe", self.config.use_magcache, batch)
         if key in self._jit_cache:
             return self._jit_cache[key]
+        if self.config.enable_teacache:
+            # would otherwise be silently ignored on the MoE path
+            self._teacache_lanes()   # raises: no published Wan2.2 coefficients
         from magcache_tpu.core.sampler import unipc_executor
 
         c = self.config
@@ -368,6 +371,15 @@ class WanPipeline(BasePipeline):
         from magcache_tpu.core.teacache import (TeaCacheLanes,
                                                 wan_teacache_settings)
         c = self.config
+        if c.task not in ("t2v", "i2v") or c.model.startswith("wan2.2"):
+            # the published TeaCache coefficient tables cover Wan2.1 t2v
+            # 1.3B/14B and i2v 480P/720P only (wan_teacache.py:913-928);
+            # driving ti2v/vace/flf2v/Wan2.2 with a foreign polynomial would
+            # produce an arbitrary skip schedule
+            raise ValueError(
+                f"enable_teacache supports Wan2.1 t2v/i2v only (no published "
+                f"coefficients for task={c.task!r} model={c.model!r}); use "
+                "--use_magcache for this configuration")
         if c.task == "i2v":
             model_key = "i2v-720P" if c.size[1] >= 720 else "i2v-480P"
         else:

@@ -110,3 +110,35 @@ def test_pab_preset_factories():
     assert magcache_tpu.CogVideoXPABConfig().spatial_threshold == (100, 850)
     assert not magcache_tpu.CogVideoXPABConfig().temporal_broadcast
     assert magcache_tpu.OpenSoraPlanV120PABConfig().cross_broadcast
+
+
+def test_latte_pipeline_eps_variance_head():
+    """Published Latte-1 predicts eps+variance (8 channels, learn_sigma);
+    the pipeline's combine must slice the first C channels before the CFG
+    blend so a real checkpoint is usable end-to-end (the full-size config
+    defaults to out_channels=8)."""
+    from magcache_tpu.pipelines.latte import LattePipeline, LattePipelineConfig
+
+    cfg = LattePipelineConfig(tiny=True, num_frames=4, height=64, width=64,
+                              caption_len=6, num_sampling_steps=3,
+                              out_channels=8)
+    assert cfg.model_config().c_out == 8
+    out = LattePipeline(cfg).generate("x")
+    assert out.latents.shape[-1] == 4
+    assert LattePipelineConfig().model_config().c_out == 8
+
+
+def test_osp_pipeline_eps_variance_head():
+    from magcache_tpu.pipelines.open_sora_plan import (
+        OpenSoraPlanPipeline, OpenSoraPlanPipelineConfig)
+
+    for version in ("v110", "v120"):
+        cfg = OpenSoraPlanPipelineConfig(
+            tiny=True, version=version, num_frames=5, height=32, width=32,
+            caption_len=6, num_inference_steps=3, out_channels=8)
+        assert cfg.model_config().c_out == 8
+        out = OpenSoraPlanPipeline(cfg).generate("x")
+        assert out.latents.shape[-1] == 4
+    assert OpenSoraPlanPipelineConfig().model_config().c_out == 8
+    assert OpenSoraPlanPipelineConfig(
+        version="v110").model_config().c_out == 8

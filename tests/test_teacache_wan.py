@@ -251,3 +251,27 @@ def test_sample_euler_dynamic_skip_matches_eager():
     assert n_skipped > 0, "threshold should cause skips on the toy"
     np.testing.assert_allclose(np.asarray(out), np.asarray(xs),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_teacache_rejects_uncovered_wan_configs():
+    """The published TeaCache coefficient tables cover Wan2.1 t2v/i2v only;
+    ti2v/vace/flf2v/Wan2.2 must reject instead of silently driving the skip
+    decision with a foreign polynomial."""
+    import pytest
+
+    from magcache_tpu.pipelines.wan import WanPipeline, WanPipelineConfig
+
+    for kw in (dict(model="wan2.2-ti2v-5B-t2v", task="ti2v"),
+               dict(model="wan2.1-vace-1.3B", task="vace"),
+               dict(model="wan2.2-t2v-A14B", task="t2v")):
+        cfg = WanPipelineConfig(tiny=True, frame_num=5, size=(64, 32),
+                                sample_steps=3, enable_teacache=True, **kw)
+        with pytest.raises(ValueError, match="t2v/i2v only"):
+            WanPipeline(cfg).generate("x", seed=0)
+    # flf2v trips its input checks before sampling; the policy builder
+    # itself must reject it too
+    cfg = WanPipelineConfig(tiny=True, frame_num=5, size=(64, 32),
+                            sample_steps=3, enable_teacache=True,
+                            model="wan2.1-i2v-480p", task="flf2v")
+    with pytest.raises(ValueError, match="t2v/i2v only"):
+        WanPipeline(cfg)._teacache_lanes()

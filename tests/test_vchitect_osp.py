@@ -159,7 +159,11 @@ def test_pndm_schedule_matches_diffusers_semantics():
     betas = np.linspace(0.0001 ** 0.5, 0.02 ** 0.5, train) ** 2
     abar = np.cumprod(1 - betas)
     ratio = train // steps
-    ts = (np.arange(steps) * ratio)[::-1]
+    base = np.arange(steps) * ratio
+    # set_timesteps: plms_timesteps duplicates the second-to-last ascending
+    # timestep, then reverses — n+1 iterations
+    ts = np.concatenate([base[:-1], base[-2:-1], base[-1:]])[::-1]
+    assert len(ts) == steps + 1 and ts[1] == ts[2]
 
     W = np.asarray(np.random.default_rng(1).normal(size=(8, 8)) * 0.1,
                    np.float32)
@@ -167,26 +171,41 @@ def test_pndm_schedule_matches_diffusers_semantics():
     def model_eps(x, t):
         return np.tanh(x @ W) + 0.001 * t
 
-    x = np.asarray(np.random.default_rng(0).normal(size=(1, 8)), np.float32)
-    x0 = x.copy()
-    ets = []
-    for i, t in enumerate(ts):
-        e = model_eps(x, t)
-        ets.append(e)
-        if i == 0:
-            e_p = e
-        elif i == 1:
-            e_p = (3 * ets[-1] - ets[-2]) / 2
-        elif i == 2:
-            e_p = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12
-        else:
-            e_p = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3] - 9 * ets[-4]) / 24
-        t_prev = t - ratio
-        a_t, a_prev = abar[t], (abar[t_prev] if t_prev >= 0 else 1.0)
+    def transfer(x, t, t_prev, e_p):
+        a_t = abar[t]
+        # final_alpha_cumprod = abar[0] (PNDM set_alpha_to_one=False default)
+        a_prev = abar[t_prev] if t_prev >= 0 else abar[0]
         x_coef = np.sqrt(a_prev / a_t)
         e_coef = -(a_prev - a_t) / (np.sqrt(a_t) * (
             np.sqrt(1 - a_prev) + np.sqrt(a_prev * (1 - a_t) / a_t)))
-        x = x_coef * x + e_coef * e_p
+        return x_coef * x + e_coef * e_p
+
+    x = np.asarray(np.random.default_rng(0).normal(size=(1, 8)), np.float32)
+    x0 = x.copy()
+    # faithful step_plms transcription: counter-1 Heun redo from cur_sample
+    # with averaged eps and no history append
+    ets, cur_sample = [], None
+    for counter, t in enumerate(ts):
+        e = model_eps(x, t)
+        t_prev = t - ratio
+        if counter != 1:
+            ets = ets[-3:] + [e]
+        else:
+            t_prev, t = t, t + ratio
+        if len(ets) == 1 and counter == 0:
+            e_p = e
+            cur_sample = x
+        elif len(ets) == 1 and counter == 1:
+            e_p = (e + ets[-1]) / 2
+            x = cur_sample
+        elif len(ets) == 2:
+            e_p = (3 * ets[-1] - ets[-2]) / 2
+        elif len(ets) == 3:
+            e_p = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12
+        else:
+            e_p = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3]
+                   - 9 * ets[-4]) / 24
+        x = transfer(x, t, t_prev, e_p)
 
     # the trunk must carry a nonzero residual (cache boundary), so it adds
     # eps on top of its input and the head subtracts the input back out
