@@ -42,18 +42,20 @@ def build_parser():
 
 
 def _norm_latents(lat) -> "np.ndarray":
-    """Min-max normalize raw latents into [0,1] for the structural metric.
-    NOTE: the resulting PSNR/SSIM are **latent-space** numbers (no VAE decode
-    here, random init) — a structural cache-fidelity gate, not a perceptual
-    video metric; keys are prefixed ``latent_`` to say so."""
+    """Squash raw latents to [T, H, W, <=3]; NO normalization here — the
+    comparator pair must share ONE min-max scale (independent per-array
+    normalization would hide a pure global scale error, exactly the kind of
+    error magnitude-based skipping introduces). `_latent_metrics` normalizes
+    the pair jointly. NOTE: the resulting PSNR/SSIM are **latent-space**
+    numbers (no VAE decode here, random init) — a structural cache-fidelity
+    gate, not a perceptual video metric; keys are prefixed ``latent_``."""
     import numpy as np
     lat = np.asarray(lat)
     while lat.ndim > 4:
         lat = lat[0]
     if lat.ndim == 3:                       # [H, W, C] image -> 1-frame video
         lat = lat[None]
-    lo, hi = lat.min(), lat.max()
-    return ((lat[..., :3] - lo) / max(hi - lo, 1e-8)).astype(np.float32)
+    return lat[..., :3].astype(np.float32)
 
 
 def _skip_count(skips) -> dict:
@@ -63,7 +65,16 @@ def _skip_count(skips) -> dict:
 
 
 def _latent_metrics(a, b) -> dict:
+    import numpy as np
+
     from magcache_tpu.eval.compare import compare_videos
+    # shared min-max over the PAIR: the golden (b) and cached (a) runs map
+    # through one scale so a global magnitude drift shows up in the metric
+    lo = min(a.min(), b.min())
+    hi = max(a.max(), b.max())
+    sc = max(hi - lo, 1e-8)
+    a = ((a - lo) / sc).astype(np.float32)
+    b = ((b - lo) / sc).astype(np.float32)
     m = compare_videos(a, b, metrics=("psnr", "ssim"))
     return {f"latent_{k}": v for k, v in m.items()}
 

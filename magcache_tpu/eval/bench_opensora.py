@@ -46,7 +46,11 @@ def run(tiny: bool = False) -> dict:
         cfg = STDiT3Config.tiny()
     else:
         cfg = STDiT3Config(dtype="bfloat16")
-    lat = (frames // 4, h_pix // 8, w_pix // 8)
+    # per-17-frame-chunk ceil/4 (OpenSoraVAE_V1_2.get_latent_size): 51
+    # frames -> 15 latents — the geometry the reference's 44.56 s was
+    # measured at (frames//4 = 12 under-counted the sequence by 20%)
+    from magcache_tpu.pipelines.open_sora_cond import get_latent_t
+    lat = (get_latent_t(frames), h_pix // 8, w_pix // 8)
     pt, ph, pw = cfg.patch
     grid = (lat[0] // pt, lat[1] // ph, lat[2] // pw)
     ntok = int(np.prod(grid))

@@ -35,18 +35,24 @@ class ExperimentResult:
 
 
 def _to_frames(latents: np.ndarray) -> np.ndarray:
-    """Normalize latents to a [T, H, W, C<=3]-ish array for the metrics
-    (metrics operate on whatever channels exist; for real runs attach a VAE
-    and compare decoded videos instead)."""
+    """Squash latents to a [T, H, W, C<=3]-ish array for the metrics — no
+    normalization (the variant/base PAIR shares one min-max in
+    `_norm_pair`; independent per-array scales would hide global magnitude
+    drift). For real runs attach a VAE and compare decoded videos instead."""
     lat = np.asarray(latents)
     if lat.ndim == 5:            # [B, T, H, W, C]
         lat = lat[0]
     elif lat.ndim == 3:          # [B, S, C] image tokens
         lat = lat[0][None]
-    # squash to [T, H, W, 3]-compatible by taking 3 channels and min-max norm
-    lat = lat[..., :3]
-    lo, hi = lat.min(), lat.max()
-    return ((lat - lo) / max(hi - lo, 1e-8)).astype(np.float32)
+    return lat[..., :3].astype(np.float32)
+
+
+def _norm_pair(a: np.ndarray, b: np.ndarray):
+    lo = min(a.min(), b.min())
+    hi = max(a.max(), b.max())
+    sc = max(hi - lo, 1e-8)
+    return ((a - lo) / sc).astype(np.float32), ((b - lo) / sc).astype(
+        np.float32)
 
 
 def run_experiment(
@@ -80,8 +86,8 @@ def run_experiment(
     for variant in variants[1:]:
         per = []
         for a, b in zip(raw[variant], raw[base]):
-            per.append(compare_videos(_to_frames(a), _to_frames(b),
-                                      metrics=metrics))
+            fa, fb = _norm_pair(_to_frames(a), _to_frames(b))
+            per.append(compare_videos(fa, fb, metrics=metrics))
         agg = {m: float(np.mean([p[m] for p in per])) for m in metrics}
         results[variant].metrics_vs_base = agg
         logger.info("variant %s vs %s: %s", variant, base, agg)

@@ -139,28 +139,32 @@ def flux_rope_tables(cfg: FluxConfig, txt_len: int, grid_h: int, grid_w: int,
     """
     total = sum(cfg.axes_dims)
     assert total == cfg.head_dim
-    img_len = grid_h * grid_w
-    ys, xs = np.meshgrid(np.arange(grid_h), np.arange(grid_w), indexing="ij")
-
-    def img_block(t_pos):
-        cos_parts, sin_parts = [], []
-        axis_pos = [np.full(img_len, t_pos), ys.reshape(-1), xs.reshape(-1)]
-        for dim_a, pos in zip(cfg.axes_dims, axis_pos):
-            c, s = rope_freqs_1d(pos, dim_a, cfg.theta)
-            cos_parts.append(c)
-            sin_parts.append(s)
-        return (np.concatenate(cos_parts, -1), np.concatenate(sin_parts, -1))
-
-    img_cos, img_sin = img_block(0)
+    img_cos, img_sin = flux_img_rope_block(cfg, grid_h, grid_w, 0)
     txt_cos = np.ones((txt_len, cfg.head_dim // 2), np.float32)
     txt_sin = np.zeros((txt_len, cfg.head_dim // 2), np.float32)
     cos = [txt_cos, img_cos]
     sin = [txt_sin, img_sin]
     if kontext:
-        kc, ks_ = img_block(1)
+        kc, ks_ = flux_img_rope_block(cfg, grid_h, grid_w, 1)
         cos.append(kc)
         sin.append(ks_)
     return np.concatenate(cos, 0), np.concatenate(sin, 0)
+
+
+def flux_img_rope_block(cfg: FluxConfig, grid_h: int, grid_w: int,
+                        t_pos: int):
+    """(cos, sin) for one image's tokens at first-axis id ``t_pos`` —
+    diffusers gives each image in a multi-image sequence its own index-axis
+    position (Kontext cond = 1; Qwen-Edit ref k = k)."""
+    img_len = grid_h * grid_w
+    ys, xs = np.meshgrid(np.arange(grid_h), np.arange(grid_w), indexing="ij")
+    cos_parts, sin_parts = [], []
+    axis_pos = [np.full(img_len, t_pos), ys.reshape(-1), xs.reshape(-1)]
+    for dim_a, pos in zip(cfg.axes_dims, axis_pos):
+        c, s = rope_freqs_1d(pos, dim_a, cfg.theta)
+        cos_parts.append(c)
+        sin_parts.append(s)
+    return (np.concatenate(cos_parts, -1), np.concatenate(sin_parts, -1))
 
 
 def _mod(vec: jnp.ndarray, p, n: int):

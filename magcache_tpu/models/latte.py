@@ -170,7 +170,6 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
                                 eps=cfg.eps)
             if temporal:
                 xr = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3).reshape(rows * S, T, d)
-                xr = (xr + temp_pos[None]).astype(xn.dtype)
                 # tiny frame axis: fused VMEM attention over the qkv
                 # projection (no qk-norm/rope in Latte temporal blocks)
                 qkv = linear(p["qkv"], xr)
@@ -224,14 +223,26 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
         h = h + (g_m * mo.astype(jnp.float32)).astype(h.dtype)
         return h, new_cached
 
+    # the reference adds the absolute temporal sincos to the RESIDUAL
+    # stream once, before the FIRST temporal block only
+    # (latte_transformer_3d.py:1354-1355: ``if i == 0: hidden += temp_pos``)
+    tp_tok = jnp.broadcast_to(temp_pos[:, None, :], (T, S, d)).reshape(
+        T * S, d)
+
+    def _add_temp_pos0(h, i):
+        h1 = (h.astype(jnp.float32) + tp_tok[None]).astype(h.dtype)
+        return jnp.where(i == 0, h1, h)
+
     def trunk(params, h, ctx):
         def body(carry, ps):
-            sp, tp_ = ps
+            i, sp, tp_ = ps
             h, _ = _block(sp, carry, ctx, temporal=False)
+            h = _add_temp_pos0(h, i)
             h, _ = _block(tp_, h, ctx, temporal=True)
             return h, None
 
-        h, _ = jax.lax.scan(body, h, (params["spatial"], params["temporal"]))
+        h, _ = jax.lax.scan(body, h, (jnp.arange(cfg.depth),
+                                      params["spatial"], params["temporal"]))
         return h
 
     def init_state(params, hidden_shape, ctx_shape):
@@ -245,10 +256,11 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
 
         def body(carry, ps):
             h = carry
-            sp, tp_, c_sa, c_sc, c_sm, c_ta, c_tc, c_tm = ps
+            i, sp, tp_, c_sa, c_sc, c_sm, c_ta, c_tc, c_tm = ps
             h, ns = _block(sp, h, ctx, temporal=False,
                            cached={"attn": c_sa, "cross": c_sc, "mlp": c_sm},
                            flags=flags)
+            h = _add_temp_pos0(h, i)
             h, nt = _block(tp_, h, ctx, temporal=True,
                            cached={"attn": c_ta, "cross": c_tc, "mlp": c_tm},
                            flags=flags)
@@ -257,7 +269,8 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
 
         h, ys = jax.lax.scan(
             body, h,
-            (params["spatial"], params["temporal"], state["sp_attn"],
+            (jnp.arange(cfg.depth),
+             params["spatial"], params["temporal"], state["sp_attn"],
              state["sp_cross"], state["sp_mlp"], state["tp_attn"],
              state["tp_cross"], state["tp_mlp"]))
         new_state = {"sp_attn": ys[0], "sp_cross": ys[1], "sp_mlp": ys[2],

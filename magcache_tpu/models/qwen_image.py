@@ -87,10 +87,15 @@ def make_qwen_image_core(cfg: QwenImageConfig, txt_len: int,
     cur = grid_h * grid_w
     rope = None
     if ref_images:
+        # each reference image gets its own first-axis rope id (k = its
+        # index in img_shapes, main image = 0) — diffusers QwenEmbedRope
+        # keys the frame axis on the image's list position, so refs are
+        # positionally distinct from the target and from each other
         base = F.flux_rope_tables(fcfg, txt_len, grid_h, grid_w)
-        img = F.flux_rope_tables(fcfg, 0, grid_h, grid_w)
-        cos = np.concatenate([base[0]] + [img[0]] * ref_images, axis=0)
-        sin = np.concatenate([base[1]] + [img[1]] * ref_images, axis=0)
+        refs = [F.flux_img_rope_block(fcfg, grid_h, grid_w, k)
+                for k in range(1, ref_images + 1)]
+        cos = np.concatenate([base[0]] + [r[0] for r in refs], axis=0)
+        sin = np.concatenate([base[1]] + [r[1] for r in refs], axis=0)
         rope = (cos, sin)
     mmdit = F.make_flux_core(fcfg, txt_len, grid_h, grid_w, rope_tables=rope)
 

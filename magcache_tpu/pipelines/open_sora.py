@@ -107,8 +107,10 @@ class OpenSoraPipeline(BasePipeline):
         self.config = config
         self.model_cfg = config.model_config()
         c = config
-        # OpenSora VAE: temporal x4 (micro-frame pipeline), spatial x8
-        lat_t = max(1, c.num_frames // 4)
+        # OpenSora VAE: spatial x8; temporal x4 PER 17-frame micro chunk
+        # (ceil within each chunk — get_latent_size), so 51 frames -> 15
+        # latents, matching the composite MicroFrameVAE's round-trip
+        lat_t = oc.get_latent_t(c.num_frames)
         lat_h, lat_w = c.height // 8, c.width // 8
         self.latent_shape = (lat_t, lat_h, lat_w, self.model_cfg.in_channels)
         pt, ph, pw = self.model_cfg.patch

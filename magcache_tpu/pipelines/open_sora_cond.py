@@ -62,6 +62,18 @@ def get_num_frames(num_frames) -> int:
     return int(num_frames)
 
 
+def get_latent_t(num_frames: int, micro: int = 17, down: int = 4) -> int:
+    """Latent frame count of the Open-Sora composite VAE
+    (``autoencoder_kl_open_sora.py:706-717`` OpenSoraVAE_V1_2.get_latent_size):
+    pixels compress per ``micro_frame_size`` chunk with ceil(chunk/4) time
+    downsampling — 51 frames -> 3x5 = 15 latents, NOT 51//4."""
+    full, rem = divmod(int(num_frames), micro)
+    n = full * -(-micro // down)
+    if rem:
+        n += -(-rem // down)
+    return max(1, n)
+
+
 def prepare_multi_resolution_info(batch_size: int, image_size: Tuple[int, int],
                                   num_frames: int, fps: int) -> dict:
     """The OpenSora/STDiT2 info dict (``data_process.py:791-807``): fps

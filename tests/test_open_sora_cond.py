@@ -287,3 +287,17 @@ def test_pos_embed_multires_scale():
     e0 = _pos_embed_2d(d, gh, gw)
     np.testing.assert_allclose(e0[:, 0].reshape(gh, gw)[:, 0],
                                np.sin(np.arange(gh)), atol=1e-6)
+
+
+def test_latent_t_matches_composite_vae_round_trip():
+    """lat_t follows OpenSoraVAE_V1_2.get_latent_size (per-17-frame-chunk
+    ceil/4), so the pipeline's latent grid round-trips through the in-repo
+    MicroFrameVAE: 51 frames -> 15 latents (NOT 51//4 = 12)."""
+    from magcache_tpu.pipelines.open_sora_cond import get_latent_t
+
+    assert get_latent_t(51) == 15
+    assert get_latent_t(17) == 5
+    assert get_latent_t(1) == 1
+    assert get_latent_t(34) == 10
+    assert get_latent_t(49) == 5 + 5 + 4   # 17+17+15
+    assert get_latent_t(8) == 2
