@@ -260,6 +260,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="toy-size model for checkpoint-free smoke runs")
     p.add_argument("--enable_pab", action="store_true",
                    help="Pyramid Attention Broadcast (open-sora task)")
+    p.add_argument("--use_dynamic_cfg", action="store_true",
+                   help="cogvideox: per-step cosine-ramped guidance scale "
+                        "(pipeline_cogvideox.py:501)")
     # Open-Sora conditioning surface (pipeline_open_sora.py:426-456)
     p.add_argument("--resolution", default=None,
                    help="open-sora bucket resolution (480p, 720p, ...); "
@@ -288,6 +291,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mask-strategy index alignment")
     p.add_argument("--no_text_preprocessing", action="store_true",
                    help="skip the T5 caption cleaning")
+    p.add_argument("--clean_caption", action="store_true",
+                   help="latte: apply the deepfloyd T5 caption cleaning "
+                        "(pipeline_latte.py:296 kwarg, default off)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon sitecustomize "
                         "force-registers the TPU; env vars don't override it)")
@@ -624,6 +630,7 @@ def _cogvideox_pipeline(args):
                               else args.sample_guide_scale),  # CogVideoXConfig default
               use_magcache=args.use_magcache,
               magcache_calibration=args.magcache_calibration,
+              use_dynamic_cfg=getattr(args, 'use_dynamic_cfg', False),
               dtype=args.dtype, tiny=args.tiny,
               enable_pab=getattr(args, 'enable_pab', False))
     if args.magcache_thresh is not None:
@@ -649,6 +656,7 @@ def _latte_pipeline(args):
                               else args.sample_guide_scale),  # LatteConfig default
               use_magcache=args.use_magcache,
               magcache_calibration=args.magcache_calibration,
+              clean_caption=getattr(args, 'clean_caption', False),
               dtype=args.dtype, tiny=args.tiny,
               enable_pab=getattr(args, 'enable_pab', False))
     if args.magcache_thresh is not None:
@@ -717,6 +725,7 @@ def _open_sora_plan_pipeline(args):
                               else args.sample_guide_scale),  # OpenSoraPlanConfig default
               use_magcache=args.use_magcache,
               magcache_calibration=args.magcache_calibration,
+              clean_caption=not getattr(args, 'no_text_preprocessing', False),
               dtype=args.dtype, tiny=args.tiny,
               enable_pab=getattr(args, 'enable_pab', False))
     if args.magcache_thresh is not None:

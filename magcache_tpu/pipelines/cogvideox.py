@@ -35,6 +35,10 @@ class CogVideoXPipelineConfig:
     width: int = 720
     num_inference_steps: int = 50
     guidance_scale: float = 6.0
+    # per-step cosine-ramped guidance (pipeline_cogvideox.py:501,706-708:
+    # 1 + g*(1-cos(pi*((steps - t)/steps)^5))/2 with t the timestep VALUE —
+    # transcribed exactly, quirk included); host-precomputed per step
+    use_dynamic_cfg: bool = False
     txt_len: int = 226
     use_magcache: bool = False
     magcache_ratios: Optional[tuple] = None   # calibrate per deployment
@@ -117,9 +121,22 @@ class CogVideoXPipeline(BasePipeline):
                 retention_ratio=c.retention_ratio, lanes=1)
         core, g = self.core, c.guidance_scale
 
-        def combine(chunks):
-            cond_o, uncond_o = chunks
-            return uncond_o + g * (cond_o - uncond_o)
+        if c.use_dynamic_cfg:
+            import math
+            n = c.num_inference_steps
+            gs = np.array(
+                [1 + g * (1 - math.cos(
+                    math.pi * ((n - float(t)) / n) ** 5.0)) / 2
+                 for t in sch.timesteps], np.float32)
+            gs_dev = jnp.asarray(gs)
+
+            def combine(chunks, step_idx):
+                cond_o, uncond_o = chunks
+                return uncond_o + gs_dev[step_idx] * (cond_o - uncond_o)
+        else:
+            def combine(chunks):
+                cond_o, uncond_o = chunks
+                return uncond_o + g * (cond_o - uncond_o)
 
         def fn(params, z, cond):
             return sample_euler(core, params, z, cond,

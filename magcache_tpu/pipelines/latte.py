@@ -1,7 +1,10 @@
-"""Latte T2V pipeline (RFLOW-style rectified flow sampling, joint CFG batch).
+"""Latte T2V pipeline (eps-prediction DDIM, joint CFG batch).
 
-Mirrors ``videosys/pipelines/latte/pipeline_latte.py``'s role in the stack:
-T5 captions, Latte transformer, CFG batch-of-2.
+Mirrors ``videosys/pipelines/latte/pipeline_latte.py``: T5 captions, Latte
+transformer, CFG batch-of-2, and the diffusers ``DDIMScheduler`` trajectory
+(linear betas 1e-4..0.02, eps prediction, eta=0 — ``pipeline_latte.py:24,
+135-137,224-231``).  The deterministic DDIM update is linear in (x, eps),
+so it rides ``sample_euler``'s (c_x, c_v) coefficient pair.
 """
 
 from __future__ import annotations
@@ -19,7 +22,7 @@ from magcache_tpu.core.sampler import sample_euler
 from magcache_tpu.models.latte import LatteConfig, init_latte_params, make_latte_core
 from magcache_tpu.models.text import MockTextEncoder, TextEncoder
 from magcache_tpu.pipelines.base import BasePipeline, PipelineOutput
-from magcache_tpu.schedulers.rflow import RFlowSchedule
+from magcache_tpu.schedulers.ddim_eps import DDIMEpsSchedule
 from magcache_tpu.utils.misc import set_seed
 
 
@@ -43,6 +46,9 @@ class LattePipelineConfig:
     dtype: str = "float32"
     tiny: bool = False
     ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
+    # T5 caption cleaning (pipeline_latte.py:296,342,519-526: the deepfloyd
+    # _clean_caption applied TWICE; defaults off like the reference kwarg)
+    clean_caption: bool = False
     # None -> 8 for the full model (published Latte-1 predicts eps+variance,
     # learn_sigma), tiny default for tiny runs
     out_channels: Optional[int] = None
@@ -79,7 +85,8 @@ class LattePipeline(BasePipeline):
         if c.enable_pab:
             from magcache_tpu.core.pab import LATTE_PAB
             pab = c.pab_config or LATTE_PAB
-            ts = RFlowSchedule.create(c.num_sampling_steps).timesteps
+            ts = DDIMEpsSchedule.create(
+                c.num_sampling_steps).timesteps.astype(np.float32)
         self.core = make_latte_core(self.model_cfg, self.grid, c.caption_len,
                                     pab=pab, timesteps=ts)
         self.text_encoder = text_encoder or MockTextEncoder(
@@ -96,8 +103,8 @@ class LattePipeline(BasePipeline):
         if self._fn is not None:
             return self._fn
         c = self.config
-        sch = RFlowSchedule.create(c.num_sampling_steps)
-        dts = np.array([sch.dt(i) for i in range(sch.num_steps)], np.float32)
+        sch = DDIMEpsSchedule.create(c.num_sampling_steps)
+        c_x, c_eps = sch.step_arrays()
         cache_cfg = None
         if c.use_magcache and not c.magcache_calibration:
             # user-fed ratios are the calibration recording's norm_ratio list
@@ -121,8 +128,9 @@ class LattePipeline(BasePipeline):
             return uncond_o + g * (cond_o - uncond_o)
 
         def fn(params, z, cond):
-            return sample_euler(core, params, z, cond, timesteps=sch.timesteps,
-                                dts=dts, cache_cfg=cache_cfg,
+            return sample_euler(core, params, z, cond,
+                                timesteps=sch.timesteps.astype(np.float32),
+                                dts=c_eps, x_coeffs=c_x, cache_cfg=cache_cfg,
                                 lanes=2, combine_fn=combine,
                                 calibrate=c.magcache_calibration,
                                 calibrate_lanes=1)
@@ -133,6 +141,11 @@ class LattePipeline(BasePipeline):
     def generate(self, prompt: str, negative_prompt: str = "", seed: int = 0
                  ) -> PipelineOutput:
         t0 = time.time()
+        if self.config.clean_caption:
+            from magcache_tpu.pipelines.open_sora_cond import clean_caption
+            prompt = clean_caption(clean_caption(prompt))
+            if negative_prompt:
+                negative_prompt = clean_caption(clean_caption(negative_prompt))
         cond = {"y": self.text_encoder([prompt, negative_prompt])}
         z = jax.random.normal(set_seed(seed), (1,) + self.latent_shape,
                               jnp.float32)

@@ -63,6 +63,10 @@ class OpenSoraPlanPipelineConfig:
     # None -> 8 for the full models (published OSP transformers predict
     # eps+variance), tiny default for tiny runs
     out_channels: Optional[int] = None
+    # mT5 caption cleaning — the reference generate() defaults it ON
+    # (pipeline_open_sora_plan.py:930 clean_caption=True, applied twice
+    # via _text_preprocessing :754-760)
+    clean_caption: bool = True
 
     def model_config(self):
         # the sampler consumes the first 4 channels (diffusers
@@ -209,6 +213,11 @@ class OpenSoraPlanPipeline(BasePipeline):
     def generate(self, prompt: str, negative_prompt: str = "", seed: int = 0
                  ) -> PipelineOutput:
         t0 = time.time()
+        if self.config.clean_caption:
+            from magcache_tpu.pipelines.open_sora_cond import clean_caption
+            prompt = clean_caption(clean_caption(prompt))
+            if negative_prompt:
+                negative_prompt = clean_caption(clean_caption(negative_prompt))
         cond = {"y": self.text_encoder([prompt, negative_prompt])}
         key = set_seed(seed)
         k_init, k_anc = jax.random.split(key)

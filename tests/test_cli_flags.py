@@ -310,3 +310,19 @@ def test_flux_guidance_defaults():
             assert captured["cfg"].guidance == want
     finally:
         F.FluxPipeline = orig
+
+
+def test_cogvideox_dynamic_cfg_and_latte_clean_caption_routing():
+    from magcache_tpu.cli.generate import _cogvideox_pipeline, _latte_pipeline
+    args = _parse(["--task", "cogvideox", "--tiny", "--prompt", "x",
+                   "--use_dynamic_cfg", "--sample_steps", "4"])
+    pipe, cfg = _cogvideox_pipeline(args)
+    assert cfg.use_dynamic_cfg is True
+    args2 = _parse(["--task", "latte", "--tiny", "--prompt", "x",
+                    "--clean_caption", "--sample_steps", "4"])
+    pipe2, cfg2 = _latte_pipeline(args2)
+    assert cfg2.clean_caption is True
+    # defaults stay off (reference kwarg defaults)
+    args3 = _parse(["--task", "latte", "--tiny", "--prompt", "x"])
+    _, cfg3 = _latte_pipeline(args3)
+    assert cfg3.clean_caption is False

