@@ -290,3 +290,44 @@ def test_osp_pipeline_pab_runs(version):
         num_inference_steps=3, caption_len=6, enable_pab=True)
     out = OpenSoraPlanPipeline(cfg).generate("a lighthouse at dusk", seed=2)
     assert np.isfinite(np.asarray(out.latents)).all()
+
+
+def test_osp_and_latte_caption_cleaning_reaches_encoder():
+    """OSP cleans captions by default (pipeline_open_sora_plan.py:930
+    clean_caption=True, applied twice); Latte only when asked
+    (pipeline_latte.py:296 defaults False)."""
+    from magcache_tpu.pipelines.latte import LattePipeline, LattePipelineConfig
+    from magcache_tpu.pipelines.open_sora_cond import clean_caption
+    from magcache_tpu.pipelines.open_sora_plan import (
+        OpenSoraPlanPipeline, OpenSoraPlanPipelineConfig)
+
+    raw = "a <p>bird</p> ((with watermark))"
+    want = clean_caption(clean_caption(raw))
+    assert want != raw
+
+    seen = []
+
+    class Recorder:
+        def __init__(self, length, dim):
+            self.length, self.dim = length, dim
+
+        def __call__(self, prompts):
+            seen.append(list(prompts))
+            return np.zeros((len(prompts), self.length, self.dim), np.float32)
+
+    cfg = OpenSoraPlanPipelineConfig(tiny=True, num_frames=5, height=32,
+                                     width=32, num_inference_steps=2,
+                                     caption_len=6)
+    pipe = OpenSoraPlanPipeline(cfg, text_encoder=Recorder(6, 32))
+    pipe.generate(raw, seed=0)
+    assert seen[-1][0] == want
+
+    cfg_l = LattePipelineConfig(tiny=True, num_frames=2, height=32, width=32,
+                                num_sampling_steps=2, caption_len=6)
+    LattePipeline(cfg_l, text_encoder=Recorder(6, 32)).generate(raw, seed=0)
+    assert seen[-1][0] == raw            # default off, reference parity
+    cfg_l2 = LattePipelineConfig(tiny=True, num_frames=2, height=32, width=32,
+                                 num_sampling_steps=2, caption_len=6,
+                                 clean_caption=True)
+    LattePipeline(cfg_l2, text_encoder=Recorder(6, 32)).generate(raw, seed=0)
+    assert seen[-1][0] == want
