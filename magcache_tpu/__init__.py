@@ -43,6 +43,25 @@ _LAZY = {
     "OpenSoraPlanV120PABConfig": (
         "magcache_tpu.core.pab", "OpenSoraPlanV120PABConfig"),
 }
+# Reference-spelled aliases (``videosys/__init__.py:1-22``): code written
+# against the reference's export names runs verbatim. `VchitectConfig` here is
+# the PIPELINE config (as in the reference); the model config keeps its home
+# at `magcache_tpu.models.vchitect.VchitectConfig`.
+_LAZY.update({
+    "VideoSysEngine": ("magcache_tpu.core.engine", "Engine"),
+    "OpenSoraConfig": ("magcache_tpu.pipelines.open_sora",
+                       "OpenSoraPipelineConfig"),
+    "LatteConfig": ("magcache_tpu.pipelines.latte", "LattePipelineConfig"),
+    "CogVideoXConfig": ("magcache_tpu.pipelines.cogvideox",
+                        "CogVideoXPipelineConfig"),
+    "OpenSoraPlanConfig": ("magcache_tpu.pipelines.open_sora_plan",
+                           "OpenSoraPlanPipelineConfig"),
+    "VchitectConfig": ("magcache_tpu.pipelines.vchitect",
+                       "VchitectPipelineConfig"),
+    "VchitectXLPipeline": ("magcache_tpu.pipelines.vchitect",
+                           "VchitectPipeline"),
+})
+
 for _mod, _names in {
     "wan": ("WanPipelineConfig", "WanPipeline"),
     "flux": ("FluxPipelineConfig", "FluxPipeline"),

@@ -1123,6 +1123,35 @@ def main(argv=None):
             if not args.ms:
                 args.ms = "0,0,0,0,1,0"
             args.image = None
+        if args.refs and getattr(pipe, "vae", None) is None and any(
+                not r.endswith(".npy") for r in args.refs.split(";") if r):
+            # checkpoint-free smoke runs: pre-encode pixel refs with the
+            # same nearest-resize mock --image uses (pipeline refs need a
+            # real VAE otherwise)
+            import tempfile
+
+            from magcache_tpu.pipelines.open_sora_cond import (
+                get_latent_t, read_from_path)
+            hw, c_in = pipe.latent_shape[1:3], pipe.latent_shape[3]
+            paths = []
+            for r in args.refs.split(";"):
+                if not r or r.endswith(".npy"):
+                    paths.append(r)
+                    continue
+                frames = read_from_path(
+                    r, (pipe.config.height, pipe.config.width))
+                frames = (frames + 1.0) / 2.0            # mock takes [0, 1]
+                idx = np.linspace(0, len(frames) - 1,
+                                  get_latent_t(len(frames))).astype(int)
+                lat = np.stack([
+                    _image_to_grid_latent(pipe, frames[i], hw[0], hw[1], c_in)
+                    for i in idx])
+                fd, p = tempfile.mkstemp(prefix="opensora_ref_",
+                                         suffix=".npy")
+                os.close(fd)
+                np.save(p, lat)                          # [T', H, W, C]
+                paths.append(p)
+            args.refs = ";".join(paths)
         gen_kwargs.update(
             loop=args.loop, ms=args.ms, refs=args.refs, aes=args.aes,
             flow=args.flow_score, camera_motion=args.camera_motion,

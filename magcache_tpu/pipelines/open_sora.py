@@ -233,21 +233,14 @@ class OpenSoraPipeline(BasePipeline):
                     lat = np.asarray(np.load(r_path), np.float32)
                     assert lat.ndim == 4, "latent refs are [T, H, W, C]"
                 else:
-                    from PIL import Image
-                    img = Image.open(r_path).convert("RGB")
-                    h, w = self.config.height, self.config.width
-                    # resize_crop: scale to cover, center-crop
-                    s = max(h / img.height, w / img.width)
-                    img = img.resize((round(img.width * s),
-                                      round(img.height * s)))
-                    left = (img.width - w) // 2
-                    top = (img.height - h) // 2
-                    img = img.crop((left, top, left + w, top + h))
-                    frame = np.asarray(img, np.float32) / 127.5 - 1.0
+                    # image OR video file, reference resize_crop transform
+                    # (data_process.py:742-779 via read_from_path)
+                    frames = oc.read_from_path(
+                        r_path, (self.config.height, self.config.width))
                     assert self.vae is not None, (
-                        "image references need the pipeline VAE")
+                        "image/video references need the pipeline VAE")
                     lat = np.asarray(self.vae.encode(
-                        frame[None, None]))            # [1, T, H, W, C]
+                        frames[None]))                 # [1, T', H, W, C]
                     lat = lat[0]
                 ref.append(lat)
             refs_x.append(ref)

@@ -91,6 +91,67 @@ def prepare_multi_resolution_info(batch_size: int, image_size: Tuple[int, int],
 
 
 # ---------------------------------------------------------------------------
+# reference image/video reading (data_process.py:742-779)
+# ---------------------------------------------------------------------------
+
+VID_EXTENSIONS = (".mp4", ".avi", ".mov", ".mkv", ".gif", ".webm")
+
+
+def resize_crop_to_fill(pil_image, image_size: Tuple[int, int]):
+    """Scale to cover the (th, tw) target, bicubic, center-crop the long axis
+    (``data_process.py:742-758`` — the pipeline's ``resize_crop`` transform,
+    ``pipeline_open_sora.py:745``)."""
+    from PIL import Image
+
+    w, h = pil_image.size  # PIL size is (W, H)
+    th, tw = image_size
+    rh, rw = th / h, tw / w
+    if rh > rw:
+        sh, sw = th, round(w * rh)
+        image = pil_image.resize((sw, sh), Image.BICUBIC)
+        i, j = 0, int(round((sw - tw) / 2.0))
+    else:
+        sh, sw = round(h * rw), tw
+        image = pil_image.resize((sw, sh), Image.BICUBIC)
+        i, j = int(round((sh - th) / 2.0)), 0
+    arr = np.array(image)
+    assert i + th <= arr.shape[0] and j + tw <= arr.shape[1]
+    return arr[i:i + th, j:j + tw]
+
+
+def read_from_path(path: str, image_size: Tuple[int, int]) -> np.ndarray:
+    """Read an image or video reference as normalized frames
+    f32[T, H, W, 3] in [-1, 1] with the resize_crop transform
+    (``data_process.py:770-788`` read_from_path / read_video_from_path /
+    read_image_from_path; ToTensorVideo + Normalize(0.5, 0.5) ==
+    pixels/127.5 - 1). Videos decode via imageio (mp4 needs an ffmpeg
+    backend; this image ships GIF/WebP readers)."""
+    from PIL import Image
+
+    ext = path.lower().rsplit(".", 1)
+    ext = "." + ext[-1] if len(ext) == 2 else ""
+    if ext in VID_EXTENSIONS:
+        import imageio
+
+        try:
+            raw = imageio.mimread(path, memtest=False)
+        except Exception as e:  # no ffmpeg plugin for mp4 in this image
+            raise RuntimeError(
+                f"could not decode video reference {path!r}: {e}. "
+                "mp4/avi need an imageio ffmpeg backend; GIF/WebP decode "
+                "natively.") from e
+        frames = []
+        for fr in raw:
+            img = Image.fromarray(np.asarray(fr)).convert("RGB")
+            frames.append(resize_crop_to_fill(img, image_size))
+        arr = np.stack(frames)
+    else:
+        img = Image.open(path).convert("RGB")
+        arr = resize_crop_to_fill(img, image_size)[None]
+    return np.asarray(arr, np.float32) / 127.5 - 1.0
+
+
+# ---------------------------------------------------------------------------
 # prompt preprocessing
 # ---------------------------------------------------------------------------
 

@@ -93,3 +93,18 @@ def test_cfg_change_rebuilds_pipeline_and_start_guards_running(tmp_path):
     list(s.events())
     s.join()
     assert s.pipeline is second
+
+
+def test_demo_session_runs_f1_variant():
+    """The F1 demo (``magcache_demo_gradio_f1.py``) is the same UI over the
+    forward-ordered pipeline; the session builds it from widget kwargs."""
+    from magcache_tpu.ui.framepack_demo import DemoSession
+
+    sess = DemoSession(out_dir="/tmp/framepack_demo_f1_test")
+    sess.start("a fox", seed=1, tiny=True, model="framepack-f1",
+               total_sections=2, steps=3, latent_window_size=2,
+               use_magcache=True)
+    kinds = [flag for flag, _ in sess.events(timeout=600.0)]
+    sess.join()
+    assert "file" in kinds and kinds[-1] == "end"
+    assert not any(k == "error" for k in kinds)

@@ -301,3 +301,83 @@ def test_latent_t_matches_composite_vae_round_trip():
     assert get_latent_t(34) == 10
     assert get_latent_t(49) == 5 + 5 + 4   # 17+17+15
     assert get_latent_t(8) == 2
+
+
+def test_read_from_path_image_and_video(tmp_path):
+    """resize_crop_to_fill / read_from_path transcription
+    (``data_process.py:742-788``): exact-size images pass through, the long
+    axis center-crops, videos decode per-frame, all normalized to [-1, 1]."""
+    from PIL import Image
+
+    import imageio
+
+    from magcache_tpu.pipelines.open_sora_cond import (
+        read_from_path, resize_crop_to_fill)
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(24, 32, 3), dtype=np.uint8)
+    p = tmp_path / "ref.png"
+    Image.fromarray(img).save(p)
+    out = read_from_path(str(p), (24, 32))
+    assert out.shape == (1, 24, 32, 3)
+    np.testing.assert_allclose(out[0], img.astype(np.float32) / 127.5 - 1.0,
+                               atol=1e-6)
+
+    # wide input: height ratio wins, width center-crops (reference rounding)
+    wide = np.zeros((24, 64, 3), np.uint8)
+    wide[:, 28:36] = 255
+    out2 = resize_crop_to_fill(Image.fromarray(wide), (24, 32))
+    assert out2.shape == (24, 32, 3)
+    assert out2[:, 15:17].min() == 255        # centered stripe survives
+
+    frames = rng.integers(0, 255, size=(3, 24, 32, 3), dtype=np.uint8)
+    vp = tmp_path / "ref.gif"
+    imageio.mimwrite(str(vp), list(frames))
+    vid = read_from_path(str(vp), (24, 32))
+    assert vid.shape == (3, 24, 32, 3)        # GIF palettizes; shape/range only
+    assert vid.min() >= -1.0 and vid.max() <= 1.0
+
+
+def test_video_reference_conditions_via_vae(tmp_path):
+    """A video file in ``refs`` encodes through the pipeline VAE and its
+    first latent frame conditions generation bit-exactly (mask 0 + revert),
+    mirroring ``pipeline_open_sora.py:736-751`` with a video reference."""
+    import imageio
+
+    cfg = OpenSoraPipelineConfig(tiny=True, num_frames=8, height=32, width=32,
+                                 num_sampling_steps=3, caption_len=6,
+                                 dtype="float32")
+
+    class StubVAE:
+        """Shape-faithful encoder: 8x spatial pool, composite-VAE temporal
+        rule, 3 -> C channel tiling."""
+
+        def __init__(self, C):
+            self.C = C
+
+        def encode(self, x):
+            x = np.asarray(x, np.float32)
+            B, T, H, W, _ = x.shape
+            tl = oc.get_latent_t(T)
+            pooled = x.reshape(B, T, H // 8, 8, W // 8, 8, 3).mean((3, 5))
+            idx = np.linspace(0, T - 1, tl).astype(int)
+            lat = pooled[:, idx]
+            reps = -(-self.C // 3)
+            return np.tile(lat, (1, 1, 1, 1, reps))[..., :self.C]
+
+        def decode(self, z):
+            return np.asarray(z)
+
+    vae = StubVAE(CFG.in_channels)
+    pipe = OpenSoraPipeline(cfg, vae=vae)
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 255, size=(5, 32, 32, 3), dtype=np.uint8)
+    vp = tmp_path / "cond.gif"
+    imageio.mimwrite(str(vp), list(frames))
+
+    expected = vae.encode(oc.read_from_path(str(vp), (32, 32))[None])[0]
+    out = pipe.generate("a boat", refs=str(vp), ms="0,0,0,0,1,0", align=1,
+                        seed=0)
+    lat = np.asarray(out.latents)
+    np.testing.assert_array_equal(lat[0, 0], expected[0])
+    assert np.isfinite(lat).all()

@@ -125,3 +125,26 @@ def test_wan_generate_batch():
     single = pipe.generate("a cat", seed=5)
     np.testing.assert_allclose(lat[0], np.asarray(single.latents)[0],
                                rtol=2e-4, atol=2e-4)
+
+
+def test_reference_export_names_resolve():
+    """The reference package exports (``videosys/__init__.py:1-22``) resolve
+    at our root under the same names, so reference-written user code runs
+    verbatim (the MIGRATION.md contract)."""
+    import magcache_tpu as m
+
+    assert m.VideoSysEngine is m.Engine
+    pairs = [
+        (m.OpenSoraConfig, m.OpenSoraPipeline),
+        (m.LatteConfig, m.LattePipeline),
+        (m.CogVideoXConfig, m.CogVideoXPipeline),
+        (m.OpenSoraPlanConfig, m.OpenSoraPlanPipeline),
+        (m.VchitectConfig, m.VchitectXLPipeline),
+    ]
+    for cfg_cls, pipe_cls in pairs:
+        assert cfg_cls().pipeline_cls is pipe_cls
+    assert callable(m.initialize)
+    for name in ("OpenSoraPABConfig", "LattePABConfig", "CogVideoXPABConfig",
+                 "VchitectPABConfig", "OpenSoraPlanV110PABConfig",
+                 "OpenSoraPlanV120PABConfig"):
+        assert callable(getattr(m, name))
