@@ -211,8 +211,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--transformer_path", default=None,
                    help="omnigen2 alias for --ckpt_dir (transformer dir)")
     p.add_argument("--transformer_lora_path", default=None,
-                   help="accepted for parity; LoRA merging is not implemented "
-                        "— pass merged weights via --ckpt_dir")
+                   help="LoRA adapter (PEFT/kohya layout) merged into the "
+                        "transformer weights before jit "
+                        "(omnigen2 inference.py:36,204-206; also flux)")
+    p.add_argument("--lora_scale", type=float, default=1.0,
+                   help="scale for --transformer_lora_path (the PEFT "
+                        "lora_scale, magcache_flux.py:62-75)")
     p.add_argument("--enable_model_cpu_offload", action="store_true",
                    help="accepted for parity; no host offload cycle on TPU")
     p.add_argument("--enable_sequential_cpu_offload", action="store_true",
@@ -484,6 +488,7 @@ def _flux_pipeline(args):
         magcache_calibration=args.magcache_calibration,
         dtype=args.dtype, dp=args.dp, sp=args.sp, tp=args.tp,
         ckpt_dir=args.ckpt_dir, tiny=args.tiny,
+        lora_path=args.transformer_lora_path, lora_scale=args.lora_scale,
     )
     text, pooled = _real_encoders(args, cfg.txt_len)
     return FluxPipeline(cfg, text_encoder=text, pooled_encoder=pooled), cfg
@@ -748,6 +753,8 @@ def _omnigen2_pipeline(args):
     from magcache_tpu.pipelines.omnigen2 import (
         OmniGen2Pipeline, OmniGen2PipelineConfig)
     kw = dict(mode="t2i" if args.image is None else "edit",
+              lora_path=args.transformer_lora_path,
+              lora_scale=args.lora_scale,
               num_inference_steps=args.sample_steps or 50,
               use_magcache=args.use_magcache,
               magcache_calibration=args.magcache_calibration,
@@ -954,10 +961,6 @@ def main(argv=None):
     for alias in ("model_path", "transformer_path"):
         if getattr(args, alias, None) and not args.ckpt_dir:
             args.ckpt_dir = getattr(args, alias)
-    if getattr(args, "transformer_lora_path", None):
-        print("WARNING: --transformer_lora_path accepted for parity but LoRA "
-              "merging is not implemented; pass merged weights via "
-              "--ckpt_dir.")
     if getattr(args, "save_path", None) and not args.save_file:
         args.save_file = args.save_path
     if getattr(args, "neg_prompt", None) is not None \

@@ -271,8 +271,18 @@ def convert_flux_state_dict(sd: Dict[str, np.ndarray], cfg) -> dict:
     return params
 
 
-def load_flux_checkpoint(ckpt_dir: str, cfg):
-    return convert_flux_state_dict(load_safetensors_dir(ckpt_dir), cfg)
+def load_flux_checkpoint(ckpt_dir: str, cfg, lora_path: str = None,
+                         lora_scale: float = 1.0):
+    """``lora_path`` folds a PEFT/kohya LoRA adapter into the weights before
+    conversion — the merge-once translation of the reference FLUX forward's
+    runtime ``lora_scale`` PEFT re-scaling (``magcache_flux.py:62-75``)."""
+    sd = load_safetensors_dir(ckpt_dir)
+    if lora_path:
+        from magcache_tpu.models.lora import load_lora_file, merge_lora_state_dict
+        sd, n = merge_lora_state_dict(sd, load_lora_file(lora_path),
+                                      scale=lora_scale)
+        print(f"merged LoRA adapter {lora_path} into {n} layers")
+    return convert_flux_state_dict(sd, cfg)
 
 
 # --------------------------------------------------------------------------
@@ -1076,11 +1086,20 @@ def omnigen2_config_from_json(d: dict, dtype: str = "float32"):
     return OmniGen2Config(**kw)
 
 
-def load_omnigen2_checkpoint(ckpt_dir: str, cfg=None, dtype: str = "float32"):
+def load_omnigen2_checkpoint(ckpt_dir: str, cfg=None, dtype: str = "float32",
+                             lora_path: str = None, lora_scale: float = 1.0):
     """Convert an OmniGen2 transformer directory. With ``cfg=None``:
     ``config.json`` (if present) supplies patch/axes/eps, then the weight
-    shapes are sniffed as ground truth for every structural field."""
+    shapes are sniffed as ground truth for every structural field.
+    ``lora_path`` folds a LoRA adapter into the weights before conversion
+    (the reference's ``--transformer_lora_path`` ->
+    ``pipeline.load_lora_weights``, ``inference.py:36,204-206``)."""
     sd = load_safetensors_dir(ckpt_dir)
+    if lora_path:
+        from magcache_tpu.models.lora import load_lora_file, merge_lora_state_dict
+        sd, n = merge_lora_state_dict(sd, load_lora_file(lora_path),
+                                      scale=lora_scale)
+        print(f"merged LoRA adapter {lora_path} into {n} layers")
     if cfg is None:
         import json as _json
         import os as _os

@@ -55,6 +55,8 @@ class FluxPipelineConfig:
     sp: int = 1
     tp: int = 1
     ckpt_dir: Optional[str] = None
+    lora_path: Optional[str] = None
+    lora_scale: float = 1.0
     tiny: bool = False
 
     def model_config(self) -> FluxConfig:
@@ -91,7 +93,9 @@ class FluxPipeline(BasePipeline):
             self.params = params
         elif config.ckpt_dir:
             from magcache_tpu.models.convert import load_flux_checkpoint
-            self.params = load_flux_checkpoint(config.ckpt_dir, self.model_cfg)
+            self.params = load_flux_checkpoint(
+                config.ckpt_dir, self.model_cfg,
+                lora_path=config.lora_path, lora_scale=config.lora_scale)
         else:
             self.params = init_flux_params(key, self.model_cfg)
         self.plan = None

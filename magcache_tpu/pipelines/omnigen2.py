@@ -127,6 +127,8 @@ class OmniGen2PipelineConfig:
     dtype: str = "float32"
     tiny: bool = False
     ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
+    lora_path: Optional[str] = None  # --transformer_lora_path adapter
+    lora_scale: float = 1.0
 
     ref_images: int = 1                # edit mode: number of reference images
 
@@ -177,8 +179,9 @@ class OmniGen2Pipeline(BasePipeline):
         key = key if key is not None else jax.random.PRNGKey(0)
         if params is None and config.ckpt_dir:
             from magcache_tpu.models.convert import load_omnigen2_checkpoint
-            params, _ = load_omnigen2_checkpoint(config.ckpt_dir,
-                                                 self.model_cfg)
+            params, _ = load_omnigen2_checkpoint(
+                config.ckpt_dir, self.model_cfg,
+                lora_path=config.lora_path, lora_scale=config.lora_scale)
         self.params = params if params is not None else init_omnigen2_params(
             key, self.model_cfg)
         self._jit_cache = {}
