@@ -875,6 +875,19 @@ def _image_to_grid_latent(pipe, img, h_lat, w_lat, c_lat):
     return np.tile(px, (1, 1, reps))[:, :, :c_lat]
 
 
+def _load_frames(path: str, pipe) -> np.ndarray:
+    """VACE source video/mask: .npy loads as-is; pixel video/image files
+    decode + resize_crop to the pipeline canvas, returned [F, H, W, 3] in
+    [0, 1] (the ``encode_vace`` convention; reference feeds mp4s through
+    wan.WanVace.prepare_source, ``magcache_generate.py:1091-1155``)."""
+    if path.endswith(".npy"):
+        return np.load(path)
+    from magcache_tpu.pipelines.open_sora_cond import read_from_path
+
+    w, h = pipe.config.size                 # Wan configs carry (W, H)
+    return (read_from_path(path, (h, w)) + 1.0) / 2.0
+
+
 def _load_image(path: str) -> np.ndarray:
     """Load an input image as [H, W, 3] float [0, 1]."""
     if path.endswith(".npy"):
@@ -1171,9 +1184,12 @@ def main(argv=None):
         gen_kwargs["src_ref_images"] = [
             _load_image(p) for p in args.src_ref_images.split(",")]
     if args.src_video:
-        gen_kwargs["src_video"] = np.load(args.src_video)
+        gen_kwargs["src_video"] = _load_frames(args.src_video, pipe)
     if args.src_mask:
-        gen_kwargs["src_mask"] = np.load(args.src_mask)
+        m = _load_frames(args.src_mask, pipe)
+        if m.ndim == 4:                     # pixel mask video -> [F, H, W]
+            m = m.mean(axis=-1)
+        gen_kwargs["src_mask"] = m
     if (args.task.startswith("qwen")
             and "edit" not in getattr(pipe.config, "model", "")):
         # qwen-image t2i appends the "positive magic" suffix (the Edit script
