@@ -945,6 +945,47 @@ def _save_media(task: str, out, save_file: str) -> None:
     print(f"video -> {p}")
 
 
+def build_pipeline(args):
+    """Build the pipeline a parsed-args namespace selects.
+
+    Dispatch mirrors the reference repo's per-adapter script split (one
+    ``MagCache4<Family>`` directory per model family): the ``--task`` prefix
+    picks the family builder. Returns ``(pipeline, pipeline_config, steps)``.
+    Shared by ``generate`` and the serving endpoint (``cli/serve.py``).
+    """
+    if args.task.startswith("flux"):
+        pipe, cfg = _flux_pipeline(args)
+        steps = cfg.num_inference_steps
+    elif args.task.startswith("qwen"):
+        pipe, cfg = _qwen_pipeline(args)
+        steps = cfg.sample_steps
+    elif args.task.startswith("hunyuan") or args.task.startswith("framepack"):
+        pipe, cfg = _hunyuan_pipeline(args)
+        steps = cfg.steps
+    elif args.task.startswith("open-sora-plan"):
+        pipe, cfg = _open_sora_plan_pipeline(args)
+        steps = cfg.num_inference_steps
+    elif args.task.startswith("open-sora"):
+        pipe, cfg = _open_sora_pipeline(args)
+        steps = cfg.num_sampling_steps
+    elif args.task.startswith("cogvideox"):
+        pipe, cfg = _cogvideox_pipeline(args)
+        steps = cfg.num_inference_steps
+    elif args.task.startswith("latte"):
+        pipe, cfg = _latte_pipeline(args)
+        steps = cfg.num_sampling_steps
+    elif args.task.startswith("vchitect"):
+        pipe, cfg = _vchitect_pipeline(args)
+        steps = cfg.num_inference_steps
+    elif args.task.startswith("omnigen2"):
+        pipe, cfg = _omnigen2_pipeline(args)
+        steps = cfg.num_inference_steps
+    else:
+        pipe, cfg = _wan_pipeline(args)
+        steps = cfg.sample_steps
+    return pipe, cfg, steps
+
+
 def main(argv=None):
     if argv is None:
         argv = sys.argv[1:]
@@ -1003,36 +1044,7 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", "cpu")
     t0 = time.time()
-    if args.task.startswith("flux"):
-        pipe, cfg = _flux_pipeline(args)
-        steps = cfg.num_inference_steps
-    elif args.task.startswith("qwen"):
-        pipe, cfg = _qwen_pipeline(args)
-        steps = cfg.sample_steps
-    elif args.task.startswith("hunyuan") or args.task.startswith("framepack"):
-        pipe, cfg = _hunyuan_pipeline(args)
-        steps = cfg.steps
-    elif args.task.startswith("open-sora-plan"):
-        pipe, cfg = _open_sora_plan_pipeline(args)
-        steps = cfg.num_inference_steps
-    elif args.task.startswith("open-sora"):
-        pipe, cfg = _open_sora_pipeline(args)
-        steps = cfg.num_sampling_steps
-    elif args.task.startswith("cogvideox"):
-        pipe, cfg = _cogvideox_pipeline(args)
-        steps = cfg.num_inference_steps
-    elif args.task.startswith("latte"):
-        pipe, cfg = _latte_pipeline(args)
-        steps = cfg.num_sampling_steps
-    elif args.task.startswith("vchitect"):
-        pipe, cfg = _vchitect_pipeline(args)
-        steps = cfg.num_inference_steps
-    elif args.task.startswith("omnigen2"):
-        pipe, cfg = _omnigen2_pipeline(args)
-        steps = cfg.num_inference_steps
-    else:
-        pipe, cfg = _wan_pipeline(args)
-        steps = cfg.sample_steps
+    pipe, cfg, steps = build_pipeline(args)
     if args.vae_ckpt:
         if not hasattr(pipe, "vae"):
             raise SystemExit(f"--vae_ckpt: task {args.task} has no VAE slot")

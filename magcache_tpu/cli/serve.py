@@ -1,0 +1,71 @@
+"""``python -m magcache_tpu.cli.serve`` — serve one pipeline over HTTP.
+
+Builds the same pipeline ``cli.generate`` would for the given flags (task /
+size / steps / cache config / checkpoints), optionally compiles it with a
+warmup generation, then serves ``/generate`` forever. See
+``magcache_tpu/serve/server.py`` for the endpoint contract and the
+single-executor design rationale.
+
+Example (structural, checkpoint-free):
+
+    python -m magcache_tpu.cli.serve --task flux-dev --tiny --cpu \
+        --use_magcache --warmup --port 8900
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def build_serve_parser():
+    from magcache_tpu.cli.generate import build_parser
+
+    p = build_parser()
+    p.description = "Serve one magcache_tpu pipeline over HTTP."
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8900)
+    p.add_argument("--save_dir", default=None,
+                   help="write decoded media here and return media_path; "
+                        "omit to return latent metadata only")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile the pipeline before accepting requests")
+    p.add_argument("--max_queue", type=int, default=64,
+                   help="backpressure bound on queued generations")
+    return p
+
+
+def main(argv=None):
+    args = build_serve_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from magcache_tpu.cli.generate import build_pipeline
+    from magcache_tpu.serve import PipelineServer, make_http_server
+
+    pipe, _cfg, steps = build_pipeline(args)
+    fps = next((v for k, v in (("framepack", 30), ("hunyuan", 24),
+                               ("cogvideox", 8), ("open-sora", 24))
+                if args.task.startswith(k)), 16)
+    server = PipelineServer(pipe, steps=steps, save_dir=args.save_dir,
+                            fps=fps, max_queue=args.max_queue)
+    if args.warmup:
+        print("warmup: compiling...", flush=True)
+        rec = server.warmup(args.prompt or "warmup")
+        print(f"warmup: {rec['status']} in {rec['wall_s']}s", flush=True)
+    httpd = make_http_server(server, args.host, args.port)
+    host, port = httpd.server_address[:2]
+    print(f"serving {type(pipe).__name__} ({args.task}) on "
+          f"http://{host}:{port}  (POST /generate)", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
