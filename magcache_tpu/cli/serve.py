@@ -31,6 +31,13 @@ def build_serve_parser():
                    help="compile the pipeline before accepting requests")
     p.add_argument("--max_queue", type=int, default=64,
                    help="backpressure bound on queued generations")
+    p.add_argument("--max_batch", type=int, default=1,
+                   help="micro-batch concurrent requests into one padded "
+                        "generate_batch (Wan family; batch rides the dp "
+                        "mesh axis)")
+    p.add_argument("--batch_window_ms", type=float, default=50.0,
+                   help="how long the executor holds a request collecting a "
+                        "micro-batch")
     return p
 
 
@@ -48,7 +55,9 @@ def main(argv=None):
                                ("cogvideox", 8), ("open-sora", 24))
                 if args.task.startswith(k)), 16)
     server = PipelineServer(pipe, steps=steps, save_dir=args.save_dir,
-                            fps=fps, max_queue=args.max_queue)
+                            fps=fps, max_queue=args.max_queue,
+                            max_batch=args.max_batch,
+                            batch_window_s=args.batch_window_ms / 1000.0)
     if args.warmup:
         print("warmup: compiling...", flush=True)
         rec = server.warmup(args.prompt or "warmup")

@@ -93,11 +93,25 @@ class PipelineServer:
 
     def __init__(self, pipeline, steps: Optional[int] = None,
                  save_dir: Optional[str] = None, fps: int = 16,
-                 max_queue: int = 64):
+                 max_queue: int = 64, max_batch: int = 1,
+                 batch_window_s: float = 0.05):
+        """``max_batch > 1`` turns on micro-batching: the executor holds the
+        first batchable job up to ``batch_window_s`` collecting more, then
+        runs ONE ``generate_batch`` with the batch padded to ``max_batch``
+        (fixed shape -> one compiled XLA program regardless of arrival
+        pattern; batch rides the mesh ``dp`` axis). Per-element ``seeds``
+        keep each response bit-identical to its single-request run. Requires
+        the pipeline to expose ``generate_batch`` (Wan does)."""
         self.pipeline = pipeline
         self.steps = steps
         self.save_dir = save_dir
         self.fps = fps
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_s
+        if max_batch > 1 and not hasattr(pipeline, "generate_batch"):
+            raise ValueError(f"max_batch={max_batch} needs a pipeline with "
+                             "generate_batch; "
+                             f"{type(pipeline).__name__} has none")
         self._queue: "queue.Queue[Optional[Job]]" = queue.Queue(max_queue)
         self._jobs: Dict[str, Job] = {}
         self._jobs_lock = threading.Lock()
@@ -166,22 +180,86 @@ class PipelineServer:
 
     # ------------------------------------------------------------- executor
     def _run(self) -> None:
+        held: Optional[Job] = None       # non-batchable job deferred by a batch
         while not self._stop.is_set():
-            job = self._queue.get()
+            if held is not None:
+                job, held = held, None
+            else:
+                job = self._queue.get()
             if job is None:
                 break
-            job.status = "running"
-            job.started_at = time.time()
+            batch = [job]
+            if self.max_batch > 1 and self._batchable(job):
+                deadline = time.time() + self.batch_window_s
+                while len(batch) < self.max_batch:
+                    try:
+                        nxt = self._queue.get(
+                            timeout=max(0.0, deadline - time.time()))
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        self._stop.set()
+                        break
+                    if self._batchable(nxt):
+                        batch.append(nxt)
+                    else:            # run the batch first, this job next
+                        held = nxt
+                        break
+            now = time.time()
+            for j in batch:
+                j.status = "running"
+                j.started_at = now
             try:
-                job.result = self._execute(job.request)
-                job.status = "done"
+                # any batchable job under micro-batching rides the padded
+                # generate_batch program — even solo — so every arrival
+                # pattern reuses ONE compiled executable
+                if self.max_batch > 1 and self._batchable(job):
+                    results = self._execute_batch([j.request for j in batch])
+                else:
+                    results = [self._execute(job.request)]
+                for j, res in zip(batch, results):
+                    j.result = res
+                    j.status = "done"
             except Exception as exc:  # noqa: BLE001 — survive bad requests
-                logger.warning("job %s failed: %r", job.job_id, exc)
-                job.status = "error"
-                job.error = repr(exc)
-            job.finished_at = time.time()
-            self._served += 1
-            job.done_event.set()
+                for j in batch:
+                    logger.warning("job %s failed: %r", j.job_id, exc)
+                    j.status = "error"
+                    j.error = repr(exc)
+            now = time.time()
+            for j in batch:
+                j.finished_at = now
+                self._served += 1
+                j.done_event.set()
+
+    def _batchable(self, job: Job) -> bool:
+        """A request joins a micro-batch when it only carries the fields
+        ``generate_batch`` models per-element (prompt/seed) or per-batch
+        with identical defaults (negative_prompt omitted -> pipeline
+        default)."""
+        return ("negative_prompt" not in job.request
+                and not job.request.get("return_latents"))
+
+    def _execute_batch(self, requests) -> list:
+        prompts = [r["prompt"] for r in requests]
+        seeds = [int(r.get("seed", 0)) for r in requests]
+        b = len(prompts)
+        # pad to max_batch: ONE compiled program for every arrival pattern
+        # (XLA would retrace per batch size otherwise); padded lanes replay
+        # the last request and are discarded
+        while len(prompts) < self.max_batch:
+            prompts.append(prompts[-1])
+            seeds.append(seeds[-1])
+        out = self.pipeline.generate_batch(prompts, seeds=seeds)
+        lat = np.asarray(out.latents)
+        results = []
+        for i in range(b):
+            res: Dict[str, Any] = {"latents_shape": [1] + list(lat.shape[1:]),
+                                   "batched": b}
+            if out.timings:
+                res["timings"] = {k: round(float(v), 3)
+                                  for k, v in out.timings.items()}
+            results.append(res)
+        return results
 
     def _execute(self, request: Dict[str, Any]) -> Dict[str, Any]:
         kwargs = {k: request[k] for k in _ALLOWED_KWARGS if k in request}

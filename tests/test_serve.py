@@ -185,3 +185,73 @@ def test_serve_cli_parser_has_flags():
     args = p.parse_args(["--task", "flux-dev", "--tiny", "--port", "0",
                          "--warmup"])
     assert args.port == 0 and args.warmup and args.task == "flux-dev"
+
+
+# --------------------------------------------------------------- batching
+def test_micro_batching_pads_and_matches_single_runs():
+    """max_batch>1: concurrent batchable requests run as ONE padded
+    generate_batch (fixed shape -> one compiled program); per-element seeds
+    keep each response identical to its single-request run."""
+    from magcache_tpu.pipelines.wan import WanPipeline, WanPipelineConfig
+
+    cfg = WanPipelineConfig(tiny=True, size=(64, 32), frame_num=9,
+                            sample_steps=3, sample_solver="euler",
+                            dtype="float32")
+    pipe = WanPipeline(cfg)
+    server = PipelineServer(pipe, steps=3, max_batch=2, batch_window_s=5.0)
+    try:
+        jobs = [server.submit({"prompt": p, "seed": s})
+                for p, s in (("a cat", 1), ("a dog", 2))]
+        for j in jobs:
+            j.done_event.wait(600)
+        assert all(j.status == "done" for j in jobs), \
+            [j.error for j in jobs]
+        assert all(j.result["batched"] == 2 for j in jobs)
+        # the pair shared one executor pass
+        assert jobs[0].started_at == jobs[1].started_at
+
+        # a solo request still works (padded to max_batch internally)
+        j3 = server.submit({"prompt": "a fox", "seed": 3})
+        j3.done_event.wait(600)
+        assert j3.status == "done" and j3.result["batched"] == 1
+    finally:
+        server.shutdown()
+
+    # per-seed equality with the single-request path
+    single = pipe.generate_batch(["a cat", "a dog"], seeds=[1, 2])
+    solo = pipe.generate_batch(["a cat", "a cat"], seeds=[1, 1])
+    np.testing.assert_array_equal(np.asarray(single.latents)[0],
+                                  np.asarray(solo.latents)[0])
+
+
+def test_non_batchable_request_defers_not_drops():
+    """A request carrying negative_prompt can't join a micro-batch; it must
+    still execute (solo) after the batch it interrupted."""
+    from magcache_tpu.pipelines.wan import WanPipeline, WanPipelineConfig
+
+    cfg = WanPipelineConfig(tiny=True, size=(64, 32), frame_num=9,
+                            sample_steps=2, sample_solver="euler",
+                            dtype="float32")
+    pipe = WanPipeline(cfg)
+    server = PipelineServer(pipe, steps=2, max_batch=2, batch_window_s=5.0)
+    try:
+        a = server.submit({"prompt": "a", "seed": 0})
+        b = server.submit({"prompt": "b", "seed": 0,
+                           "negative_prompt": "ugly"})
+        c = server.submit({"prompt": "c", "seed": 0})
+        for j in (a, b, c):
+            j.done_event.wait(600)
+        assert all(j.status == "done" for j in (a, b, c)), \
+            [j.error for j in (a, b, c)]
+        assert "batched" not in b.result     # ran through the solo path
+    finally:
+        server.shutdown()
+
+
+def test_max_batch_requires_generate_batch():
+    class NoBatch:
+        def generate(self, prompt, **kw):
+            raise AssertionError("unused")
+
+    with pytest.raises(ValueError):
+        PipelineServer(NoBatch(), max_batch=2)
