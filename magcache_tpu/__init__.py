@@ -28,6 +28,7 @@ from magcache_tpu.core.magcache import (  # noqa: F401
 # Loaded lazily so ``import magcache_tpu`` stays light.
 _LAZY = {
     "Engine": ("magcache_tpu.core.engine", "Engine"),
+    "PipelineServer": ("magcache_tpu.serve.server", "PipelineServer"),
     "PABConfig": ("magcache_tpu.core.pab", "PABConfig"),
     "TeaCacheConfig": ("magcache_tpu.core.teacache", "TeaCacheConfig"),
     "TaylorSeerConfig": ("magcache_tpu.core.taylorseer", "TaylorSeerConfig"),
