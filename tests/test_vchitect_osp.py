@@ -318,16 +318,19 @@ def test_osp_and_latte_caption_cleaning_reaches_encoder():
     cfg = OpenSoraPlanPipelineConfig(tiny=True, num_frames=5, height=32,
                                      width=32, num_inference_steps=2,
                                      caption_len=6)
-    pipe = OpenSoraPlanPipeline(cfg, text_encoder=Recorder(6, 32))
+    pipe = OpenSoraPlanPipeline(
+        cfg, text_encoder=Recorder(6, cfg.model_config().caption_dim))
     pipe.generate(raw, seed=0)
     assert seen[-1][0] == want
 
     cfg_l = LattePipelineConfig(tiny=True, num_frames=2, height=32, width=32,
                                 num_sampling_steps=2, caption_len=6)
-    LattePipeline(cfg_l, text_encoder=Recorder(6, 32)).generate(raw, seed=0)
+    LattePipeline(cfg_l, text_encoder=Recorder(
+        6, cfg_l.model_config().caption_dim)).generate(raw, seed=0)
     assert seen[-1][0] == raw            # default off, reference parity
     cfg_l2 = LattePipelineConfig(tiny=True, num_frames=2, height=32, width=32,
                                  num_sampling_steps=2, caption_len=6,
                                  clean_caption=True)
-    LattePipeline(cfg_l2, text_encoder=Recorder(6, 32)).generate(raw, seed=0)
+    LattePipeline(cfg_l2, text_encoder=Recorder(
+        6, cfg_l2.model_config().caption_dim)).generate(raw, seed=0)
     assert seen[-1][0] == want
