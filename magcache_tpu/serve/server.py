@@ -343,8 +343,10 @@ def make_http_server(server: PipelineServer, host: str = "127.0.0.1",
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 request = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(request, dict):
+                    raise ValueError("request body must be a JSON object")
                 job = server.submit(request)
-            except (ValueError, json.JSONDecodeError) as exc:
+            except (ValueError, TypeError, json.JSONDecodeError) as exc:
                 self._send(400, {"error": str(exc)})
                 return
             if request.get("async"):

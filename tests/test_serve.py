@@ -121,7 +121,8 @@ def test_concurrent_posts_serialize_on_one_executor(served):
 
 def test_bad_requests_rejected(served):
     _, base = served
-    for payload in ({}, {"prompt": ""}, {"prompt": "x", "stepz": 3}):
+    for payload in ({}, {"prompt": ""}, {"prompt": "x", "stepz": 3},
+                    [1, 2], "nope"):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(base + "/generate", payload)
         assert ei.value.code == 400
