@@ -326,3 +326,37 @@ def test_cogvideox_dynamic_cfg_and_latte_clean_caption_routing():
     args3 = _parse(["--task", "latte", "--tiny", "--prompt", "x"])
     _, cfg3 = _latte_pipeline(args3)
     assert cfg3.clean_caption is False
+
+
+def test_load_frames_pixel_video_and_mask(tmp_path):
+    """VACE --src_video/--src_mask accept pixel video files (snapshot
+    follow-up): frames come back [F, H, W, 3] in [0, 1] at the pipeline
+    canvas, and pixel masks reduce to [F, H, W]."""
+    import imageio
+    import numpy as np
+
+    from magcache_tpu.cli.generate import _load_frames
+
+    frames = [np.full((32, 64, 3), v, np.uint8) for v in (0, 128, 255)]
+    p = tmp_path / "src.gif"
+    imageio.mimwrite(str(p), frames)
+
+    class Cfg:
+        size = (64, 32)          # (W, H)
+
+    class Pipe:
+        config = Cfg()
+
+    out = _load_frames(str(p), Pipe())
+    assert out.shape == (3, 32, 64, 3)
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    assert out[0].mean() < 0.02 and out[2].mean() > 0.98
+
+    m = out.mean(axis=-1)
+    assert m.shape == (3, 32, 64)
+
+    # .npy passthrough
+    arr = np.random.default_rng(0).random((2, 8, 8, 3)).astype(np.float32)
+    np.save(tmp_path / "lat.npy", arr)
+    np.testing.assert_array_equal(
+        _load_frames(str(tmp_path / "lat.npy"), Pipe()), arr)
