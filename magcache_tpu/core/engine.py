@@ -56,6 +56,19 @@ class Engine:
     def save_image(self, image: np.ndarray, path: str) -> str:
         return save_image(image, path)
 
+    def serve(self, host: str = "127.0.0.1", port: int = 8900,
+              warmup: bool = False, **server_kwargs):
+        """Expose this engine's pipeline over HTTP (see
+        ``magcache_tpu/serve/server.py``). Returns ``(httpd, server)``;
+        call ``httpd.serve_forever()`` to block."""
+        from magcache_tpu.serve import PipelineServer, make_http_server
+
+        server = PipelineServer(self.driver_pipeline, **server_kwargs)
+        if warmup:
+            server.warmup()
+        httpd = make_http_server(server, host, port)
+        return httpd, server
+
     def shutdown(self) -> None:
         """No worker processes to tear down (single-controller); kept for API
         parity with the reference engine."""
