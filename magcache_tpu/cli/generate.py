@@ -920,11 +920,9 @@ def _normalize_argv(argv, parser=None):
 
 
 def _save_media(task: str, out, save_file: str) -> None:
-    """Write decoded media like the reference CLIs do (Wan
-    magcache_generate.py:806-812 save_video fps=cfg.sample_fps 16/ti2v 24;
-    hyvideo save_videos_grid fps=24; FramePack save_bcthw_as_mp4 fps=30;
-    videosys save_video: cogvideox/latte/vchitect 8, open-sora(-plan) 24)."""
-    from magcache_tpu.utils.misc import save_image, save_video
+    """Write decoded media like the reference CLIs do; fps table shared with
+    the HTTP server (``utils.misc.task_fps``)."""
+    from magcache_tpu.utils.misc import save_image, save_video, task_fps
     if out.image is not None:
         p = save_image(np.asarray(out.image), save_file + ".png")
         print(f"image -> {p}")
@@ -934,10 +932,7 @@ def _save_media(task: str, out, save_file: str) -> None:
     vid = np.asarray(out.video)
     if vid.ndim == 5:       # [B, T, H, W, 3] -> first sample
         vid = vid[0]
-    fps = next((v for k, v in (
-        ("ti2v", 24), ("hunyuan", 24), ("framepack", 30),
-        ("cogvideox", 8), ("latte", 8), ("vchitect", 8),
-        ("open-sora", 24)) if task.startswith(k)), 16)
+    fps = task_fps(task)
     if vid.shape[0] == 1:   # single-frame (t2i) -> still image
         p = save_image(vid[0], save_file + ".png")
     else:

@@ -38,6 +38,16 @@ def build_serve_parser():
     p.add_argument("--batch_window_ms", type=float, default=50.0,
                    help="how long the executor holds a request collecting a "
                         "micro-batch")
+    p.add_argument("--job_history", type=int, default=256,
+                   help="completed job records retained for GET /jobs/<id> "
+                        "(older ones are evicted; bounds server memory)")
+    p.add_argument("--job_timeout_s", type=float, default=None,
+                   help="default per-job run-time budget; jobs exceeding it "
+                        "are failed with status=timeout (requests may set "
+                        "their own 'timeout_s')")
+    p.add_argument("--sync_wait_s", type=float, default=3600.0,
+                   help="max time a synchronous POST /generate blocks before "
+                        "returning 504 with the job id (poll /jobs/<id>)")
     return p
 
 
@@ -49,15 +59,17 @@ def main(argv=None):
 
     from magcache_tpu.cli.generate import build_pipeline
     from magcache_tpu.serve import PipelineServer, make_http_server
+    from magcache_tpu.utils.misc import task_fps
 
     pipe, _cfg, steps = build_pipeline(args)
-    fps = next((v for k, v in (("framepack", 30), ("hunyuan", 24),
-                               ("cogvideox", 8), ("open-sora", 24))
-                if args.task.startswith(k)), 16)
     server = PipelineServer(pipe, steps=steps, save_dir=args.save_dir,
-                            fps=fps, max_queue=args.max_queue,
+                            fps=task_fps(args.task),
+                            max_queue=args.max_queue,
                             max_batch=args.max_batch,
-                            batch_window_s=args.batch_window_ms / 1000.0)
+                            batch_window_s=args.batch_window_ms / 1000.0,
+                            job_history=args.job_history,
+                            default_timeout_s=args.job_timeout_s,
+                            sync_wait_s=args.sync_wait_s)
     if args.warmup:
         print("warmup: compiling...", flush=True)
         rec = server.warmup(args.prompt or "warmup")

@@ -270,10 +270,17 @@ class WanPipeline(BasePipeline):
             return UniPCSchedule.create(c.sample_steps, shift=c.sample_shift)
         return FlowMatchSchedule.create(c.sample_steps, shift=c.sample_shift)
 
-    def _cache_cfg(self, schedule) -> Optional[MagCacheConfig]:
+    def _cache_cfg(self, schedule, *, thresh=None, K=None, retention=None,
+                   force: bool = False) -> Optional[MagCacheConfig]:
+        """``thresh``/``K``/``retention`` override the config's E/K/R (used by
+        the serving path's per-request schedules); ``force`` builds a config
+        even when ``use_magcache`` is off (to precompute override masks)."""
         c = self.config
-        if not c.use_magcache:
+        if not c.use_magcache and not force:
             return None
+        thresh = c.magcache_thresh if thresh is None else thresh
+        K = c.magcache_K if K is None else K
+        retention = c.retention_ratio if retention is None else retention
         if c.cache_policy == "rolling":
             from magcache_tpu.core.rolling import RollingCacheConfig
             assert c.moe_boundary is None, (
@@ -281,11 +288,9 @@ class WanPipeline(BasePipeline):
                 "(no MoE split there)")
             return RollingCacheConfig(
                 num_steps=c.sample_steps * 2,
-                thresh=(0.015 if c.magcache_thresh is None
-                        else c.magcache_thresh),
-                K=(-1 if c.magcache_K is None else c.magcache_K),
-                retention=(0.2 if c.retention_ratio is None
-                           else c.retention_ratio))
+                thresh=(0.015 if thresh is None else thresh),
+                K=(-1 if K is None else K),
+                retention=(0.2 if retention is None else retention))
         assert c.cache_policy == "adapter", c.cache_policy
         split_step = None
         mode = "t2v"
@@ -305,16 +310,78 @@ class WanPipeline(BasePipeline):
                                         num_steps, lanes=p.lanes, pad=p.lanes)
             return MagCacheConfig(
                 num_steps=num_steps, mag_ratios=tuple(ratios),
-                thresh=c.magcache_thresh if c.magcache_thresh is not None else p.thresh,
-                max_consecutive_skips=c.magcache_K if c.magcache_K is not None else p.K,
-                retention_ratio=(c.retention_ratio if c.retention_ratio is not None
+                thresh=thresh if thresh is not None else p.thresh,
+                max_consecutive_skips=K if K is not None else p.K,
+                retention_ratio=(retention if retention is not None
                                  else p.retention_ratio),
                 lanes=p.lanes, split_step=split_step, mode=mode)
         return make_config(
             c.model, c.sample_steps,
-            thresh=c.magcache_thresh, K=c.magcache_K,
-            retention_ratio=c.retention_ratio,
+            thresh=thresh, K=K,
+            retention_ratio=retention,
             split_step=split_step, mode=mode)
+
+    # ---- one-program-many-schedules (serving overrides) -------------------
+    def skip_mask_for(self, thresh=None, K=None, retention_ratio=None,
+                      use_magcache: bool = True) -> np.ndarray:
+        """Host-precompute the ``bool[num_steps, lanes]`` skip mask for an
+        E/K/R triple. Feeding it to ``generate(skip_override=...)`` runs the
+        schedule through ONE compiled program regardless of the triple (the
+        sampler's ``skip_mask_override`` design, ``core/sampler.py:300-302``);
+        an all-False mask is the full-compute schedule."""
+        from magcache_tpu.core.sampler import _lane_masks
+        if self.config.moe_boundary is not None:
+            raise ValueError("per-request cache overrides don't cover the "
+                             "Wan2.2 MoE two-expert path")
+        sch = self._schedule()
+        cfg = self._cache_cfg(sch, thresh=thresh, K=K,
+                              retention=retention_ratio, force=True)
+        if not use_magcache:
+            return np.zeros((sch.num_steps, cfg.lanes), bool)
+        mask, _ = _lane_masks(cfg, sch.num_steps)
+        return mask
+
+    def _sample_fn_override(self):
+        """Jitted sampler taking the skip mask as a TRACED argument — one
+        compiled executable serves every E/K/R triple (and full compute)."""
+        key = ("override",)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        if self.config.enable_teacache:
+            raise ValueError("per-request overrides and enable_teacache are "
+                             "mutually exclusive (TeaCache decides skips from "
+                             "activations, not a precomputed mask)")
+        sch = self._schedule()
+        # cache_cfg supplies the lane structure; its own static mask is
+        # replaced by the traced override
+        cache_cfg = self._cache_cfg(sch, force=True)
+        g = self.config.guide_scale
+        if isinstance(g, (tuple, list)):
+            g = self.config.guide_pair[1]
+        core = self.core
+        if self.config.sample_solver == "unipc":
+            def fn(params, x, cond, skips):
+                return sample_unipc(core, params, x, cond, sch,
+                                    cache_cfg=cache_cfg, guidance_scale=g,
+                                    skip_mask_override=skips,
+                                    post_step=_ti2v_post(cond))
+        else:
+            dpm = None
+            if self.config.sample_solver == "dpm++":
+                from magcache_tpu.schedulers.dpm_flow import dpmpp_2m_flow_coeffs
+                dpm = dpmpp_2m_flow_coeffs(sch.sigmas)
+
+            def fn(params, x, cond, skips):
+                return sample_euler(core, params, x, cond,
+                                    timesteps=sch.timesteps,
+                                    dts=np.diff(sch.sigmas),
+                                    cache_cfg=cache_cfg, guidance_scale=g,
+                                    dpm_coeffs=dpm,
+                                    skip_mask_override=skips,
+                                    post_step=_ti2v_post(cond))
+        jitted = jax.jit(fn)
+        self._jit_cache[key] = jitted
+        return jitted
 
     def _sample_fn_moe(self, batch: int = 1):
         """Wan2.2 two-expert path: one compiled scan body, params swapped at
@@ -719,7 +786,11 @@ class WanPipeline(BasePipeline):
                  image_latents: Optional[jnp.ndarray] = None,
                  clip_features: Optional[jnp.ndarray] = None,
                  src_video=None, src_mask=None, src_ref_images=None,
-                 vace_context: Optional[jnp.ndarray] = None) -> PipelineOutput:
+                 vace_context: Optional[jnp.ndarray] = None,
+                 skip_override: Optional[np.ndarray] = None) -> PipelineOutput:
+        """``skip_override``: a ``bool[num_steps, lanes]`` mask from
+        ``skip_mask_for`` — runs the request through the shared
+        one-program-many-schedules executable (serving path)."""
         t0 = time.time()
         ctx = self.text_encoder([prompt, negative_prompt])  # [2, L, 4096]
         cond = {"context": ctx}
@@ -767,7 +838,16 @@ class WanPipeline(BasePipeline):
                     for k, v in cond.items()}
 
         calibrate = self.config.magcache_calibration
-        if self.config.moe_boundary is not None and not calibrate:
+        if skip_override is not None:
+            assert not calibrate, "skip_override is a generation-path surface"
+            if self.config.moe_boundary is not None:
+                raise ValueError("per-request cache overrides don't cover "
+                                 "the Wan2.2 MoE two-expert path")
+            fn = self._sample_fn_override()
+            with use_mesh(self.plan):
+                out = fn(self.params, x0, cond,
+                         jnp.asarray(skip_override, bool))
+        elif self.config.moe_boundary is not None and not calibrate:
             assert self.config.sample_solver == "unipc", "MoE path uses UniPC"
             fn = self._sample_fn_moe()
             with use_mesh(self.plan):
@@ -779,9 +859,13 @@ class WanPipeline(BasePipeline):
         calibration = None
         skips = None
         if (getattr(self, "record_skips", False) and not calibrate
-                and self.config.moe_boundary is None):
+                and self.config.moe_boundary is None
+                and skip_override is None):
             out, skips = out
             skips = np.asarray(jax.device_get(skips))
+        elif skip_override is not None:
+            # the override mask IS the schedule — report it directly
+            skips = np.asarray(skip_override, bool).reshape(-1)
         if calibrate:
             from magcache_tpu.pipelines.base import calibration_dict
             latents, stats = out

@@ -1,3 +1,8 @@
-from magcache_tpu.serve.server import Job, PipelineServer, make_http_server
+from magcache_tpu.serve.server import (
+    Job,
+    PipelineServer,
+    QueueFullError,
+    make_http_server,
+)
 
-__all__ = ["Job", "PipelineServer", "make_http_server"]
+__all__ = ["Job", "PipelineServer", "QueueFullError", "make_http_server"]

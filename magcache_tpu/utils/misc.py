@@ -60,3 +60,18 @@ def save_image(img: np.ndarray, path: str) -> str:
         alt = os.path.splitext(path)[0] + ".npy"
         np.save(alt, img)
         return alt
+
+
+# Reference save-fps table, shared by the CLI saver and the HTTP server
+# (Wan magcache_generate.py:806-812 save_video fps=cfg.sample_fps 16 /
+# ti2v 24; hyvideo save_videos_grid fps=24; FramePack save_bcthw_as_mp4
+# fps=30; videosys save_video: cogvideox/latte/vchitect 8,
+# open-sora(-plan) 24). Longest-prefix-free ordered table; first match wins.
+_TASK_FPS = (("ti2v", 24), ("hunyuan", 24), ("framepack", 30),
+             ("cogvideox", 8), ("latte", 8), ("vchitect", 8),
+             ("open-sora", 24))
+
+
+def task_fps(task: str) -> int:
+    """Frames-per-second the reference CLIs save each task's videos at."""
+    return next((v for k, v in _TASK_FPS if task.startswith(k)), 16)

@@ -256,3 +256,326 @@ def test_max_batch_requires_generate_batch():
 
     with pytest.raises(ValueError):
         PipelineServer(NoBatch(), max_batch=2)
+
+
+# ----------------------------------------------------- hardening (round 4)
+class _SlowPipe:
+    """Fake pipeline whose generate() blocks — drives queue/timeout tests."""
+
+    def __init__(self, delay=0.5, fail=None):
+        self.delay = delay
+        self.fail = fail
+
+    def generate(self, prompt, **kw):
+        if self.fail is not None:
+            raise self.fail
+        import time as _t
+        _t.sleep(self.delay)
+
+        class Out:
+            latents = np.zeros((1, 2, 2))
+            video = None
+            image = None
+            skips = None
+            timings = None
+        return Out()
+
+
+def test_task_fps_shared_helper():
+    """The serve CLI and _save_media read ONE fps table (ADVICE r3: latte/
+    vchitect were 16 instead of 8, ti2v 16 instead of 24 on the serve path)."""
+    from magcache_tpu.utils.misc import task_fps
+    assert task_fps("latte") == 8
+    assert task_fps("vchitect") == 8
+    assert task_fps("cogvideox-2b") == 8
+    assert task_fps("ti2v-5B") == 24
+    assert task_fps("hunyuan-t2v") == 24
+    assert task_fps("open-sora") == 24
+    assert task_fps("framepack") == 30
+    assert task_fps("t2v-1.3B") == 16
+
+
+def test_queue_full_returns_503():
+    pipe = _SlowPipe(delay=1.0)
+    server = PipelineServer(pipe, max_queue=1)
+    httpd = make_http_server(server, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = "http://127.0.0.1:%d" % httpd.server_address[1]
+    try:
+        first = server.submit({"prompt": "occupies the executor"})
+        import time as _t
+        _t.sleep(0.2)                      # executor picked up `first`
+        server.submit({"prompt": "fills the queue"})
+        from magcache_tpu.serve import QueueFullError
+        with pytest.raises(QueueFullError):
+            server.submit({"prompt": "bounces"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/generate", {"prompt": "bounces", "async": True})
+        assert ei.value.code == 503
+        first.done_event.wait(30)
+    finally:
+        httpd.shutdown()
+        server.shutdown()
+
+
+def test_cancel_queued_job_and_running_job():
+    pipe = _SlowPipe(delay=0.8)
+    server = PipelineServer(pipe)
+    httpd = make_http_server(server, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = "http://127.0.0.1:%d" % httpd.server_address[1]
+    try:
+        running = server.submit({"prompt": "runs"})
+        queued = server.submit({"prompt": "waits"})
+        import time as _t
+        _t.sleep(0.2)
+        # queued job: cancellable over HTTP
+        code, rec = _post(base + f"/jobs/{queued.job_id}/cancel", {})
+        assert code == 200 and rec["status"] == "cancelled"
+        assert queued.done_event.is_set()
+        # running job: 409 (XLA dispatch is not preemptible)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + f"/jobs/{running.job_id}/cancel", {})
+        assert ei.value.code == 409
+        running.done_event.wait(30)
+        assert running.status == "done"
+        # the cancelled job never executed
+        assert queued.status == "cancelled" and queued.result is None
+        # unknown job -> 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/jobs/nope/cancel", {})
+        assert ei.value.code == 404
+    finally:
+        httpd.shutdown()
+        server.shutdown()
+
+
+def test_job_timeout_fails_job_and_server_survives():
+    pipe = _SlowPipe(delay=1.5)
+    server = PipelineServer(pipe, watchdog_interval_s=0.05)
+    try:
+        job = server.submit({"prompt": "too slow", "timeout_s": 0.2})
+        assert job.done_event.wait(10)
+        assert job.status == "timeout"
+        assert "run budget" in job.error
+        # the executor eventually finishes the stale program and discards it
+        nxt = server.submit({"prompt": "still serving"})
+        assert nxt.done_event.wait(30)
+        assert nxt.status == "done"
+    finally:
+        server.shutdown()
+
+
+def test_default_timeout_applies_when_request_has_none():
+    pipe = _SlowPipe(delay=1.5)
+    server = PipelineServer(pipe, default_timeout_s=0.2,
+                            watchdog_interval_s=0.05)
+    try:
+        job = server.submit({"prompt": "budgeted by server default"})
+        assert job.done_event.wait(10)
+        assert job.status == "timeout"
+    finally:
+        server.shutdown()
+
+
+def test_worker_death_fails_queued_jobs_and_healthz_503():
+    """WorkerMonitor semantics (mp_utils.py:111-151): executor death must
+    fail pending futures, not strand them."""
+    pipe = _SlowPipe(fail=SystemExit("executor killed"))
+    server = PipelineServer(pipe, watchdog_interval_s=0.05)
+    httpd = make_http_server(server, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = "http://127.0.0.1:%d" % httpd.server_address[1]
+    try:
+        job = server.submit({"prompt": "kills the worker"})
+        assert job.done_event.wait(10)
+        import time as _t
+        deadline = _t.time() + 10
+        while server._worker.is_alive() and _t.time() < deadline:
+            _t.sleep(0.05)
+        assert not server._worker.is_alive()
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(base + "/healthz")
+        assert ei.value.code == 503
+        # new submissions bounce instead of queueing behind a corpse
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/generate", {"prompt": "x", "async": True})
+        assert ei.value.code == 503
+    finally:
+        httpd.shutdown()
+        server.shutdown()
+
+
+def test_shutdown_drains_queued_jobs():
+    pipe = _SlowPipe(delay=0.6)
+    server = PipelineServer(pipe)
+    jobs = [server.submit({"prompt": f"j{i}"}) for i in range(3)]
+    import time as _t
+    _t.sleep(0.1)
+    server.shutdown(timeout=5.0)
+    for j in jobs:
+        assert j.done_event.wait(5), j.job_id
+        assert j.status in ("done", "error"), j.status
+    assert any(j.status == "error" for j in jobs)  # queued ones were failed
+
+
+def test_sync_wait_timeout_returns_504_then_pollable():
+    pipe = _SlowPipe(delay=1.0)
+    server = PipelineServer(pipe, sync_wait_s=0.15)
+    httpd = make_http_server(server, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = "http://127.0.0.1:%d" % httpd.server_address[1]
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/generate", {"prompt": "slow"})
+        assert ei.value.code == 504
+        rec = json.loads(ei.value.read())
+        job_id = rec["job_id"]
+        import time as _t
+        deadline = _t.time() + 30
+        while _t.time() < deadline:
+            code, rec = _get(base + "/jobs/" + job_id)
+            if rec["status"] == "done":
+                break
+            _t.sleep(0.1)
+        assert rec["status"] == "done"
+    finally:
+        httpd.shutdown()
+        server.shutdown()
+
+
+def test_job_history_eviction_and_latents_release(served):
+    """Finished-job memory is bounded (ADVICE r3: _jobs grew without bound,
+    retaining ~43MB latents_b64 payloads forever)."""
+    pipe = _SlowPipe(delay=0.0)
+    server = PipelineServer(pipe, job_history=2)
+    try:
+        ids = []
+        for i in range(3):
+            j = server.submit({"prompt": f"p{i}"})
+            assert j.done_event.wait(10)
+            ids.append(j.job_id)
+        assert server.get(ids[0]) is None          # evicted
+        assert server.get(ids[1]) is not None
+        assert server.get(ids[2]) is not None
+    finally:
+        server.shutdown()
+
+    # latents_b64 released from the retained record after first delivery
+    _, base = served
+    code, rec = _post(base + "/generate",
+                      {"prompt": "big", "return_latents": True})
+    assert code == 200 and "latents_b64" in rec["result"]
+    code, rec2 = _get(base + "/jobs/" + rec["job_id"])
+    assert code == 200 and "latents_b64" not in rec2["result"]
+
+
+def test_save_dir_disables_micro_batching(tmp_path):
+    """ADVICE r3: with save_dir + max_batch>1, batched jobs silently lost
+    media_path. save_dir now makes every job non-batchable so the output
+    contract is arrival-pattern independent."""
+    class BatchPipe:
+        def generate(self, prompt, **kw):
+            class Out:
+                latents = np.zeros((1, 2, 2))
+                video = None
+                image = (np.ones((4, 4, 3)) * 255).astype(np.uint8)
+                skips = None
+                timings = None
+            return Out()
+
+        def generate_batch(self, prompts, seeds=None):
+            raise AssertionError("must not batch when save_dir is set")
+
+    server = PipelineServer(BatchPipe(), save_dir=str(tmp_path),
+                            max_batch=2, batch_window_s=0.3)
+    try:
+        jobs = [server.submit({"prompt": p}) for p in ("a", "b")]
+        for j in jobs:
+            assert j.done_event.wait(10)
+            assert j.status == "done", j.error
+            assert "batched" not in j.result
+            assert j.result["media_path"].endswith(".png")
+    finally:
+        server.shutdown()
+
+
+# ------------------------------------------- per-request schedule overrides
+@pytest.fixture(scope="module")
+def wan_served():
+    from magcache_tpu.pipelines.wan import WanPipeline, WanPipelineConfig
+
+    cfg = WanPipelineConfig(model="wan2.1-t2v-1.3B", tiny=True,
+                            size=(64, 32), frame_num=9, sample_steps=4,
+                            sample_solver="euler", dtype="float32",
+                            use_magcache=True)
+    pipe = WanPipeline(cfg)
+    server = PipelineServer(pipe, steps=4)
+    httpd = make_http_server(server, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = "http://127.0.0.1:%d" % httpd.server_address[1]
+    yield pipe, server, base
+    httpd.shutdown()
+    server.shutdown()
+
+
+def test_override_requests_share_one_program(wan_served):
+    """E/K/R per request through ONE compiled executable (the sampler's
+    skip_mask_override one-program-many-schedules design)."""
+    pipe, server, base = wan_served
+    code, info = _get(base + "/info")
+    assert info["overrides_supported"] is True
+    # aggressive schedule -> skips; full compute -> zero skips
+    code, rec_fast = _post(base + "/generate", {
+        "prompt": "a fox", "seed": 5, "return_latents": True,
+        "magcache_thresh": 0.5, "magcache_K": 4, "retention_ratio": 0.25})
+    code, rec_full = _post(base + "/generate", {
+        "prompt": "a fox", "seed": 5, "return_latents": True,
+        "use_magcache": False})
+    assert rec_fast["result"]["skipped_forwards"] > 0
+    assert rec_full["result"]["skipped_forwards"] == 0
+    assert rec_full["result"]["total_forwards"] == 8   # 4 steps x 2 lanes
+    # both rode the SAME jitted program
+    assert list(pipe._jit_cache) == [("override",)] or \
+        ("override",) in pipe._jit_cache
+    n_override_entries = [k for k in pipe._jit_cache if k == ("override",)]
+    assert len(n_override_entries) == 1
+
+    # parity: server override result == direct pipeline run with those E/K/R
+    mask = pipe.skip_mask_for(thresh=0.5, K=4, retention_ratio=0.25)
+    direct = pipe.generate("a fox", seed=5, skip_override=mask)
+    served_lat = np.load(io.BytesIO(base64.b64decode(
+        rec_fast["result"]["latents_b64"])))
+    np.testing.assert_array_equal(served_lat, np.asarray(direct.latents))
+
+    # full-compute override == the uncached config's own result
+    from magcache_tpu.pipelines.wan import WanPipeline, WanPipelineConfig
+    import dataclasses as _dc
+    cfg_full = _dc.replace(pipe.config, use_magcache=False)
+    pipe_full = WanPipeline(cfg_full, params=pipe.params)
+    ref = pipe_full.generate("a fox", seed=5)
+    full_lat = np.load(io.BytesIO(base64.b64decode(
+        rec_full["result"]["latents_b64"])))
+    np.testing.assert_allclose(full_lat, np.asarray(ref.latents),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_override_rejected_for_unsupported_pipeline(served):
+    _, base = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/generate", {"prompt": "x", "magcache_thresh": 0.2})
+    assert ei.value.code == 400
+    assert "skip_mask_for" in json.loads(ei.value.read())["error"]
+
+
+def test_bad_timeout_rejected(served):
+    _, base = served
+    for bad in (0, -1, "soon"):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/generate", {"prompt": "x", "timeout_s": bad})
+        assert ei.value.code == 400
