@@ -155,10 +155,17 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
 
     masks = None
     if pab is not None:
-        from magcache_tpu.core.pab import broadcast_masks
+        from magcache_tpu.core.pab import broadcast_masks, mlp_skip_masks
         assert timesteps is not None, "PAB needs the sampling timesteps"
         masks = {k: jnp.asarray(v) for k, v in
                  broadcast_masks(pab, timesteps).items()}
+        # block-granular MLP gating (per-(step, block, branch) reuse/save
+        # bits; pab_mgr.py:108-139) — the block axis is consumed by the
+        # trunk's scan over blocks
+        for branch, tmp in (("sp", False), ("tp", True)):
+            mm = mlp_skip_masks(pab, timesteps, cfg.depth, temporal=tmp)
+            masks[f"mlp_{branch}_reuse"] = jnp.asarray(mm["reuse"])
+            masks[f"mlp_{branch}_save"] = jnp.asarray(mm["save"])
 
     def _block(p, h, ctx, temporal: bool, cached=None, flags=None):
         rows, N, _ = h.shape
@@ -215,9 +222,12 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
             new_cached["cross"] = cached["cross"]  # unused slot for temporal
 
         if cached is not None:
-            mo = jax.lax.cond(flags["mlp"], lambda _: cached["mlp"],
+            mo = jax.lax.cond(flags["mlp_reuse"], lambda _: cached["mlp"],
                               compute_mlp, h)
-            new_cached["mlp"] = mo
+            # the cache refreshes only on save steps (block-granular anchors,
+            # or every computed step under the window+stride fallback)
+            new_cached["mlp"] = jnp.where(flags["mlp_save"], mo,
+                                          cached["mlp"])
         else:
             mo = compute_mlp(h)
         h = h + (g_m * mo.astype(jnp.float32)).astype(h.dtype)
@@ -256,14 +266,15 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
 
         def body(carry, ps):
             h = carry
-            i, sp, tp_, c_sa, c_sc, c_sm, c_ta, c_tc, c_tm = ps
+            (i, sp, tp_, c_sa, c_sc, c_sm, c_ta, c_tc, c_tm,
+             msr, mss, mtr, mts) = ps
             h, ns = _block(sp, h, ctx, temporal=False,
                            cached={"attn": c_sa, "cross": c_sc, "mlp": c_sm},
-                           flags=flags)
+                           flags={**flags, "mlp_reuse": msr, "mlp_save": mss})
             h = _add_temp_pos0(h, i)
             h, nt = _block(tp_, h, ctx, temporal=True,
                            cached={"attn": c_ta, "cross": c_tc, "mlp": c_tm},
-                           flags=flags)
+                           flags={**flags, "mlp_reuse": mtr, "mlp_save": mts})
             return h, (ns["attn"], ns["cross"], ns["mlp"],
                        nt["attn"], nt["cross"], nt["mlp"])
 
@@ -272,7 +283,9 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
             (jnp.arange(cfg.depth),
              params["spatial"], params["temporal"], state["sp_attn"],
              state["sp_cross"], state["sp_mlp"], state["tp_attn"],
-             state["tp_cross"], state["tp_mlp"]))
+             state["tp_cross"], state["tp_mlp"],
+             flags["mlp_sp_reuse"], flags["mlp_sp_save"],
+             flags["mlp_tp_reuse"], flags["mlp_tp_save"]))
         new_state = {"sp_attn": ys[0], "sp_cross": ys[1], "sp_mlp": ys[2],
                      "tp_attn": ys[3], "tp_cross": ys[4], "tp_mlp": ys[5]}
         return h, new_state

@@ -100,18 +100,27 @@ class OpenSoraPlanPipeline(BasePipeline):
         pab = None
         ts = None
         if c.enable_pab:
-            from magcache_tpu.core.pab import PABConfig
-            pab = PABConfig(
-                spatial_broadcast=True, spatial_threshold=c.pab_threshold,
-                spatial_range=c.pab_spatial_range,
-                cross_broadcast=True, cross_threshold=c.pab_threshold,
-                cross_range=c.pab_cross_range,
-                # temporal/mlp reuse only exists in the v110 (Latte) stack
-                temporal_broadcast=c.version == "v110",
-                temporal_threshold=c.pab_threshold,
-                temporal_range=c.pab_temporal_range,
-                mlp_broadcast=c.version == "v110",
-                mlp_threshold=c.pab_threshold, mlp_range=c.pab_cross_range)
+            from magcache_tpu.core.pab import OSP_V110_PAB, PABConfig
+            if c.version == "v110":
+                # the reference v110 preset incl. block-granular MLP anchors
+                # (pipeline_open_sora_plan.py:41-101); the window thresholds /
+                # strides stay user-overridable
+                import dataclasses as _dc
+                pab = _dc.replace(
+                    OSP_V110_PAB,
+                    spatial_threshold=c.pab_threshold,
+                    spatial_range=c.pab_spatial_range,
+                    temporal_threshold=c.pab_threshold,
+                    temporal_range=c.pab_temporal_range,
+                    cross_threshold=c.pab_threshold,
+                    cross_range=c.pab_cross_range)
+            else:
+                # v120: spatial+cross only (no temporal blocks / mlp reuse)
+                pab = PABConfig(
+                    spatial_broadcast=True, spatial_threshold=c.pab_threshold,
+                    spatial_range=c.pab_spatial_range,
+                    cross_broadcast=True, cross_threshold=c.pab_threshold,
+                    cross_range=c.pab_cross_range)
             if c.version == "v110":
                 ts = PNDMSchedule.create(c.num_inference_steps).timesteps
             else:
