@@ -20,3 +20,19 @@ import jax  # noqa: E402
 # lazily, so this wins as long as no jax.devices() call has happened yet).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+# ---------------------------------------------------------------- tiering
+# Compile-heavy tests are marked `slow` and excluded from the default run so
+# plain `pytest -q` verifies the suite in minutes. The full bill:
+#   pytest -q -m slow              # only the slow tier
+#   MAGCACHE_RUN_SLOW=1 pytest -q  # everything
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+    if config.getoption("-m") or os.environ.get("MAGCACHE_RUN_SLOW"):
+        return
+    skip = _pytest.mark.skip(
+        reason="slow tier (run with -m slow or MAGCACHE_RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
