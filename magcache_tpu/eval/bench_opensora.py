@@ -134,6 +134,10 @@ def run(tiny: bool = False) -> dict:
 
     speedup = t_full / t_cached
     ceiling = steps / (steps - n_skip)
+    from magcache_tpu.utils.flops import mfu_pct, stdit3_forward_flops
+    step_flops = stdit3_forward_flops(cfg, grid, cap_len, rows=2)
+    mfu = mfu_pct(step_flops, t_full / steps)
+    log(f"compute-step MFU {mfu:.1f}% ({step_flops/1e12:.1f} TFLOP/step)")
     return {
         "metric": "OpenSora-1.2 480p MagCache E012K3R02 speedup "
                   "(30-step RFLOW, 1 chip)",
@@ -143,6 +147,8 @@ def run(tiny: bool = False) -> dict:
         "detail": {
             "sec_per_video_full": round(t_full, 2),
             "sec_per_video_magcache": round(t_cached, 2),
+            "mfu_pct_compute_step": round(mfu, 1),
+            "forward_tflops_analytic": round(step_flops / 1e12, 1),
             "steps_elided": n_skip,
             "schedule_ceiling": round(ceiling, 3),
             "tokens": ntok,

@@ -488,6 +488,100 @@ def flash_attention_bshd(
     return out.reshape(b, sq, h, d)
 
 
+def _grouped_kernel(q_ref, k_ref, v_ref, o_ref, *, group: int, gvalid: int,
+                    scale_log2e: float):
+    """One-shot softmax attention within contiguous ``group``-token groups.
+
+    Each grid step sees one [block, d] q tile and the SAME-position k/v tile;
+    because ``group`` divides the block, every query's whole group lives in
+    its own block — no online accumulation needed. Scores outside the query's
+    group (and group positions >= ``gvalid``, the padded tail of each group)
+    are masked."""
+    q = q_ref[...] * jnp.asarray(scale_log2e, q_ref.dtype)
+    k = k_ref[...]
+    v = v_ref[...]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    q_loc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    k_loc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = (q_loc // group == k_loc // group) & (k_loc % group < gvalid)
+    s = jnp.where(mask, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[...] = jax.lax.dot(
+        (p / l).astype(v.dtype), v,
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def grouped_flash_attention_bshd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    group: int,
+    group_valid: Optional[int] = None,
+    scale: Optional[float] = None,
+    block: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Block-diagonal grouped attention on ``[B, S, H, D]``: token ``i``
+    attends exactly within its contiguous group ``i // group``.
+
+    The MXU-friendly form of tiny-sequence attention (temporal attention in
+    spatial-temporal DiTs: T ~ 8-32 frames x tens of thousands of spatial
+    positions): instead of one grid block per (row, head) — 50k+ tiny
+    dispatches — or VPU broadcast loops over the frame axis
+    (`ops.tiny_attention`), groups are packed along the sequence so each
+    [block, block] score tile covers ``block/group`` whole groups in one
+    matmul pair, masked block-diagonally. Off-group score waste is
+    ``group/block`` of the tile — at group 16 / block 256 the whole STDiT3
+    temporal pass costs ~0.5 ms of MXU time vs ~10 ms for the VPU-loop
+    kernel.
+
+    Requirements: ``group`` divides ``block`` and ``S % group == 0`` (pad
+    each group's tail and pass the true length as ``group_valid``; padded
+    *keys* are masked — padded *query* rows compute garbage that the caller
+    slices off). S is padded to a block multiple internally with whole dummy
+    groups. D must be 128-aligned (pad like `attention()` does).
+    """
+    b, s_len, h, d = q.shape
+    assert block % group == 0 and s_len % group == 0, (block, group, s_len)
+    assert d % 128 == 0, d
+    gvalid = group if group_valid is None else group_valid
+    scale = (1.0 / math.sqrt(d)) if scale is None else scale
+    block = min(block, max(group, 1 << (s_len - 1).bit_length()))
+    s_p = -(-s_len // block) * block
+    if s_p != s_len:
+        pad = ((0, 0), (0, s_p - s_len), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    qf = q.reshape(b, s_p, h * d)
+    kf = k.reshape(b, s_p, h * d)
+    vf = v.reshape(b, s_p, h * d)
+    grid = (b * h, s_p // block)
+    kernel = functools.partial(_grouped_kernel, group=group, gvalid=gvalid,
+                               scale_log2e=scale * _LOG2E)
+    spec = pl.BlockSpec((None, block, d), lambda g, i, h=h: (g // h, i, g % h),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, s_p, h * d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s_p * block * d,
+            bytes_accessed=3 * b * s_p * h * d * q.dtype.itemsize,
+            transcendentals=b * h * s_p * block,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, s_p, h, d)[:, :s_len]
+
+
 def flash_attention_bhsd_aux(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     scale: Optional[float] = None, kv_len: Optional[int] = None,
@@ -664,17 +758,27 @@ def attention(
         # Layout-native kernel: no [B,S,H,D] -> [B,H,S,D] transpose copies,
         # no block padding passes (~10% of a Wan-480p forward; see
         # flash_attention_bshd docstring). Requires head_dim % 128 == 0 (the
-        # fused-head-dim BlockSpec tiles the last dim by head_dim); smaller
-        # heads (CogVideoX d=64, Latte/STDiT3 d=72) take the transpose path.
+        # fused-head-dim BlockSpec tiles the last dim by head_dim).
         return flash_attention_bshd(q, k, v, scale=scale, kv_len=kv_len,
                                     fixed_max=fixed_max,
                                     interpret=(impl == "pallas_interpret"))
     if impl in ("pallas", "pallas_interpret"):
-        qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
-        out = flash_attention_bhsd(qt, kt, vt, scale=scale, kv_len=kv_len,
-                                   fixed_max=fixed_max,
-                                   interpret=(impl == "pallas_interpret"))
-        return out.transpose(0, 2, 1, 3)
+        # Sub-128 head dims (CogVideoX d=64, Latte/STDiT3/OSP d=72): zero-pad
+        # the head dim to 128 and keep the layout-native kernel. Exact: padded
+        # q/k lanes contribute 0 to every score, padded v lanes produce output
+        # lanes that are sliced off. The old [B,S,H,D] -> [B,H,S,D] transpose
+        # path paid the same 128-lane MXU padding implicitly in Mosaic AND
+        # four full-tensor layout copies; measured on STDiT3-480p spatial
+        # attention [30,1590,16,72] this path is ~2x faster (9.1 -> ~4 ms).
+        d0 = q.shape[-1]
+        dp = -(-d0 // 128) * 128
+        sc = (1.0 / math.sqrt(d0)) if scale is None else scale
+        pad = ((0, 0), (0, 0), (0, 0), (0, dp - d0))
+        out = flash_attention_bshd(
+            jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
+            scale=sc, kv_len=kv_len, fixed_max=fixed_max,
+            interpret=(impl == "pallas_interpret"))
+        return out[..., :d0]
     if impl == "xla":
         qt = q.transpose(0, 2, 1, 3)
         kt = k.transpose(0, 2, 1, 3)

@@ -127,6 +127,44 @@ def _kernel(qkv_ref, qg_ref, kg_ref, cos_ref, sin_ref, pmat_ref, mavg_ref,
     o_ref[...] = (acc * norm).reshape(br, t_len, hd).astype(o_ref.dtype)
 
 
+def _grouped(qkv, q_gain, k_gain, cos, sin, heads, *, eps, scale,
+             interpret=False):
+    """MXU path: norm+rope in XLA, then block-diagonal grouped flash.
+
+    Groups of T tokens pack contiguously along one long sequence so each
+    [block, block] score tile covers block/group whole groups in one matmul
+    pair (`ops.attention.grouped_flash_attention_bshd`). Measured on
+    STDiT3-480p temporal attention this replaces ~10 ms of VPU broadcast
+    loops with ~1.5 ms of MXU + elementwise time."""
+    from magcache_tpu.ops.attention import grouped_flash_attention_bshd
+
+    r, t_len, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    rs = lambda x: x.reshape(r, t_len, heads, d)
+    q, k, v = rs(q), rs(k), rs(v)
+    if q_gain is not None:
+        q = rms_norm(q, q_gain, eps=eps)
+        k = rms_norm(k, k_gain, eps=eps)
+    if cos is not None:
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+    q = q.astype(v.dtype)
+    k = k.astype(v.dtype)
+    group = max(8, 1 << (t_len - 1).bit_length())
+    dp = -(-d // 128) * 128
+    pad = ((0, 0), (0, group - t_len), (0, 0), (0, dp - d))
+    q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+    out = grouped_flash_attention_bshd(
+        q.reshape(1, r * group, heads, dp),
+        k.reshape(1, r * group, heads, dp),
+        v.reshape(1, r * group, heads, dp),
+        group=group, group_valid=t_len, scale=scale, interpret=interpret)
+    return out.reshape(r, group, heads, dp)[:, :t_len, :, :d].reshape(
+        r, t_len, hd)
+
+
 def _reference(qkv, q_gain, k_gain, cos, sin, heads, *, eps, scale):
     """Unfused composition (CPU / mesh fallback and the parity oracle)."""
     r, t_len, three_hd = qkv.shape
@@ -164,6 +202,10 @@ def tiny_temporal_attention(
     Returns ``[R, T, H*D]``. Falls back to the unfused composition off-TPU,
     under an active mesh plan (sharded rows stay declarative), for T > 32, or
     under ``MAGCACHE_TINY_ATTN=0``.
+
+    ``MAGCACHE_TINY_ATTN`` selects the TPU path: "grouped" (default — XLA
+    norm/rope + block-diagonal grouped flash, see `_grouped`), "vpu" (the
+    fused single-pass VMEM kernel below), "0" (unfused composition).
     """
     import os
 
@@ -173,10 +215,17 @@ def tiny_temporal_attention(
     scale = (1.0 / float(np.sqrt(d))) if scale is None else scale
     from magcache_tpu.parallel.mesh import _ACTIVE
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    enabled = os.environ.get("MAGCACHE_TINY_ATTN", "1") != "0"
-    if not interpret and (not on_tpu or not enabled or t_len > 32
-                          or hd % 128 != 0 or d % 2
-                          or _ACTIVE.get() is not None):
+    mode = os.environ.get("MAGCACHE_TINY_ATTN", "grouped")
+    if mode == "1":                       # legacy on-switch -> default path
+        mode = "grouped"
+    if not interpret and (not on_tpu or mode == "0" or t_len > 32
+                          or d % 2 or _ACTIVE.get() is not None):
+        return _reference(qkv, q_gain, k_gain, cos, sin, heads,
+                          eps=eps, scale=scale)
+    if mode != "vpu" and not interpret:
+        return _grouped(qkv, q_gain, k_gain, cos, sin, heads,
+                        eps=eps, scale=scale)
+    if hd % 128 != 0:
         return _reference(qkv, q_gain, k_gain, cos, sin, heads,
                           eps=eps, scale=scale)
 

@@ -278,3 +278,56 @@ def test_fused_layer_norm_mod_matches_unfused():
     want = layer_norm(xb, eps=1e-6)
     assert float(jnp.max(jnp.abs(out.astype(jnp.float32)
                                  - want.astype(jnp.float32)))) < 2e-2
+
+
+# ---------------------------------------------------------------------------
+# sub-128 head dims: padded layout-native kernel + grouped flash
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("b,s,h,d", [(2, 200, 4, 72), (1, 130, 2, 64)])
+def test_padded_head_dim_flash_matches_xla(b, s, h, d):
+    # d % 128 != 0 routes through zero-padded flash_attention_bshd; must be
+    # exact vs the XLA composition (padded lanes contribute nothing)
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    ref = attention(q, k, v, impl="xla")
+    out = attention(q, k, v, impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_padded_head_dim_cross_kv_len():
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.normal(size=(1, 140, 2, 72)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 96, 2, 72)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 96, 2, 72)), jnp.float32)
+    ref = attention(q, k, v, kv_len=50, impl="xla")
+    out = attention(q, k, v, kv_len=50, impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_grouped_flash_matches_per_group_softmax():
+    from magcache_tpu.ops.attention import grouped_flash_attention_bshd
+    rng = np.random.default_rng(9)
+    b, h, d, group, ng, gvalid = 1, 2, 128, 16, 20, 13
+    s = group * ng
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    out = grouped_flash_attention_bshd(q, k, v, group=group,
+                                       group_valid=gvalid, block=64,
+                                       interpret=True)
+    # reference: independent softmax attention per group over its first
+    # gvalid keys
+    qg = np.asarray(q).reshape(b, ng, group, h, d)
+    kg = np.asarray(k).reshape(b, ng, group, h, d)[:, :, :gvalid]
+    vg = np.asarray(v).reshape(b, ng, group, h, d)[:, :, :gvalid]
+    sc = 1.0 / np.sqrt(d)
+    sref = np.einsum("bgqhd,bgkhd->bghqk", qg, kg) * sc
+    p = np.exp(sref - sref.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    ref = np.einsum("bghqk,bgkhd->bgqhd", p, vg).reshape(b, s, h, d)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)

@@ -59,3 +59,27 @@ def test_fallback_dispatch_off_tpu():
     got = tiny_temporal_attention(qkv, qg, kg, cos, sin, 16)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=0, rtol=0)
+
+
+def test_grouped_path_matches_unfused():
+    # the MXU grouped path (XLA norm/rope + block-diag grouped flash in
+    # interpret mode) must agree with the unfused composition
+    from magcache_tpu.ops.tiny_attention import _grouped
+    qkv, qg, kg, cos, sin = _inputs(R=21, T=12)
+    ref = _reference(qkv, qg, kg, cos, sin, 16, eps=1e-6, scale=None)
+    got = _grouped(qkv, qg, kg, cos, sin, 16, eps=1e-6,
+                   scale=1.0 / np.sqrt(72), interpret=True)
+    assert got.shape == ref.shape and got.dtype == ref.dtype
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2)
+
+
+def test_grouped_path_no_norm_no_rope_f32():
+    from magcache_tpu.ops.tiny_attention import _grouped
+    qkv, *_ = _inputs(R=9, T=15, dtype=jnp.float32)
+    ref = _reference(qkv, None, None, None, None, 16, eps=1e-6, scale=None)
+    got = _grouped(qkv, None, None, None, None, 16, eps=1e-6,
+                   scale=1.0 / np.sqrt(72), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-3, rtol=2e-3)
