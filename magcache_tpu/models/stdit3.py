@@ -31,7 +31,9 @@ import numpy as np
 from magcache_tpu.core.pab import PABConfig, broadcast_masks
 from magcache_tpu.core.sampler import DiTCore
 from magcache_tpu.models.common import linear, linear_params, timestep_embedding
-from magcache_tpu.ops.attention import QKNORM_FIXED_MAX, attention
+from magcache_tpu.ops.attention import (
+    QKNORM_FIXED_MAX, attention, flash_attention_bshd,
+    grouped_flash_attention_bshd)
 from magcache_tpu.ops.fused_prologue import layer_norm_mod
 from magcache_tpu.ops.norms import layer_norm, rms_norm
 from magcache_tpu.ops.rope import apply_rope, rope_freqs_1d
@@ -169,6 +171,64 @@ def p_slice(p, name):
     return p[name]
 
 
+def _pack_block_group(g: dict, heads: int, d_head: int, dp: int) -> dict:
+    """Zero-pad a stacked block group's attention weights so the QKV/cross
+    projections emit ``[.., H, dp]`` (128-lane-aligned) natively.
+
+    Sub-128 head dims (STDiT3/Latte/OSP d=72) otherwise force every
+    ``[.., H, 72]`` reshape through Mosaic/XLA relayout copies — the
+    dominant cost of the 30.8%-MFU trunk (tools/profile_stdit3_knockout.py).
+    Padding the *weights* moves the alignment into the matmul (zero output
+    columns / zero input rows — exact), so activations never hold a sub-128
+    minor dim. The packed tree is built once per forward outside the layer
+    scan (~2 ms of HBM traffic at 480p vs ~550 ms saved); checkpoints and
+    converters keep the reference shapes."""
+    L, dm = g["qkv"]["w"].shape[0], g["qkv"]["w"].shape[1]
+
+    def pad_out(p, n):
+        w = p["w"].reshape(L, dm, n, heads, d_head)
+        w = jnp.pad(w, ((0, 0),) * 4 + ((0, dp - d_head),))
+        out = {"w": w.reshape(L, dm, n * heads * dp)}
+        if "b" in p:
+            b = p["b"].reshape(L, n, heads, d_head)
+            b = jnp.pad(b, ((0, 0),) * 3 + ((0, dp - d_head),))
+            out["b"] = b.reshape(L, n * heads * dp)
+        return out
+
+    def pad_in(p):
+        w = p["w"].reshape(L, heads, d_head, dm)
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, dp - d_head), (0, 0)))
+        out = {"w": w.reshape(L, heads * dp, dm)}
+        if "b" in p:
+            out["b"] = p["b"]
+        return out
+
+    out = dict(g)
+    out["qkv"] = pad_out(g["qkv"], 3)
+    out["proj"] = pad_in(g["proj"])
+    out["cross_q"] = pad_out(g["cross_q"], 1)
+    out["cross_kv"] = pad_out(g["cross_kv"], 2)
+    out["cross_o"] = pad_in(g["cross_o"])
+    if "q_norm" in g:
+        gpad = lambda x: jnp.pad(x, ((0, 0), (0, dp - d_head)))
+        out["q_norm_p"] = gpad(g["q_norm"])      # [L, dp], zeros past d_head
+        out["k_norm_p"] = gpad(g["k_norm"])
+    return out
+
+
+def _grouped_rope_tables(T: int, Tp: int, d_head: int, dp: int):
+    """Interleaved-pair RoPE tables for the grouped temporal kernel:
+    [Tp, dp] cos/sin with identity (cos=1, sin=0) on padded rows/lanes."""
+    cos, sin = rope_freqs_1d(np.arange(T), d_head)
+    c = np.repeat(np.asarray(cos, np.float32), 2, axis=-1)
+    s = np.repeat(np.asarray(sin, np.float32), 2, axis=-1)
+    cp = np.ones((Tp, dp), np.float32)
+    sp = np.zeros((Tp, dp), np.float32)
+    cp[:T, :d_head] = c
+    sp[:T, :d_head] = s
+    return jnp.asarray(cp), jnp.asarray(sp)
+
+
 def make_stdit3_core(
     cfg: STDiT3Config,
     grid: Tuple[int, int, int],          # latent patch grid (T, H, W)
@@ -191,6 +251,20 @@ def make_stdit3_core(
     T, H, W = grid
     S = H * W
     d = cfg.hidden
+    # padded-head execution geometry (see _pack_block_group)
+    dp = -(-cfg.head_dim // 128) * 128
+    Tp = max(8, 1 << (T - 1).bit_length())
+    rope_packed = (_grouped_rope_tables(T, Tp, cfg.head_dim, dp)
+                   if cfg.head_dim % 2 == 0 else None)
+
+    def _use_packed():
+        import os
+        from magcache_tpu.parallel.mesh import _ACTIVE
+        return (jax.default_backend() in ("tpu", "axon")
+                and _ACTIVE.get() is None
+                and os.environ.get("MAGCACHE_STDIT3_PACKED", "1") != "0"
+                and cfg.head_dim % 128 != 0 and cfg.head_dim % 2 == 0
+                and T <= 256)
     if pixel_size is not None:
         scale = float(np.sqrt(pixel_size[0] * pixel_size[1])
                       / cfg.input_sq_size)
@@ -256,9 +330,12 @@ def make_stdit3_core(
         out = jnp.where(x_mask[:, :, None, None], am, bm)
         return out.reshape(a.shape)
 
-    def _block(p, h, ctx, temporal: bool, cached=None, reuse_flags=None):
+    def _block(p, h, ctx, temporal: bool, cached=None, reuse_flags=None,
+               packed: bool = False):
         """One STDiT3 block. cached/reuse_flags: PAB state slices or None.
-        Returns (h, new_cached)."""
+        ``packed``: p carries the 128-lane-padded weights (_pack_block_group)
+        and attention runs entirely in the aligned layout with qk-norm (and
+        RoPE, temporal) fused into the flash kernels. Returns (h, new_cached)."""
         rows, N, _ = h.shape
         t6 = ctx["t6"]
         mod = p["scale_shift"]  # [6, d] slice
@@ -285,25 +362,61 @@ def make_stdit3_core(
                 return g * res
             return _tmask_select(x_mask, g * res, z_g * res)
 
+        def _gains():
+            if "q_norm_p" not in p:
+                return None
+            return (jnp.broadcast_to(p["q_norm_p"], (cfg.heads, dp)),
+                    jnp.broadcast_to(p["k_norm_p"], (cfg.heads, dp)))
+
+        sc_attn = 1.0 / float(np.sqrt(cfg.head_dim))
+
         def compute_attn(h):
             xn = _modulate(h, sh_a, sc_a,
                            z_sh_a if x_mask is not None else None,
                            z_sc_a if x_mask is not None else None).astype(h.dtype)
             if temporal:
                 xr = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3).reshape(rows * S, T, d)
-                # T is tiny (frame count); the fused VMEM kernel does
-                # qk-norm + RoPE + attention in one pass over the qkv
-                # projection (ops/tiny_attention.py; falls back to the
-                # unfused composition off-TPU / under a mesh)
-                qkv = linear(p_slice(p, "qkv"), xr)
-                o = tiny_temporal_attention(
-                    qkv, p.get("q_norm"), p.get("k_norm"),
-                    t_rope[0], t_rope[1], cfg.heads, eps=1e-6)
-                a = linear(p_slice(p, "proj"), o)
+                if packed:
+                    # padded-layout qkv -> block-diagonal grouped flash with
+                    # qk-norm + frame RoPE fused into the q/k loads
+                    qkv = linear(p_slice(p, "qkv"), xr)   # [R, T, 3*H*dp]
+                    qkv = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0)))
+                    qh, kh, vh = jnp.split(qkv, 3, axis=-1)
+                    rs4 = lambda t_: t_.reshape(1, rows * S * Tp, cfg.heads, dp)
+                    o = grouped_flash_attention_bshd(
+                        rs4(qh), rs4(kh), rs4(vh), group=Tp, group_valid=T,
+                        scale=sc_attn, qk_gains=_gains(),
+                        rope_tables=rope_packed, true_d=cfg.head_dim,
+                        eps=1e-6)
+                    o = o.reshape(rows * S, Tp, cfg.heads * dp)
+                    a = linear(p_slice(p, "proj"), o)[:, :T]
+                else:
+                    # T is tiny (frame count); the fused VMEM kernel does
+                    # qk-norm + RoPE + attention in one pass over the qkv
+                    # projection (ops/tiny_attention.py; falls back to the
+                    # unfused composition off-TPU / under a mesh)
+                    qkv = linear(p_slice(p, "qkv"), xr)
+                    o = tiny_temporal_attention(
+                        qkv, p.get("q_norm"), p.get("k_norm"),
+                        t_rope[0], t_rope[1], cfg.heads, eps=1e-6)
+                    a = linear(p_slice(p, "proj"), o)
                 a = a.reshape(rows, S, T, d).transpose(0, 2, 1, 3).reshape(rows, N, d)
             else:
                 xr = xn.reshape(rows * T, S, d)
-                a = _attn(p, xr, cfg.heads, eps=cfg.eps)
+                if packed:
+                    qkv = linear(p_slice(p, "qkv"), xr)   # [rows*T, S, 3*H*dp]
+                    qh, kh, vh = jnp.split(qkv, 3, axis=-1)
+                    rs4 = lambda t_: t_.reshape(rows * T, S, cfg.heads, dp)
+                    gains = _gains()
+                    o = flash_attention_bshd(
+                        rs4(qh), rs4(kh), rs4(vh), scale=sc_attn,
+                        fixed_max=(QKNORM_FIXED_MAX if gains is not None
+                                   else None),
+                        qk_gains=gains, true_d=cfg.head_dim, eps=1e-6)
+                    a = linear(p_slice(p, "proj"),
+                               o.reshape(rows * T, S, cfg.heads * dp))
+                else:
+                    a = _attn(p, xr, cfg.heads, eps=cfg.eps)
                 a = a.reshape(rows, N, d)
             return a
 
@@ -312,8 +425,11 @@ def make_stdit3_core(
             q = linear(p["cross_q"], h)
             kv = linear(p["cross_kv"], y)
             k, v = jnp.split(kv, 2, axis=-1)
-            rs = lambda t_: t_.reshape(t_.shape[0], t_.shape[1], cfg.heads, -1)
-            o = attention(rs(q), rs(k), rs(v)).reshape(h.shape)
+            hd_c = dp if packed else cfg.head_dim
+            rs = lambda t_: t_.reshape(t_.shape[0], t_.shape[1], cfg.heads, hd_c)
+            o = attention(rs(q), rs(k), rs(v),
+                          scale=(sc_attn if packed else None)
+                          ).reshape(rows, N, cfg.heads * hd_c)
             return linear(p["cross_o"], o)
 
         def compute_mlp(h):
@@ -352,15 +468,27 @@ def make_stdit3_core(
                        z_g_m if x_mask is not None else None).astype(h.dtype)
         return h, new_cached
 
+    def _exec_groups(params):
+        """The (possibly packed) stacked block groups the layer scan runs
+        over — packed once per forward, outside the scan."""
+        sp_g, tp_g = params["spatial"], params["temporal"]
+        packed = _use_packed()
+        if packed:
+            sp_g = _pack_block_group(sp_g, cfg.heads, cfg.head_dim, dp)
+            tp_g = _pack_block_group(tp_g, cfg.heads, cfg.head_dim, dp)
+        return sp_g, tp_g, packed
+
     def trunk_plain(params, h, ctx):
+        sp_g, tp_g, packed = _exec_groups(params)
+
         def body(carry, ps):
             sp, tp_ = ps
             h = carry
-            h, _ = _block(sp, h, ctx, temporal=False)
-            h, _ = _block(tp_, h, ctx, temporal=True)
+            h, _ = _block(sp, h, ctx, temporal=False, packed=packed)
+            h, _ = _block(tp_, h, ctx, temporal=True, packed=packed)
             return h, None
 
-        h, _ = jax.lax.scan(body, h, (params["spatial"], params["temporal"]))
+        h, _ = jax.lax.scan(body, h, (sp_g, tp_g))
         return h
 
     def init_state(params, hidden_shape, ctx_shape):
@@ -376,22 +504,23 @@ def make_stdit3_core(
         flags = {k: masks[k][step_idx] for k in masks}
         rf_sp = {"spatial": flags["spatial"], "temporal": flags["temporal"],
                  "cross": flags["cross"], "mlp": flags["mlp"]}
+        sp_g, tp_g, packed = _exec_groups(params)
 
         def body(carry, ps):
             h = carry
             sp, tp_, c_sa, c_sc, c_sm, c_ta, c_tc, c_tm = ps
             h, nc_s = _block(sp, h, ctx, temporal=False,
                              cached={"attn": c_sa, "cross": c_sc, "mlp": c_sm},
-                             reuse_flags=rf_sp)
+                             reuse_flags=rf_sp, packed=packed)
             h, nc_t = _block(tp_, h, ctx, temporal=True,
                              cached={"attn": c_ta, "cross": c_tc, "mlp": c_tm},
-                             reuse_flags=rf_sp)
+                             reuse_flags=rf_sp, packed=packed)
             return h, (nc_s["attn"], nc_s["cross"], nc_s["mlp"],
                        nc_t["attn"], nc_t["cross"], nc_t["mlp"])
 
         h, ys = jax.lax.scan(
             body, h,
-            (params["spatial"], params["temporal"], state["sp_attn"],
+            (sp_g, tp_g, state["sp_attn"],
              state["sp_cross"], state["sp_mlp"], state["tp_attn"],
              state["tp_cross"], state["tp_mlp"]))
         new_state = {"sp_attn": ys[0], "sp_cross": ys[1], "sp_mlp": ys[2],

@@ -22,14 +22,26 @@ from __future__ import annotations
 import functools
 import math
 import os
-from typing import Optional
+from typing import Optional, Tuple
 
 _LOG2E = math.log2(math.e)
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _pair_swap_np(d: int) -> "np.ndarray":
+    """Interleaved-pair rotation partner matrix (same convention as
+    `ops.rope._pair_swap_matrix`, re-declared here to avoid a circular
+    import): (x @ P)[2i] = -x[2i+1], (x @ P)[2i+1] = x[2i]."""
+    P = np.zeros((d, d), np.float32)
+    idx = np.arange(d // 2)
+    P[2 * idx + 1, 2 * idx] = -1.0
+    P[2 * idx, 2 * idx + 1] = 1.0
+    return P
 
 __all__ = ["attention", "flash_attention_bhsd", "flash_attention_bshd", "QKNORM_FIXED_MAX"]
 
@@ -297,12 +309,30 @@ def flash_attention_bhsd(
     return out.reshape(b, h, sq_p, d)[:, :, :sq, :]
 
 
-def _flash_kernel_bshd(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+def _rms_head(x_ref, g_ref, true_d: int, eps: float):
+    """Per-head RMS norm of a [rows, D] block whose lanes >= ``true_d`` are
+    zero-padded: the lane sum over D equals the sum over the true head dim,
+    so ``var = sum(x^2)/true_d`` is exact and padded lanes stay zero through
+    the gain multiply (gains are zero-padded too)."""
+    xf = x_ref[...].astype(jnp.float32)
+    var = jnp.sum(xf * xf, axis=-1, keepdims=True) * (1.0 / true_d)
+    return xf * jax.lax.rsqrt(var + eps) * g_ref[...]
+
+
+def _flash_kernel_bshd(q_ref, k_ref, v_ref, *rest,
                        kv_len: int, block_k: int, mask_kv: bool,
-                       scale_log2e: float):
+                       scale_log2e: float, norm=None):
     """Running-max online softmax on native [B, S, H, D] blocks
     (block shape [1, bq, 1, d]; the head axis rides the grid, so no
-    transpose/copy pass over the full tensor is ever materialized)."""
+    transpose/copy pass over the full tensor is ever materialized).
+
+    ``norm=(true_d, eps)`` adds the per-head RMS qk-norm to the q/k block
+    loads (gain refs [1, D] ride the grid's head axis) — one VMEM pass
+    instead of standalone XLA norm passes + a sub-128-lane relayout."""
+    if norm is not None:
+        qg_ref, kg_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, l_ref = rest
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -312,9 +342,15 @@ def _flash_kernel_bshd(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[...] * jnp.asarray(scale_log2e, q_ref.dtype)
-    k = k_ref[...]
     v = v_ref[...]
+    if norm is not None:
+        true_d, eps = norm
+        q = (_rms_head(q_ref, qg_ref, true_d, eps)
+             * scale_log2e).astype(v.dtype)
+        k = _rms_head(k_ref, kg_ref, true_d, eps).astype(v.dtype)
+    else:
+        q = q_ref[...] * jnp.asarray(scale_log2e, q_ref.dtype)
+        k = k_ref[...]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if mask_kv:
@@ -341,11 +377,16 @@ def _flash_kernel_bshd(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         o_ref[...] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
-def _flash_kernel_bshd_fixed_max(q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
+def _flash_kernel_bshd_fixed_max(q_ref, k_ref, v_ref, *rest,
                                  kv_len: int, block_k: int, mask_kv: bool,
-                                 m_const: float, scale_log2e: float):
+                                 m_const: float, scale_log2e: float,
+                                 norm=None):
     """Static-max variant of `_flash_kernel_bshd` (see
     `_flash_kernel_fixed_max` for the shift-invariance argument)."""
+    if norm is not None:
+        qg_ref, kg_ref, o_ref, acc_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, l_ref = rest
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -354,9 +395,15 @@ def _flash_kernel_bshd_fixed_max(q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[...] * jnp.asarray(scale_log2e, q_ref.dtype)
-    k = k_ref[...]
     v = v_ref[...]
+    if norm is not None:
+        true_d, eps = norm
+        q = (_rms_head(q_ref, qg_ref, true_d, eps)
+             * scale_log2e).astype(v.dtype)
+        k = _rms_head(k_ref, kg_ref, true_d, eps).astype(v.dtype)
+    else:
+        q = q_ref[...] * jnp.asarray(scale_log2e, q_ref.dtype)
+        k = k_ref[...]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if mask_kv:
@@ -389,6 +436,9 @@ def flash_attention_bshd(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     fixed_max: Optional[float] = None,
+    qk_gains: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    true_d: Optional[int] = None,
+    eps: float = 1e-6,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention directly on the DiT activation layout ``[B, S, H, D]``.
@@ -401,6 +451,13 @@ def flash_attention_bshd(
     with masked keys / discarded out-of-range q-row writes instead of
     materialized padding. The softmax scale folds into the per-block q load
     (one [bq, d] VPU pass in VMEM instead of a full-tensor HBM pass).
+
+    ``qk_gains=(qg, kg)`` + ``true_d``: fuse the per-head RMS qk-norm into
+    the q/k block loads. ``qg``/``kg`` are [H, D] gain rows, zero-padded past
+    ``true_d`` (the real head dim when D carries 128-alignment padding; the
+    caller passes ``scale=1/sqrt(true_d)``). Replaces standalone XLA norm
+    passes whose [.., H, true_d] intermediates relayout-copy on sub-128 head
+    dims (the 35.7%-MFU STDiT3 diagnosis, NOTES.md #25).
     """
     b, sq, h, d = q.shape
     skv = k.shape[1]
@@ -430,11 +487,13 @@ def flash_attention_bshd(
     # the block divides the sequence exactly and no explicit kv_len was given
     mask_kv = kv_len < nk * block_k
     scale_log2e = scale * _LOG2E
+    norm = (true_d, eps) if qk_gains is not None else None
 
     if fixed_max is not None:
         kernel = functools.partial(
             _flash_kernel_bshd_fixed_max, kv_len=kv_len, block_k=block_k,
-            mask_kv=mask_kv, m_const=fixed_max, scale_log2e=scale_log2e)
+            mask_kv=mask_kv, m_const=fixed_max, scale_log2e=scale_log2e,
+            norm=norm)
         scratch = [
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -442,7 +501,7 @@ def flash_attention_bshd(
     else:
         kernel = functools.partial(
             _flash_kernel_bshd, kv_len=kv_len, block_k=block_k,
-            mask_kv=mask_kv, scale_log2e=scale_log2e)
+            mask_kv=mask_kv, scale_log2e=scale_log2e, norm=norm)
         scratch = [
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -455,20 +514,29 @@ def flash_attention_bshd(
     qf = q.reshape(b, sq, h * d)
     kf = k.reshape(b, skv, h * d)
     vf = v.reshape(b, skv, h * d)
+    in_specs = [
+        pl.BlockSpec((None, block_q, d),
+                     lambda g, i, j, h=h: (g // h, i, g % h),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, block_k, d),
+                     lambda g, i, j, h=h: (g // h, j, g % h),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, block_k, d),
+                     lambda g, i, j, h=h: (g // h, j, g % h),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qf, kf, vf]
+    if norm is not None:
+        gain_spec = pl.BlockSpec((None, 1, d),
+                                 lambda g, i, j, h=h: (g % h, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs += [gain_spec, gain_spec]
+        operands += [jnp.asarray(qk_gains[0], jnp.float32).reshape(h, 1, d),
+                     jnp.asarray(qk_gains[1], jnp.float32).reshape(h, 1, d)]
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((None, block_q, d),
-                         lambda g, i, j, h=h: (g // h, i, g % h),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_k, d),
-                         lambda g, i, j, h=h: (g // h, j, g % h),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_k, d),
-                         lambda g, i, j, h=h: (g // h, j, g % h),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((None, block_q, d),
                                lambda g, i, j, h=h: (g // h, i, g % h),
                                memory_space=pltpu.VMEM),
@@ -484,22 +552,48 @@ def flash_attention_bshd(
             transcendentals=b * h * (nq * block_q) * (nk * block_k),
         ),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(*operands)
     return out.reshape(b, sq, h, d)
 
 
-def _grouped_kernel(q_ref, k_ref, v_ref, o_ref, *, group: int, gvalid: int,
-                    scale_log2e: float):
+def _grouped_kernel(q_ref, k_ref, v_ref, *rest, group: int, gvalid: int,
+                    scale_log2e: float, norm=None, rope: bool = False):
     """One-shot softmax attention within contiguous ``group``-token groups.
 
     Each grid step sees one [block, d] q tile and the SAME-position k/v tile;
     because ``group`` divides the block, every query's whole group lives in
     its own block — no online accumulation needed. Scores outside the query's
     group (and group positions >= ``gvalid``, the padded tail of each group)
-    are masked."""
-    q = q_ref[...] * jnp.asarray(scale_log2e, q_ref.dtype)
-    k = k_ref[...]
+    are masked.
+
+    ``norm=(true_d, eps)`` fuses the per-head RMS qk-norm (gain refs [1, D]);
+    ``rope`` fuses interleaved-pair RoPE over the in-group position: cos/sin
+    refs are [group, D] tables (identity past ``true_d``), tiled to the block
+    rows, applied in matmul form against the [D, D] pair-swap ref."""
+    it = iter(rest)
+    qg_ref = kg_ref = cos_ref = sin_ref = pm_ref = None
+    if norm is not None:
+        qg_ref, kg_ref = next(it), next(it)
+    if rope:
+        cos_ref, sin_ref, pm_ref = next(it), next(it), next(it)
+    o_ref = next(it)
     v = v_ref[...]
+    if norm is not None:
+        true_d, eps = norm
+        q = _rms_head(q_ref, qg_ref, true_d, eps)
+        k = _rms_head(k_ref, kg_ref, true_d, eps)
+    else:
+        q = q_ref[...].astype(jnp.float32)
+        k = k_ref[...].astype(jnp.float32)
+    if rope:
+        reps = q.shape[0] // group
+        cos_t = jnp.tile(cos_ref[...], (reps, 1))
+        sin_t = jnp.tile(sin_ref[...], (reps, 1))
+        pm = pm_ref[...]
+        q = q * cos_t + jax.lax.dot(q, pm) * sin_t
+        k = k * cos_t + jax.lax.dot(k, pm) * sin_t
+    q = (q * scale_log2e).astype(v.dtype)
+    k = k.astype(v.dtype)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     q_loc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -523,10 +617,21 @@ def grouped_flash_attention_bshd(
     group_valid: Optional[int] = None,
     scale: Optional[float] = None,
     block: int = 256,
+    qk_gains: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    rope_tables: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    true_d: Optional[int] = None,
+    eps: float = 1e-6,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Block-diagonal grouped attention on ``[B, S, H, D]``: token ``i``
     attends exactly within its contiguous group ``i // group``.
+
+    ``qk_gains=(qg [H, D], kg)`` + ``true_d`` fuse the per-head RMS qk-norm
+    into the q/k loads; ``rope_tables=(cos, sin)`` — interleaved-pair tables
+    [group, D], zero-padded rows allowed (cos=1/sin=0 past ``true_d``) —
+    fuse RoPE over the in-group position. Together these subsume the whole
+    XLA prologue of `ops.tiny_attention` (norm + rope + pad passes whose
+    sub-128-lane intermediates relayout-copy).
 
     The MXU-friendly form of tiny-sequence attention (temporal attention in
     spatial-temporal DiTs: T ~ 8-32 frames x tens of thousands of spatial
@@ -559,14 +664,36 @@ def grouped_flash_attention_bshd(
     kf = k.reshape(b, s_p, h * d)
     vf = v.reshape(b, s_p, h * d)
     grid = (b * h, s_p // block)
+    norm = (true_d, eps) if qk_gains is not None else None
     kernel = functools.partial(_grouped_kernel, group=group, gvalid=gvalid,
-                               scale_log2e=scale * _LOG2E)
+                               scale_log2e=scale * _LOG2E, norm=norm,
+                               rope=rope_tables is not None)
     spec = pl.BlockSpec((None, block, d), lambda g, i, h=h: (g // h, i, g % h),
                         memory_space=pltpu.VMEM)
+    in_specs = [spec, spec, spec]
+    operands = [qf, kf, vf]
+    if norm is not None:
+        gain_spec = pl.BlockSpec((None, 1, d), lambda g, i, h=h: (g % h, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs += [gain_spec, gain_spec]
+        operands += [jnp.asarray(qk_gains[0], jnp.float32).reshape(h, 1, d),
+                     jnp.asarray(qk_gains[1], jnp.float32).reshape(h, 1, d)]
+    if rope_tables is not None:
+        tab_spec = pl.BlockSpec((group, d), lambda g, i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        pm_spec = pl.BlockSpec((d, d), lambda g, i: (0, 0),
+                               memory_space=pltpu.VMEM)
+        pm = np.zeros((d, d), np.float32)
+        td = d if true_d is None else true_d
+        pm[:td, :td] = _pair_swap_np(td)
+        in_specs += [tab_spec, tab_spec, pm_spec]
+        operands += [jnp.asarray(rope_tables[0], jnp.float32),
+                     jnp.asarray(rope_tables[1], jnp.float32),
+                     jnp.asarray(pm)]
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec, spec, spec],
+        in_specs=in_specs,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, s_p, h * d), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -578,7 +705,7 @@ def grouped_flash_attention_bshd(
             transcendentals=b * h * s_p * block,
         ),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(*operands)
     return out.reshape(b, s_p, h, d)[:, :s_len]
 
 
