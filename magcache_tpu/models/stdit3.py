@@ -33,7 +33,7 @@ from magcache_tpu.core.sampler import DiTCore
 from magcache_tpu.models.common import linear, linear_params, timestep_embedding
 from magcache_tpu.ops.attention import (
     QKNORM_FIXED_MAX, attention, flash_attention_bshd,
-    grouped_flash_attention_bshd)
+    grouped_attention_fused_qkv)
 from magcache_tpu.ops.fused_prologue import layer_norm_mod
 from magcache_tpu.ops.norms import layer_norm, rms_norm
 from magcache_tpu.ops.rope import apply_rope, rope_freqs_1d
@@ -254,6 +254,7 @@ def make_stdit3_core(
     # padded-head execution geometry (see _pack_block_group)
     dp = -(-cfg.head_dim // 128) * 128
     Tp = max(8, 1 << (T - 1).bit_length())
+    Sg = -(-S // 16) * 16               # 16-sublane-aligned frame group
     rope_packed = (_grouped_rope_tables(T, Tp, cfg.head_dim, dp)
                    if cfg.head_dim % 2 == 0 else None)
 
@@ -378,13 +379,15 @@ def make_stdit3_core(
                 xr = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3).reshape(rows * S, T, d)
                 if packed:
                     # padded-layout qkv -> block-diagonal grouped flash with
-                    # qk-norm + frame RoPE fused into the q/k loads
+                    # qk-norm + frame RoPE fused into the q/k loads; q/k/v
+                    # read straight out of the projection output (no split
+                    # copies — grouped_attention_fused_qkv)
                     qkv = linear(p_slice(p, "qkv"), xr)   # [R, T, 3*H*dp]
-                    qkv = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0)))
-                    qh, kh, vh = jnp.split(qkv, 3, axis=-1)
-                    rs4 = lambda t_: t_.reshape(1, rows * S * Tp, cfg.heads, dp)
-                    o = grouped_flash_attention_bshd(
-                        rs4(qh), rs4(kh), rs4(vh), group=Tp, group_valid=T,
+                    if Tp != T:
+                        qkv = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0)))
+                    o = grouped_attention_fused_qkv(
+                        qkv.reshape(1, rows * S * Tp, 3 * cfg.heads * dp),
+                        cfg.heads, group=Tp, group_valid=T,
                         scale=sc_attn, qk_gains=_gains(),
                         rope_tables=rope_packed, true_d=cfg.head_dim,
                         eps=1e-6)
@@ -403,7 +406,21 @@ def make_stdit3_core(
                 a = a.reshape(rows, S, T, d).transpose(0, 2, 1, 3).reshape(rows, N, d)
             else:
                 xr = xn.reshape(rows * T, S, d)
-                if packed:
+                if packed and Sg <= 2048:
+                    # one-shot per-frame softmax: group = the (16-aligned)
+                    # frame token count — 1.3% pad waste vs 66% for pow2
+                    # flash blocks at S=1590, no KV re-fetch
+                    qkv = linear(p_slice(p, "qkv"), xr)   # [rows*T, S, 3*H*dp]
+                    if Sg != S:
+                        qkv = jnp.pad(qkv, ((0, 0), (0, Sg - S), (0, 0)))
+                    o = grouped_attention_fused_qkv(
+                        qkv, cfg.heads, group=Sg, group_valid=S,
+                        scale=sc_attn, qk_gains=_gains(),
+                        true_d=cfg.head_dim, eps=1e-6)
+                    a = linear(p_slice(p, "proj"), o)
+                    if Sg != S:
+                        a = a[:, :S]
+                elif packed:
                     qkv = linear(p_slice(p, "qkv"), xr)   # [rows*T, S, 3*H*dp]
                     qh, kh, vh = jnp.split(qkv, 3, axis=-1)
                     rs4 = lambda t_: t_.reshape(rows * T, S, cfg.heads, dp)

@@ -125,6 +125,59 @@ def test_grouped_plain_still_matches():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_fused_qkv_entry_matches_split_entry():
+    """grouped_attention_fused_qkv (q/k/v via lane-offset index maps into the
+    raw projection output) == grouped_flash_attention_bshd on the splits."""
+    from magcache_tpu.ops.attention import grouped_attention_fused_qkv
+
+    T, Tp, R, h = 7, 8, 6, 2
+    q, k, v, qg, kg = _mk(R, T, h, key=4)
+    cos, sin = rope_freqs_1d(np.arange(T), TD)
+    cp = np.ones((Tp, DP), np.float32)
+    sp = np.zeros((Tp, DP), np.float32)
+    cp[:T, :TD] = np.repeat(np.asarray(cos, np.float32), 2, axis=-1)
+    sp[:T, :TD] = np.repeat(np.asarray(sin, np.float32), 2, axis=-1)
+    tables = (jnp.asarray(cp), jnp.asarray(sp))
+    gains = _gains_padded(qg, kg, h)
+
+    pad_t = lambda x: jnp.pad(_pad_d(x), ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
+    rs = lambda x: pad_t(x).reshape(1, R * Tp, h, DP)
+    ref = grouped_flash_attention_bshd(
+        rs(q), rs(k), rs(v), group=Tp, group_valid=T,
+        scale=1.0 / np.sqrt(TD), qk_gains=gains, rope_tables=tables,
+        true_d=TD, eps=1e-6, interpret=True).reshape(1, R * Tp, h * DP)
+
+    qkv = jnp.concatenate(
+        [pad_t(x).reshape(R, Tp, h * DP) for x in (q, k, v)], axis=-1)
+    out = grouped_attention_fused_qkv(
+        qkv.reshape(1, R * Tp, 3 * h * DP), h, group=Tp, group_valid=T,
+        scale=1.0 / np.sqrt(TD), qk_gains=gains, rope_tables=tables,
+        true_d=TD, eps=1e-6, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_fused_qkv_one_shot_spatial_group():
+    """Large-group (one frame per grid step) geometry: matches full softmax
+    attention over each frame with ragged group tail masked."""
+    from magcache_tpu.ops.attention import grouped_attention_fused_qkv
+
+    S, Sg, B, h = 27, 32, 3, 2
+    q, k, v, qg, kg = _mk(B, S, h, key=5)
+    ref = _xla_sdpa(rms_norm(q, qg, eps=1e-6), rms_norm(k, kg, eps=1e-6),
+                    v, 1.0 / np.sqrt(TD))
+    pad_s = lambda x: jnp.pad(_pad_d(x), ((0, 0), (0, Sg - S), (0, 0), (0, 0)))
+    qkv = jnp.concatenate(
+        [pad_s(x).reshape(B, Sg, h * DP) for x in (q, k, v)], axis=-1)
+    out = grouped_attention_fused_qkv(
+        qkv, h, group=Sg, group_valid=S, scale=1.0 / np.sqrt(TD),
+        qk_gains=_gains_padded(qg, kg, h), true_d=TD, eps=1e-6,
+        interpret=True)
+    out = out.reshape(B, Sg, h, DP)[:, :S, :, :TD]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_pack_block_group_projection_algebra():
     """Padded weights produce exactly the unpadded projections plus zero
     lanes, and the input-padded proj ignores the zero lanes."""

@@ -19,7 +19,7 @@ from magcache_tpu.models.stdit3 import (  # noqa: E402
     STDiT3Config, _grouped_rope_tables, _pack_block_group, init_stdit3_params)
 from magcache_tpu.ops.attention import (  # noqa: E402
     QKNORM_FIXED_MAX, attention, flash_attention_bshd,
-    grouped_flash_attention_bshd)
+    grouped_attention_fused_qkv, grouped_flash_attention_bshd)
 from magcache_tpu.ops.fused_prologue import layer_norm_mod  # noqa: E402
 
 REPS = 28
@@ -61,16 +61,31 @@ def main():
     h = jax.random.normal(k0, (rows, N, d), bf) * 0.1
     y = jax.random.normal(k0, (rows, L, d), bf) * 0.1
 
+    Sg = -(-S // 16) * 16
+
     def spatial_chain(h):
         xr = h.reshape(rows * T, S, d)
         qkv = linear(p["qkv"], xr)
-        qh, kh, vh = jnp.split(qkv, 3, axis=-1)
-        rs4 = lambda t_: t_.reshape(rows * T, S, heads, dp)
-        o = flash_attention_bshd(rs4(qh), rs4(kh), rs4(vh), scale=sc,
-                                 fixed_max=QKNORM_FIXED_MAX, qk_gains=gains,
-                                 true_d=td, eps=1e-6)
-        return linear(p["proj"], o.reshape(rows * T, S, heads * dp)
-                      ).reshape(rows, N, d)
+        if Sg != S:
+            qkv = jnp.pad(qkv, ((0, 0), (0, Sg - S), (0, 0)))
+        o = grouped_attention_fused_qkv(qkv, heads, group=Sg, group_valid=S,
+                                        scale=sc, qk_gains=gains, true_d=td,
+                                        eps=1e-6)
+        a = linear(p["proj"], o)
+        return a[:, :S].reshape(rows, N, d)
+
+    def spatial_oneshot_only(h):
+        xr = h.reshape(rows * T, S, d)
+        qkv = jnp.concatenate([xr[..., :heads * dp]] * 3, axis=-1) \
+            if d >= heads * dp else None
+        # build a [rows*T, Sg, 3*H*dp] input from h without a matmul
+        base = jnp.pad(xr, ((0, 0), (0, Sg - S), (0, 0)))
+        qkv = jnp.tile(jnp.pad(base, ((0, 0), (0, 0),
+                                      (0, heads * dp - d))), (1, 1, 3))
+        o = grouped_attention_fused_qkv(qkv, heads, group=Sg, group_valid=S,
+                                        scale=sc, qk_gains=gains, true_d=td,
+                                        eps=1e-6)
+        return o[:, :S, :d].reshape(rows, N, d)
 
     def spatial_flash_only(h):
         xr = h.reshape(rows * T, S, d)
@@ -86,10 +101,9 @@ def main():
             rows * S, T, d)
         qkv = linear(p["qkv"], xr)
         qkv = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0)))
-        qh, kh, vh = jnp.split(qkv, 3, axis=-1)
-        rs4 = lambda t_: t_.reshape(1, rows * S * Tp, heads, dp)
-        o = grouped_flash_attention_bshd(
-            rs4(qh), rs4(kh), rs4(vh), group=Tp, group_valid=T, scale=sc,
+        o = grouped_attention_fused_qkv(
+            qkv.reshape(1, rows * S * Tp, 3 * heads * dp), heads,
+            group=Tp, group_valid=T, scale=sc,
             qk_gains=gains, rope_tables=rope, true_d=td, eps=1e-6)
         o = o.reshape(rows * S, Tp, heads * dp)
         a = linear(p["proj"], o)[:, :T]
@@ -131,10 +145,9 @@ def main():
 
     scan_time("mlp (control, ~88% MFU known)", mlp_chain, h)
     scan_time("qkv matmul packed [.,1152]->[.,6144]", qkv_only, h)
-    scan_time("spatial chain (qkv+flash+proj)", spatial_chain, h)
-    scan_time("spatial flash only (fused norm)", spatial_flash_only, h)
-    scan_time("temporal chain (tr+qkv+pad+grp+proj+tr)", temporal_chain, h)
-    scan_time("temporal grouped only (+tr,pad)", temporal_grouped_only, h)
+    scan_time("spatial chain (qkv+oneshot+proj)", spatial_chain, h)
+    scan_time("spatial oneshot kernel only", spatial_oneshot_only, h)
+    scan_time("temporal chain (tr+qkv+pad+fqkv+proj+tr)", temporal_chain, h)
     scan_time("cross chain (q+kv+attn+o)", cross_chain, h)
     scan_time("layer_norm_mod", lnmod_only, h)
 
