@@ -23,8 +23,9 @@ import numpy as np
 
 from magcache_tpu.core.sampler import DiTCore
 from magcache_tpu.models.common import linear, linear_params, timestep_embedding
+from magcache_tpu.models.packed import pack_block_group
 from magcache_tpu.models.stdit3 import _pos_embed_2d
-from magcache_tpu.ops.attention import attention
+from magcache_tpu.ops.attention import attention, grouped_attention_fused_qkv
 from magcache_tpu.ops.fused_prologue import layer_norm_mod
 from magcache_tpu.ops.norms import layer_norm
 from magcache_tpu.ops.tiny_attention import tiny_temporal_attention
@@ -118,6 +119,21 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
     T, H, W = grid
     S = H * W
     d = cfg.hidden
+    # packed 128-lane execution geometry (models/packed.py; no qk-norm/RoPE
+    # in Latte attention, so the fused kernels run gains/rope-free)
+    d_head = d // cfg.heads
+    dp = -(-d_head // 128) * 128
+    Tp = max(8, 1 << (T - 1).bit_length())
+    Sg = -(-S // 16) * 16
+
+    def _use_packed():
+        import os
+        from magcache_tpu.parallel.mesh import _ACTIVE
+        return (jax.default_backend() in ("tpu", "axon")
+                and _ACTIVE.get() is None
+                and os.environ.get("MAGCACHE_STDIT3_PACKED", "1") != "0"
+                and d_head % 128 != 0 and T <= 256)
+
     pos2d = jnp.asarray(_pos_embed_2d(d, H, W))
     tcos, tsin = rope_freqs_1d(np.arange(T), d, 10000.0)
     # Latte adds an absolute temporal sincos embedding before temporal blocks;
@@ -167,31 +183,59 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
             masks[f"mlp_{branch}_reuse"] = jnp.asarray(mm["reuse"])
             masks[f"mlp_{branch}_save"] = jnp.asarray(mm["save"])
 
-    def _block(p, h, ctx, temporal: bool, cached=None, flags=None):
+    def _block(p, h, ctx, temporal: bool, cached=None, flags=None,
+               packed: bool = False):
         rows, N, _ = h.shape
         e = (p["scale_shift"][None] + ctx["t6"]).astype(jnp.float32)
         sh_a, sc_a, g_a, sh_m, sc_m, g_m = [e[:, i][:, None] for i in range(6)]
+        sc_attn = 1.0 / float(np.sqrt(d_head))
 
         def compute_attn(h):
             xn = layer_norm_mod(h, scale=sc_a[:, 0], shift=sh_a[:, 0],
                                 eps=cfg.eps)
             if temporal:
                 xr = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3).reshape(rows * S, T, d)
-                # tiny frame axis: fused VMEM attention over the qkv
-                # projection (no qk-norm/rope in Latte temporal blocks)
-                qkv = linear(p["qkv"], xr)
-                o = tiny_temporal_attention(qkv, None, None, None, None,
-                                            cfg.heads)
-                a = linear(p["proj"], o)
+                if packed:
+                    qkv = linear(p["qkv"], xr)    # [R, T, 3*H*dp]
+                    if Tp != T:
+                        qkv = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0)))
+                    o = grouped_attention_fused_qkv(
+                        qkv.reshape(1, rows * S * Tp, 3 * cfg.heads * dp),
+                        cfg.heads, group=Tp, group_valid=T, scale=sc_attn,
+                        true_d=d_head)
+                    a = linear(p["proj"],
+                               o.reshape(rows * S, Tp, cfg.heads * dp))[:, :T]
+                else:
+                    # tiny frame axis: fused VMEM attention over the qkv
+                    # projection (no qk-norm/rope in Latte temporal blocks)
+                    qkv = linear(p["qkv"], xr)
+                    o = tiny_temporal_attention(qkv, None, None, None, None,
+                                                cfg.heads)
+                    a = linear(p["proj"], o)
                 return a.reshape(rows, S, T, d).transpose(0, 2, 1, 3).reshape(rows, N, d)
-            return _self_attn(p, xn.reshape(rows * T, S, d)).reshape(rows, N, d)
+            xr = xn.reshape(rows * T, S, d)
+            if packed and Sg <= 2048:
+                qkv = linear(p["qkv"], xr)        # [rows*T, S, 3*H*dp]
+                if Sg != S:
+                    qkv = jnp.pad(qkv, ((0, 0), (0, Sg - S), (0, 0)))
+                o = grouped_attention_fused_qkv(
+                    qkv, cfg.heads, group=Sg, group_valid=S, scale=sc_attn,
+                    true_d=d_head)
+                a = linear(p["proj"], o)
+                if Sg != S:
+                    a = a[:, :S]
+                return a.reshape(rows, N, d)
+            return _self_attn(p, xr).reshape(rows, N, d)
 
         def compute_cross(h):
             y = ctx["y"]
             q = linear(p["cross_q"], h)
             k, v = jnp.split(linear(p["cross_kv"], y), 2, axis=-1)
-            rs = lambda t_: t_.reshape(t_.shape[0], t_.shape[1], cfg.heads, -1)
-            c = attention(rs(q), rs(k), rs(v)).reshape(h.shape)
+            hd_c = dp if packed else d_head
+            rs = lambda t_: t_.reshape(t_.shape[0], t_.shape[1], cfg.heads, hd_c)
+            c = attention(rs(q), rs(k), rs(v),
+                          scale=(sc_attn if packed else None)
+                          ).reshape(rows, N, cfg.heads * hd_c)
             return linear(p["cross_o"], c)
 
         def compute_mlp(h):
@@ -243,16 +287,25 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
         h1 = (h.astype(jnp.float32) + tp_tok[None]).astype(h.dtype)
         return jnp.where(i == 0, h1, h)
 
+    def _exec_groups(params):
+        sp_g, tp_g = params["spatial"], params["temporal"]
+        packed = _use_packed()
+        if packed:
+            sp_g = pack_block_group(sp_g, cfg.heads, d_head, dp)
+            tp_g = pack_block_group(tp_g, cfg.heads, d_head, dp)
+        return sp_g, tp_g, packed
+
     def trunk(params, h, ctx):
+        sp_g, tp_g, packed = _exec_groups(params)
+
         def body(carry, ps):
             i, sp, tp_ = ps
-            h, _ = _block(sp, carry, ctx, temporal=False)
+            h, _ = _block(sp, carry, ctx, temporal=False, packed=packed)
             h = _add_temp_pos0(h, i)
-            h, _ = _block(tp_, h, ctx, temporal=True)
+            h, _ = _block(tp_, h, ctx, temporal=True, packed=packed)
             return h, None
 
-        h, _ = jax.lax.scan(body, h, (jnp.arange(cfg.depth),
-                                      params["spatial"], params["temporal"]))
+        h, _ = jax.lax.scan(body, h, (jnp.arange(cfg.depth), sp_g, tp_g))
         return h
 
     def init_state(params, hidden_shape, ctx_shape):
@@ -263,6 +316,7 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
 
     def trunk_pab(params, h, ctx, state, step_idx):
         flags = {k: masks[k][step_idx] for k in masks}
+        sp_g, tp_g, packed = _exec_groups(params)
 
         def body(carry, ps):
             h = carry
@@ -270,18 +324,20 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
              msr, mss, mtr, mts) = ps
             h, ns = _block(sp, h, ctx, temporal=False,
                            cached={"attn": c_sa, "cross": c_sc, "mlp": c_sm},
-                           flags={**flags, "mlp_reuse": msr, "mlp_save": mss})
+                           flags={**flags, "mlp_reuse": msr, "mlp_save": mss},
+                           packed=packed)
             h = _add_temp_pos0(h, i)
             h, nt = _block(tp_, h, ctx, temporal=True,
                            cached={"attn": c_ta, "cross": c_tc, "mlp": c_tm},
-                           flags={**flags, "mlp_reuse": mtr, "mlp_save": mts})
+                           flags={**flags, "mlp_reuse": mtr, "mlp_save": mts},
+                           packed=packed)
             return h, (ns["attn"], ns["cross"], ns["mlp"],
                        nt["attn"], nt["cross"], nt["mlp"])
 
         h, ys = jax.lax.scan(
             body, h,
             (jnp.arange(cfg.depth),
-             params["spatial"], params["temporal"], state["sp_attn"],
+             sp_g, tp_g, state["sp_attn"],
              state["sp_cross"], state["sp_mlp"], state["tp_attn"],
              state["tp_cross"], state["tp_mlp"],
              flags["mlp_sp_reuse"], flags["mlp_sp_save"],

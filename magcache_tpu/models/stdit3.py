@@ -171,62 +171,12 @@ def p_slice(p, name):
     return p[name]
 
 
-def _pack_block_group(g: dict, heads: int, d_head: int, dp: int) -> dict:
-    """Zero-pad a stacked block group's attention weights so the QKV/cross
-    projections emit ``[.., H, dp]`` (128-lane-aligned) natively.
-
-    Sub-128 head dims (STDiT3/Latte/OSP d=72) otherwise force every
-    ``[.., H, 72]`` reshape through Mosaic/XLA relayout copies — the
-    dominant cost of the 30.8%-MFU trunk (tools/profile_stdit3_knockout.py).
-    Padding the *weights* moves the alignment into the matmul (zero output
-    columns / zero input rows — exact), so activations never hold a sub-128
-    minor dim. The packed tree is built once per forward outside the layer
-    scan (~2 ms of HBM traffic at 480p vs ~550 ms saved); checkpoints and
-    converters keep the reference shapes."""
-    L, dm = g["qkv"]["w"].shape[0], g["qkv"]["w"].shape[1]
-
-    def pad_out(p, n):
-        w = p["w"].reshape(L, dm, n, heads, d_head)
-        w = jnp.pad(w, ((0, 0),) * 4 + ((0, dp - d_head),))
-        out = {"w": w.reshape(L, dm, n * heads * dp)}
-        if "b" in p:
-            b = p["b"].reshape(L, n, heads, d_head)
-            b = jnp.pad(b, ((0, 0),) * 3 + ((0, dp - d_head),))
-            out["b"] = b.reshape(L, n * heads * dp)
-        return out
-
-    def pad_in(p):
-        w = p["w"].reshape(L, heads, d_head, dm)
-        w = jnp.pad(w, ((0, 0), (0, 0), (0, dp - d_head), (0, 0)))
-        out = {"w": w.reshape(L, heads * dp, dm)}
-        if "b" in p:
-            out["b"] = p["b"]
-        return out
-
-    out = dict(g)
-    out["qkv"] = pad_out(g["qkv"], 3)
-    out["proj"] = pad_in(g["proj"])
-    out["cross_q"] = pad_out(g["cross_q"], 1)
-    out["cross_kv"] = pad_out(g["cross_kv"], 2)
-    out["cross_o"] = pad_in(g["cross_o"])
-    if "q_norm" in g:
-        gpad = lambda x: jnp.pad(x, ((0, 0), (0, dp - d_head)))
-        out["q_norm_p"] = gpad(g["q_norm"])      # [L, dp], zeros past d_head
-        out["k_norm_p"] = gpad(g["k_norm"])
-    return out
-
-
-def _grouped_rope_tables(T: int, Tp: int, d_head: int, dp: int):
-    """Interleaved-pair RoPE tables for the grouped temporal kernel:
-    [Tp, dp] cos/sin with identity (cos=1, sin=0) on padded rows/lanes."""
-    cos, sin = rope_freqs_1d(np.arange(T), d_head)
-    c = np.repeat(np.asarray(cos, np.float32), 2, axis=-1)
-    s = np.repeat(np.asarray(sin, np.float32), 2, axis=-1)
-    cp = np.ones((Tp, dp), np.float32)
-    sp = np.zeros((Tp, dp), np.float32)
-    cp[:T, :d_head] = c
-    sp[:T, :d_head] = s
-    return jnp.asarray(cp), jnp.asarray(sp)
+# shared packed-attention helpers (see models/packed.py); the old private
+# names stay importable for the profiling tools
+from magcache_tpu.models.packed import (  # noqa: E402
+    grouped_rope_tables as _grouped_rope_tables,
+    pack_block_group as _pack_block_group,
+)
 
 
 def make_stdit3_core(
