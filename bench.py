@@ -349,6 +349,17 @@ def main():
             log(f"opensora headline bench failed: {exc!r}")
             detail["opensora_headline"] = {"error": repr(exc)}
 
+    # ---- PAB evidence: full vs PAB-broadcast whole runs (240p bucket) ------
+    # The "other cache" (videosys/core/pab_mgr.py); VERDICT r3 asked for a
+    # measured speedup, not just code. MAGCACHE_BENCH_PAB=0 disables.
+    if os.environ.get("MAGCACHE_BENCH_PAB", "1") != "0":
+        try:
+            from magcache_tpu.eval.bench_opensora import run_pab
+            detail["opensora_pab"] = run_pab(tiny=tiny or quick)
+        except Exception as exc:  # noqa: BLE001 — bench must still report
+            log(f"opensora PAB bench failed: {exc!r}")
+            detail["opensora_pab"] = {"error": repr(exc)}
+
     print(json.dumps({
         "metric": "Wan2.1-T2V-1.3B 480p MagCache E012K4R02 speedup "
                   "(50-step UniPC, 1 chip)",

@@ -755,6 +755,18 @@ def grouped_attention_fused_qkv(
              if scale is None else scale)
     if block is None:
         block = group if group >= 256 else 256
+        if group < 256:
+            # prefer the smallest >=256, 8-sublane-aligned multiple of
+            # ``group`` that divides s_len exactly: padding the [B,S,3HD]
+            # projection output to a block multiple costs a full HBM
+            # round-trip of the ~GB array plus a slice on the way out
+            # (measured 2.5 ms/block at STDiT3-480p temporal shapes)
+            m = group
+            while m <= 1024:
+                if m >= 256 and m % 8 == 0 and s_len % m == 0:
+                    block = m
+                    break
+                m += group
     assert block % group == 0, (block, group)
     s_p = -(-s_len // block) * block
     if s_p != s_len:
