@@ -35,6 +35,7 @@ import dataclasses
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -43,20 +44,121 @@ import numpy as np
 V5E_PEAK_TFLOPS = 197.0
 A800_PEAK_TFLOPS = 312.0
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+PARTIAL_PATH = os.path.join(_REPO, "BENCH_partial.json")
+SELF_PATH = os.path.join(_REPO, "BENCH_SELF_r05.json")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _init_backend_or_die(timeout_s: int = 300):
-    from magcache_tpu.utils.backend import init_backend_or_die
-    return init_backend_or_die(timeout_s, log=log)
+# ---------------------------------------------------------------------------
+# Resilience scaffolding (round-4 lesson: the artifact was rc=2 because one
+# tunnel wedge at snapshot time lost every section). Three layers:
+#   1. probe retries (utils/backend.py: 3 x 120s with backoff);
+#   2. every completed section is flushed to BENCH_partial.json immediately;
+#   3. a watchdog thread emits the best-known JSON line and exits 0 if the
+#      run exceeds BENCH_DEADLINE_S (a wedged dispatch blocks in C and
+#      releases the GIL, so the watchdog still runs).
+# If the backend is unreachable even after retries, replay the committed
+# in-round artifact (BENCH_SELF_r05.json) -- clearly tagged as a replay.
+# ---------------------------------------------------------------------------
+
+_STATE: dict = {"headline": None, "detail": {}}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def _flush_partial():
+    try:
+        with open(PARTIAL_PATH, "w") as f:
+            json.dump(_STATE, f, indent=1)
+    except OSError as exc:
+        log(f"partial flush failed: {exc!r}")
+
+
+def _emit(tag: str = "final") -> None:
+    """Print the ONE JSON line from whatever _STATE holds (once)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+    head = _STATE["headline"] or {
+        "metric": "Wan2.1-T2V-1.3B 480p MagCache E012K4R02 speedup "
+                  "(50-step UniPC, 1 chip)",
+        "value": None, "unit": "x", "vs_baseline": None}
+    out = dict(head)
+    out["detail"] = dict(_STATE["detail"])
+    if tag != "final":
+        out["detail"]["incomplete"] = tag
+    print(json.dumps(out), flush=True)
+
+
+def _watchdog(deadline_s: float):
+    time.sleep(deadline_s)
+    if _EMITTED:
+        return
+    log(f"WATCHDOG: bench exceeded {deadline_s:.0f}s -- emitting partial "
+        "result and exiting")
+    _emit(tag=f"watchdog fired at {deadline_s:.0f}s; sections after the "
+              "last listed one were lost to a wedge or overrun")
+    _flush_partial()
+    os._exit(0)
+
+
+def _replay_or_die():
+    """Backend unreachable: replay the committed in-round artifact."""
+    try:
+        with open(SELF_PATH) as f:
+            prior = json.load(f)
+    except (OSError, ValueError):
+        log("FATAL: backend unreachable and no in-round artifact to replay")
+        sys.exit(2)
+    prior.setdefault("detail", {})["replay_of_in_round_run"] = (
+        "TPU tunnel was unreachable at snapshot time after 3 probe retries; "
+        "these numbers are the committed artifact of the full bench run "
+        "executed earlier this round on the same chip (see NOTES.md)")
+    print(json.dumps(prior), flush=True)
+    sys.exit(0)
+
+
+def section(name):
+    """Record fn() under detail[name]; failures never kill later sections."""
+    def deco(fn):
+        def wrapped(*a, **kw):
+            try:
+                r = fn(*a, **kw)
+            except Exception as exc:  # noqa: BLE001 -- bench must report
+                log(f"section {name} failed: {exc!r}")
+                r = {"error": repr(exc)}
+            _STATE["detail"][name] = r
+            _flush_partial()
+            return r
+        return wrapped
+    return deco
 
 
 def main():
     import jax
 
-    log(f"devices: {_init_backend_or_die()}")
+    from magcache_tpu.utils.backend import probe_backend
+
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", 2700))
+    threading.Thread(target=_watchdog, args=(deadline,), daemon=True).start()
+
+    # the container's sitecustomize force-sets jax_platforms=axon at
+    # interpreter start; honor an explicit CPU request from the caller's env
+    # (tests/smoke runs) the same way tests/conftest.py does
+    if os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    plat = jax.config.jax_platforms
+    if not (plat and plat.split(",")[0] == "cpu"):
+        if not probe_backend(timeout_s=120, attempts=3, log=log):
+            _replay_or_die()
+    log(f"devices: {jax.devices()}")
     if jax.default_backend() != "cpu":
         # persistent cache only helps (and is only portable) on the TPU
         # backend; CPU AOT entries are machine-feature-pinned and loading one
@@ -201,55 +303,81 @@ def main():
         method = "measured-whole-run"
     t_cached = cached_times[headline_name]
 
+    # flush the headline as soon as it exists -- later sections (e2e VAE
+    # compile, opensora, pab) must not be able to lose it to a wedge
+    speedup = t_full / t_cached
+    ceiling = steps / n_compute
+    _STATE["headline"] = {
+        "metric": "Wan2.1-T2V-1.3B 480p MagCache E012K4R02 speedup "
+                  "(50-step UniPC, 1 chip)",
+        "value": round(speedup, 3), "unit": "x",
+        "vs_baseline": round(speedup / ceiling, 3)}
+    _STATE["detail"].update({
+        "headline_config": headline_name,
+        "sec_per_video_full": round(t_full, 2),
+        "sec_per_video_magcache": round(t_cached, 2),
+        "t_compute_step_s": round(t_compute, 3),
+        "t_skip_step_s": round(t_skip, 3),
+        "method": method})
+    _flush_partial()
+
     # ---- whole-generate (apples-to-apples with the reference's timing span,
     # wan_magcache.py:1157-1180: text encode + denoise + VAE decode) ---------
     e2e = None
     if not recon_only or os.environ.get("BENCH_E2E") == "1":
-        from magcache_tpu.models.text import MockTextEncoder
-        from magcache_tpu.models.vae_wan import (WanVAEConfig,
-                                                 init_wan_vae_params, WanVAE)
+        @section("e2e")
+        def _measure_e2e():
+            from magcache_tpu.models.text import MockTextEncoder
+            from magcache_tpu.models.vae_wan import (WanVAEConfig,
+                                                     init_wan_vae_params,
+                                                     WanVAE)
 
-        enc = MockTextEncoder(cfg.text_len, cfg.text_dim, scale=0.5)
-        prompts = ["a cinematic shot of a calico cat on a windowsill",
-                   "low quality, blurry"]
-        jax.block_until_ready(enc(prompts))     # compile/warm (steady-state
-        t0 = time.time()                        # serving amortizes this)
-        txt = enc(prompts)
-        jax.block_until_ready(txt)
-        t_text = time.time() - t0
+            enc = MockTextEncoder(cfg.text_len, cfg.text_dim, scale=0.5)
+            prompts = ["a cinematic shot of a calico cat on a windowsill",
+                       "low quality, blurry"]
+            jax.block_until_ready(enc(prompts))  # compile/warm (steady-state
+            t0 = time.time()                     # serving amortizes this)
+            txt = enc(prompts)
+            jax.block_until_ready(txt)
+            t_text = time.time() - t0
 
-        # bf16 decode path (parity-tested, tests/test_vae_wan.py; NOTES #18:
-        # 5.92 s f32 -> 4.95 s bf16 at 480p x 81f) — the serving-path default
-        vcfg = (WanVAEConfig.tiny(z_channels=16) if tiny
-                else WanVAEConfig(dtype="bfloat16"))
-        vae = WanVAE(vcfg, init_wan_vae_params(jax.random.PRNGKey(3), vcfg))
-        lat_fin = jax.random.normal(jax.random.PRNGKey(4),
-                                    (1, lat_f, lat_h, lat_w, 16), jnp.float32)
-        dec = vae.decode(lat_fin)            # compile
-        jax.block_until_ready(dec)
-        t0 = time.time()
-        dec = vae.decode(lat_fin)
-        jax.block_until_ready(dec)
-        t_dec = time.time() - t0
-        log(f"e2e extras: text encode {t_text:.2f}s, "
-            f"VAE decode (bf16) {t_dec:.2f}s ({tuple(dec.shape)})")
-        o = t_text + t_dec
-        e2e = {
-            "sec_per_video_full_e2e": round(t_full + o, 2),
-            "sec_per_video_magcache_e2e": round(t_cached + o, 2),
-            "t_text_encode_s": round(t_text, 3),
-            "t_vae_decode_s": round(t_dec, 3),
-            "vae_decode_dtype": "bfloat16",
-            "speedup_e2e": round((t_full + o) / (t_cached + o), 3),
-            "per_config": {
-                name: {"sec_per_video_e2e": round(tc + o, 2),
-                       "speedup_e2e": round((t_full + o) / (tc + o), 3)}
-                for name, tc in cached_times.items()},
-            "span": "mock-T5 encode + denoise loop + streamed bf16 VAE "
-                    "decode (one process, sequential, same seed inputs)",
-        }
+            # bf16 decode path (parity-tested, tests/test_vae_wan.py; NOTES
+            # #18: 5.92 s f32 -> 4.95 s bf16 at 480p x 81f) — the
+            # serving-path default
+            vcfg = (WanVAEConfig.tiny(z_channels=16) if tiny
+                    else WanVAEConfig(dtype="bfloat16"))
+            vae = WanVAE(vcfg,
+                         init_wan_vae_params(jax.random.PRNGKey(3), vcfg))
+            lat_fin = jax.random.normal(
+                jax.random.PRNGKey(4), (1, lat_f, lat_h, lat_w, 16),
+                jnp.float32)
+            dec = vae.decode(lat_fin)            # compile
+            jax.block_until_ready(dec)
+            t0 = time.time()
+            dec = vae.decode(lat_fin)
+            jax.block_until_ready(dec)
+            t_dec = time.time() - t0
+            log(f"e2e extras: text encode {t_text:.2f}s, "
+                f"VAE decode (bf16) {t_dec:.2f}s ({tuple(dec.shape)})")
+            o = t_text + t_dec
+            return {
+                "sec_per_video_full_e2e": round(t_full + o, 2),
+                "sec_per_video_magcache_e2e": round(t_cached + o, 2),
+                "t_text_encode_s": round(t_text, 3),
+                "t_vae_decode_s": round(t_dec, 3),
+                "vae_decode_dtype": "bfloat16",
+                "speedup_e2e": round((t_full + o) / (t_cached + o), 3),
+                "per_config": {
+                    name: {"sec_per_video_e2e": round(tc + o, 2),
+                           "speedup_e2e": round((t_full + o) / (tc + o), 3)}
+                    for name, tc in cached_times.items()},
+                "span": "mock-T5 encode + denoise loop + streamed bf16 VAE "
+                        "decode (one process, sequential, same seed inputs)",
+            }
 
-    speedup = t_full / t_cached
+        e2e = _measure_e2e()
+        if e2e is not None and "error" in e2e:
+            e2e = None
     log(f"full {t_full:.1f}s  magcache[{headline_name}] {t_cached:.1f}s  "
         f"speedup {speedup:.2f}x  "
         f"(t_compute {t_compute:.2f}s/step, t_skip {t_skip:.2f}s/step)")
@@ -276,12 +404,12 @@ def main():
 
     # hardware-normalized comparison vs the reference's published A800 numbers
     # (per-step FLOPs identical by construction: same model, same schedule)
-    ceiling = steps / n_compute
     k2 = cached_times["E012K2R02"]
     k2_ceiling = steps / (steps - nskips["E012K2R02"])
     k2_e2e = (e2e["per_config"]["E012K2R02"]["sec_per_video_e2e"]
               if e2e else k2)
-    detail = {
+    detail = _STATE["detail"]
+    detail.update({
         "headline_config": headline_name,
         "sec_per_video_full": round(t_full, 2),
         "sec_per_video_magcache": round(t_cached, 2),
@@ -334,7 +462,8 @@ def main():
         "e2e": e2e,
         "quick": quick,
         "tiny_smoke": tiny,
-    }
+    })
+    _flush_partial()
 
     # ---- second headline: Open-Sora 1.2 STDiT3 480p 30-step RFLOW ---------
     # (the reference's VideoSys-path numbers, eval/magcache/README.md:66).
@@ -342,34 +471,25 @@ def main():
     # failure here must not break the main metric. MAGCACHE_BENCH_OPENSORA=0
     # disables; tiny/quick runs use the tiny smoke variant.
     if os.environ.get("MAGCACHE_BENCH_OPENSORA", "1") != "0":
-        try:
+        @section("opensora_headline")
+        def _opensora():
             from magcache_tpu.eval.bench_opensora import run as run_opensora
-            detail["opensora_headline"] = run_opensora(tiny=tiny or quick)
-        except Exception as exc:  # noqa: BLE001 — bench must still report
-            log(f"opensora headline bench failed: {exc!r}")
-            detail["opensora_headline"] = {"error": repr(exc)}
+            return run_opensora(tiny=tiny or quick)
+        _opensora()
 
     # ---- PAB evidence: full vs PAB-broadcast whole runs (240p bucket) ------
     # The "other cache" (videosys/core/pab_mgr.py); VERDICT r3 asked for a
     # measured speedup, not just code. MAGCACHE_BENCH_PAB=0 disables.
     if os.environ.get("MAGCACHE_BENCH_PAB", "1") != "0":
-        try:
+        @section("opensora_pab")
+        def _pab():
             from magcache_tpu.eval.bench_opensora import run_pab
-            detail["opensora_pab"] = run_pab(tiny=tiny or quick)
-        except Exception as exc:  # noqa: BLE001 — bench must still report
-            log(f"opensora PAB bench failed: {exc!r}")
-            detail["opensora_pab"] = {"error": repr(exc)}
+            return run_pab(tiny=tiny or quick)
+        _pab()
 
-    print(json.dumps({
-        "metric": "Wan2.1-T2V-1.3B 480p MagCache E012K4R02 speedup "
-                  "(50-step UniPC, 1 chip)",
-        "value": round(speedup, 3),
-        "unit": "x",
-        # fraction of the schedule's arithmetic ceiling realized (see module
-        # docstring; raw value/2.8 is detail.vs_published_claim_2p8x)
-        "vs_baseline": round(speedup / ceiling, 3),
-        "detail": detail,
-    }))
+    # headline value/vs_baseline were flushed right after the whole-run
+    # measurements; _emit prints the single JSON line from _STATE
+    _emit()
 
 
 if __name__ == "__main__":

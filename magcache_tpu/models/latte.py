@@ -126,13 +126,30 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
     Tp = max(8, 1 << (T - 1).bit_length())
     Sg = -(-S // 16) * 16
 
-    def _use_packed():
-        import os
+    def _plan():
         from magcache_tpu.parallel.mesh import _ACTIVE
-        return (jax.default_backend() in ("tpu", "axon")
-                and _ACTIVE.get() is None
-                and os.environ.get("MAGCACHE_STDIT3_PACKED", "1") != "0"
-                and d_head % 128 != 0 and T <= 256)
+        return _ACTIVE.get()
+
+    def _use_packed():
+        """Mesh-compatible packed path (see stdit3._use_packed): under an
+        active plan the grouped kernels run inside shard_map with heads over
+        tp; "interpret" forces them off-TPU for CPU-mesh parity tests."""
+        import os
+        env = os.environ.get("MAGCACHE_STDIT3_PACKED", "1")
+        if env == "0":
+            return False
+        if jax.default_backend() not in ("tpu", "axon") and env != "interpret":
+            return False
+        plan = _plan()
+        if plan is not None:
+            if cfg.heads % dict(plan.mesh.shape).get("tp", 1) != 0:
+                return False
+            if Sg > 2048:
+                return False
+        return d_head % 128 != 0 and T <= 256
+
+    def _interp():
+        return jax.default_backend() not in ("tpu", "axon")
 
     pos2d = jnp.asarray(_pos_embed_2d(d, H, W))
     tcos, tsin = rope_freqs_1d(np.arange(T), d, 10000.0)
@@ -199,10 +216,20 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
                     qkv = linear(p["qkv"], xr)    # [R, T, 3*H*dp]
                     if Tp != T:
                         qkv = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0)))
-                    o = grouped_attention_fused_qkv(
-                        qkv.reshape(1, rows * S * Tp, 3 * cfg.heads * dp),
-                        cfg.heads, group=Tp, group_valid=T, scale=sc_attn,
-                        true_d=d_head)
+                    plan = _plan()
+                    if plan is None:
+                        o = grouped_attention_fused_qkv(
+                            qkv.reshape(1, rows * S * Tp, 3 * cfg.heads * dp),
+                            cfg.heads, group=Tp, group_valid=T, scale=sc_attn,
+                            true_d=d_head, interpret=_interp())
+                    else:
+                        from magcache_tpu.parallel.collectives import (
+                            sharded_grouped_attention_fused_qkv)
+                        o = sharded_grouped_attention_fused_qkv(
+                            qkv.reshape(rows, S * Tp, 3 * cfg.heads * dp),
+                            cfg.heads, plan.mesh, group=Tp, group_valid=T,
+                            scale=sc_attn, true_d=d_head, shard_tokens=True,
+                            interpret=_interp())
                     a = linear(p["proj"],
                                o.reshape(rows * S, Tp, cfg.heads * dp))[:, :T]
                 else:
@@ -218,9 +245,17 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
                 qkv = linear(p["qkv"], xr)        # [rows*T, S, 3*H*dp]
                 if Sg != S:
                     qkv = jnp.pad(qkv, ((0, 0), (0, Sg - S), (0, 0)))
-                o = grouped_attention_fused_qkv(
-                    qkv, cfg.heads, group=Sg, group_valid=S, scale=sc_attn,
-                    true_d=d_head)
+                plan = _plan()
+                if plan is None:
+                    o = grouped_attention_fused_qkv(
+                        qkv, cfg.heads, group=Sg, group_valid=S,
+                        scale=sc_attn, true_d=d_head, interpret=_interp())
+                else:
+                    from magcache_tpu.parallel.collectives import (
+                        sharded_grouped_attention_fused_qkv)
+                    o = sharded_grouped_attention_fused_qkv(
+                        qkv, cfg.heads, plan.mesh, group=Sg, group_valid=S,
+                        scale=sc_attn, true_d=d_head, interpret=_interp())
                 a = linear(p["proj"], o)
                 if Sg != S:
                     a = a[:, :S]
@@ -291,8 +326,13 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
         sp_g, tp_g = params["spatial"], params["temporal"]
         packed = _use_packed()
         if packed:
-            sp_g = pack_block_group(sp_g, cfg.heads, d_head, dp)
-            tp_g = pack_block_group(tp_g, cfg.heads, d_head, dp)
+            plan = _plan()
+            hm = (plan is not None
+                  and dict(plan.mesh.shape).get("tp", 1) > 1)
+            sp_g = pack_block_group(sp_g, cfg.heads, d_head, dp,
+                                    head_major=hm)
+            tp_g = pack_block_group(tp_g, cfg.heads, d_head, dp,
+                                    head_major=hm)
         return sp_g, tp_g, packed
 
     def trunk(params, h, ctx):

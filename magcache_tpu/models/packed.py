@@ -28,20 +28,31 @@ _ATTN_OUT = {"qkv": 3, "cross_q": 1, "cross_kv": 2}   # n fused outputs
 _ATTN_IN = ("proj", "cross_o")                        # head-side inputs
 
 
-def pack_block_group(g: dict, heads: int, d_head: int, dp: int) -> dict:
+def pack_block_group(g: dict, heads: int, d_head: int, dp: int,
+                     head_major: bool = False) -> dict:
     """Zero-pad a stacked block group's attention weights so projections emit
     ``[.., H, dp]`` natively. Missing keys (e.g. Latte temporal blocks carry
     no cross attention) pass through; ``q_norm``/``k_norm`` gains gain
-    zero-padded ``*_p`` twins for the in-kernel fused norm."""
+    zero-padded ``*_p`` twins for the in-kernel fused norm.
+
+    ``head_major``: emit the fused QKV projection in ``[h, 3, dp]`` feature
+    order instead of ``[3, h, dp]`` — each head's q/k/v contiguous, so the
+    feature axis can be tp-sharded without splitting a head across devices
+    (mesh execution; pairs with ``head_major=True`` on the grouped kernel).
+    Applies to "qkv" only: cross_kv keeps k|v order for ``jnp.split``."""
     L, dm = g["qkv"]["w"].shape[0], g["qkv"]["w"].shape[1]
 
-    def pad_out(p, n):
+    def pad_out(p, n, hm=False):
         w = p["w"].reshape(L, dm, n, heads, d_head)
         w = jnp.pad(w, ((0, 0),) * 4 + ((0, dp - d_head),))
+        if hm:
+            w = w.transpose(0, 1, 3, 2, 4)      # (L, dm, heads, n, dp)
         out = {"w": w.reshape(L, dm, n * heads * dp)}
         if "b" in p:
             b = p["b"].reshape(L, n, heads, d_head)
             b = jnp.pad(b, ((0, 0),) * 3 + ((0, dp - d_head),))
+            if hm:
+                b = b.transpose(0, 2, 1, 3)
             out["b"] = b.reshape(L, n * heads * dp)
         return out
 
@@ -56,7 +67,7 @@ def pack_block_group(g: dict, heads: int, d_head: int, dp: int) -> dict:
     out = dict(g)
     for k, n in _ATTN_OUT.items():
         if k in g:
-            out[k] = pad_out(g[k], n)
+            out[k] = pad_out(g[k], n, hm=head_major and k == "qkv")
     for k in _ATTN_IN:
         if k in g:
             out[k] = pad_in(g[k])

@@ -722,11 +722,16 @@ def grouped_attention_fused_qkv(
     rope_tables: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     true_d: Optional[int] = None,
     eps: float = 1e-6,
+    head_major: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Block-diagonal grouped attention reading q/k/v DIRECTLY out of the
     fused QKV projection output ``[B, S, 3*H*D]`` (column order q|k|v by
-    head), returning ``[B, S, H*D]``.
+    head, or head-major ``[h0:(q|k|v), h1:(q|k|v), ...]`` when
+    ``head_major`` — the layout that makes the feature axis tp-shardable,
+    since a contiguous 3*D slice per head keeps each head's q/k/v on one
+    device; see `parallel.collectives.sharded_grouped_attention_fused_qkv`),
+    returning ``[B, S, H*D]``.
 
     The same array enters the kernel three times with lane-block index maps
     offset by 0/H/2H — no split/pad copies of the ~600 MB projection output
@@ -776,10 +781,19 @@ def grouped_attention_fused_qkv(
     kernel = functools.partial(_grouped_kernel, group=group, gvalid=gvalid,
                                scale_log2e=scale * _LOG2E, norm=norm,
                                rope=rope_tables is not None)
-    mk = lambda off: pl.BlockSpec(
-        (None, block, d), lambda g, i, h=h, off=off: (g // h, i, off + g % h),
-        memory_space=pltpu.VMEM)
-    in_specs = [mk(0), mk(h), mk(2 * h)]
+    if head_major:
+        # feature layout [h, 3, d]: q/k/v of head g%h at lane blocks 3*(g%h)+{0,1,2}
+        mk = lambda off: pl.BlockSpec(
+            (None, block, d),
+            lambda g, i, h=h, off=off: (g // h, i, 3 * (g % h) + off),
+            memory_space=pltpu.VMEM)
+        in_specs = [mk(0), mk(1), mk(2)]
+    else:
+        mk = lambda off: pl.BlockSpec(
+            (None, block, d),
+            lambda g, i, h=h, off=off: (g // h, i, off + g % h),
+            memory_space=pltpu.VMEM)
+        in_specs = [mk(0), mk(h), mk(2 * h)]
     operands = [qkv, qkv, qkv]
     if norm is not None:
         gain_spec = pl.BlockSpec((None, 1, d), lambda g, i, h=h: (g % h, 0, 0),

@@ -30,7 +30,91 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from magcache_tpu.parallel.mesh import AXIS_DP, AXIS_SP, AXIS_TP
 
 __all__ = ["split_sequence", "gather_sequence", "all_to_all_switch",
-           "ulysses_attention", "ring_attention"]
+           "ulysses_attention", "ring_attention",
+           "sharded_grouped_attention_fused_qkv"]
+
+
+def sharded_grouped_attention_fused_qkv(
+    qkv: jnp.ndarray,
+    heads: int,
+    mesh: Mesh,
+    *,
+    group: int,
+    group_valid: Optional[int] = None,
+    scale: Optional[float] = None,
+    qk_gains=None,
+    rope_tables=None,
+    true_d: Optional[int] = None,
+    eps: float = 1e-6,
+    shard_tokens: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """`ops.attention.grouped_attention_fused_qkv` under a device mesh.
+
+    The kernel grid is embarrassingly parallel over batch x heads and the
+    group (block-diagonal) structure never crosses a shard boundary, so the
+    mesh execution is a pure shard_map — no collectives inside; XLA places
+    the resharding around it (the DSP all-to-all position, reference
+    ``open_sora_transformer_3d.py:275-296``, where the fast attention runs
+    *inside* the sequence-parallel layout).
+
+    Layouts:
+    - ``shard_tokens=False`` (spatial one-shot): ``[B, S, F]`` with B over
+      ``dp x sp`` (padded up with zero rows when uneven — exact: zero
+      q/k/v groups produce zero outputs that are sliced off) and the
+      feature axis over ``tp``.
+    - ``shard_tokens=True`` (temporal groups): B over ``dp``, tokens over
+      ``sp`` padded to whole ``group*sp`` multiples so every device's local
+      token count is group-aligned, features over ``tp``.
+
+    ``tp > 1`` requires the head-major fused-QKV feature layout
+    (`models.packed.pack_block_group(head_major=True)`): a contiguous
+    ``3*D`` slice per head keeps each head's q/k/v on one device.
+    ``qk_gains`` are per-head ``[heads, D]`` and shard with the heads.
+    """
+    from magcache_tpu.ops.attention import grouped_attention_fused_qkv
+
+    axes = dict(mesh.shape)
+    dp_n = axes.get(AXIS_DP, 1)
+    sp_n = axes.get(AXIS_SP, 1)
+    tp_n = axes.get(AXIS_TP, 1)
+    assert heads % tp_n == 0, (heads, tp_n)
+    hl = heads // tp_n
+    head_major = tp_n > 1
+    feat = AXIS_TP if tp_n > 1 else None
+    B, S, _ = qkv.shape
+    if shard_tokens:
+        nb = dp_n
+        gs = group * sp_n
+        Sp = -(-S // gs) * gs
+        if Sp != S:
+            qkv = jnp.pad(qkv, ((0, 0), (0, Sp - S), (0, 0)))
+        in_q = P(AXIS_DP, AXIS_SP, feat)
+    else:
+        nb = dp_n * sp_n
+        in_q = P((AXIS_DP, AXIS_SP), None, feat)
+    Bp = -(-B // nb) * nb
+    if Bp != B:
+        qkv = jnp.pad(qkv, ((0, Bp - B), (0, 0), (0, 0)))
+    specs = [in_q]
+    operands = [qkv]
+    if qk_gains is not None:
+        gspec = P(AXIS_TP if tp_n > 1 else None, None)
+        specs += [gspec, gspec]
+        operands += [jnp.asarray(qk_gains[0]), jnp.asarray(qk_gains[1])]
+
+    def local(x, *gains):
+        return grouped_attention_fused_qkv(
+            x, hl, group=group, group_valid=group_valid, scale=scale,
+            qk_gains=(tuple(gains) if gains else None),
+            rope_tables=rope_tables, true_d=true_d, eps=eps,
+            head_major=head_major, interpret=interpret)
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, which the vma checker rejects inside shard_map
+    out = jax.shard_map(local, mesh=mesh, in_specs=tuple(specs),
+                        out_specs=in_q, check_vma=False)(*operands)
+    return out[:B, :S]
 
 
 def split_sequence(x: jnp.ndarray, mesh: Mesh, dim: int = 1) -> jnp.ndarray:
