@@ -26,13 +26,35 @@ class PipelineOutput:
 
 
 class BasePipeline:
-    """generate(...) is the single entry point; __call__ aliases it."""
+    """generate(...) is the single entry point; __call__ aliases it.
+
+    Pipelines that support per-request cache-schedule overrides (the
+    one-program-many-schedules serving surface, reference engine kwarg
+    pass-through ``videosys/core/engine.py:100-101``) define
+    ``skip_mask_for(thresh, K, retention_ratio, use_magcache)`` — typically
+    via `_skip_mask_from_cfg` below — and accept
+    ``generate(skip_override=...)``. The serving layer feature-detects
+    ``skip_mask_for`` and 400-rejects overrides for pipelines without it."""
 
     def generate(self, prompt, **kwargs) -> PipelineOutput:
         raise NotImplementedError
 
     def __call__(self, *args, **kwargs) -> PipelineOutput:
         return self.generate(*args, **kwargs)
+
+    @staticmethod
+    def _skip_mask_from_cfg(cache_cfg, use_magcache: bool = True
+                            ) -> np.ndarray:
+        """Host-precompute the ``bool[num_steps, lanes]`` skip mask of a
+        MagCacheConfig (all-False = full compute). Feeding it to
+        ``generate(skip_override=...)`` runs any E/K/R triple through ONE
+        compiled program (the sampler's ``skip_mask_override``)."""
+        from magcache_tpu.core.sampler import _lane_masks
+        steps = cache_cfg.num_steps // cache_cfg.lanes
+        if not use_magcache:
+            return np.zeros((steps, cache_cfg.lanes), bool)
+        mask, _ = _lane_masks(cache_cfg, steps)
+        return mask
 
 
 def calibration_dict(stats) -> dict:

@@ -50,6 +50,10 @@ class FluxPipelineConfig:
     magcache_K: Optional[int] = None
     retention_ratio: Optional[float] = None
     magcache_calibration: bool = False
+    # recorded norm_ratio list from a calibration run; replaces the published
+    # table via the same pad+resample install path (calibrate-then-install,
+    # magcache_generate.py:163-193,921-928)
+    mag_ratios_override: Optional[tuple] = None
     dtype: str = "bfloat16"
     dp: int = 1
     sp: int = 1
@@ -112,6 +116,52 @@ class FluxPipeline(BasePipeline):
         return FlowMatchSchedule.create(c.num_inference_steps, mu=mu,
                                         linspace_endpoint=True)
 
+    def _cache_cfg(self, thresh=None, K=None, retention=None):
+        c = self.config
+        return make_config(
+            c.model, c.num_inference_steps,
+            thresh=c.magcache_thresh if thresh is None else thresh,
+            K=c.magcache_K if K is None else K,
+            retention_ratio=(c.retention_ratio if retention is None
+                             else retention),
+            ratios=c.mag_ratios_override)
+
+    # ---- one-program-many-schedules (serving overrides) -------------------
+    def skip_mask_for(self, thresh=None, K=None, retention_ratio=None,
+                      use_magcache: bool = True) -> np.ndarray:
+        """Host-precompute a ``bool[steps, 1]`` skip mask for an E/K/R triple
+        (FLUX is single-lane: embedded guidance, no CFG batch); feed it to
+        ``generate(skip_override=...)``."""
+        return self._skip_mask_from_cfg(
+            self._cache_cfg(thresh, K, retention_ratio), use_magcache)
+
+    def _sample_fn_override(self, kontext: bool = False):
+        """Jitted sampler taking the skip mask as a TRACED argument — one
+        compiled executable serves every E/K/R triple (and full compute)."""
+        k = ("override", kontext)
+        if k in self._jit_cache:
+            return self._jit_cache[k]
+        c = self.config
+        sch = self._schedule()
+        dts = np.diff(sch.sigmas)
+        cache_cfg = self._cache_cfg()   # lane structure; mask is traced
+        if kontext:
+            if self._core_kontext is None:
+                self._core_kontext = make_flux_core(
+                    self.model_cfg, c.txt_len, *self.grid, kontext=True)
+            core = self._core_kontext
+        else:
+            core = self.core
+
+        def fn(params, x, cond, skips):
+            return sample_euler(core, params, x, cond,
+                                timesteps=sch.timesteps, dts=dts,
+                                cache_cfg=cache_cfg,
+                                skip_mask_override=skips)
+        jitted = jax.jit(fn)
+        self._jit_cache[k] = jitted
+        return jitted
+
     def _sample_fn(self, calibrate: bool, kontext: bool = False):
         rs = bool(getattr(self, "record_skips", False)) and not calibrate
         k = ("cal" if calibrate else "gen", self.config.use_magcache, kontext,
@@ -123,9 +173,7 @@ class FluxPipeline(BasePipeline):
         dts = np.diff(sch.sigmas)
         cache_cfg = None
         if c.use_magcache and not calibrate:
-            cache_cfg = make_config(c.model, c.num_inference_steps,
-                                    thresh=c.magcache_thresh, K=c.magcache_K,
-                                    retention_ratio=c.retention_ratio)
+            cache_cfg = self._cache_cfg()
         if kontext:
             if self._core_kontext is None:
                 self._core_kontext = make_flux_core(
@@ -147,7 +195,11 @@ class FluxPipeline(BasePipeline):
         return jitted
 
     def generate(self, prompt: str, seed: int = 42,
-                 cond_latents: Optional[jnp.ndarray] = None) -> PipelineOutput:
+                 cond_latents: Optional[jnp.ndarray] = None,
+                 skip_override: Optional[np.ndarray] = None
+                 ) -> PipelineOutput:
+        """``skip_override``: ``bool[steps, 1]`` mask from `skip_mask_for` —
+        per-request cache schedule through one compiled program."""
         t0 = time.time()
         c = self.config
         gh, gw = self.grid
@@ -168,13 +220,23 @@ class FluxPipeline(BasePipeline):
             cond = {k: jax.device_put(v, activation_sharding(
                 mesh, "context" if v.ndim == 3 else "latents", v.ndim))
                 for k, v in cond.items()}
-        fn = self._sample_fn(c.magcache_calibration,
-                             kontext=cond_latents is not None)
-        with use_mesh(self.plan):
-            out = fn(self.params, x0, cond)
+        if skip_override is not None:
+            assert not c.magcache_calibration, (
+                "skip_override is a generation-path surface")
+            fn = self._sample_fn_override(kontext=cond_latents is not None)
+            with use_mesh(self.plan):
+                out = fn(self.params, x0, cond,
+                         jnp.asarray(skip_override, bool))
+        else:
+            fn = self._sample_fn(c.magcache_calibration,
+                                 kontext=cond_latents is not None)
+            with use_mesh(self.plan):
+                out = fn(self.params, x0, cond)
         calibration = None
         skips = None
-        if (getattr(self, "record_skips", False)
+        if skip_override is not None:
+            skips = np.asarray(skip_override, bool).reshape(-1)
+        elif (getattr(self, "record_skips", False)
                 and not c.magcache_calibration):
             out, skips = out
             skips = np.asarray(jax.device_get(skips))

@@ -98,6 +98,60 @@ class LattePipeline(BasePipeline):
         self.params = params if params is not None else init_latte_params(
             key, self.model_cfg)
         self._fn = None
+        self._fn_override = None
+
+    def _cache_cfg_force(self, thresh=None, K=None, retention=None):
+        """MagCache config for this pipeline's DDIM trajectory regardless of
+        use_magcache. User-fed ratios are the calibration recording's
+        norm_ratio list (joint single-lane, steps-1 entries): pad + resample
+        to install (the reference's calibrate-then-hardcode flow)."""
+        c = self.config
+        ratios = c.magcache_ratios or tuple(np.ones(c.num_sampling_steps - 1))
+        ratios = prepare_mag_ratios(np.asarray(ratios),
+                                    c.num_sampling_steps, lanes=1)
+        return MagCacheConfig(
+            num_steps=c.num_sampling_steps, mag_ratios=tuple(ratios),
+            thresh=c.magcache_thresh if thresh is None else thresh,
+            max_consecutive_skips=c.magcache_K if K is None else K,
+            retention_ratio=(c.retention_ratio if retention is None
+                             else retention),
+            lanes=1)
+
+    # ---- one-program-many-schedules (serving overrides) -------------------
+    def skip_mask_for(self, thresh=None, K=None, retention_ratio=None,
+                      use_magcache: bool = True) -> np.ndarray:
+        """Host-precompute the ``bool[steps, 1]`` skip mask for an E/K/R
+        triple (single cache lane over the joint CFG batch); feed it to
+        ``generate(skip_override=...)``."""
+        return self._skip_mask_from_cfg(
+            self._cache_cfg_force(thresh, K, retention_ratio), use_magcache)
+
+    def _sample_fn_override(self):
+        """Jitted sampler taking the skip mask as a TRACED argument — one
+        compiled executable serves every E/K/R triple (and full compute)."""
+        if self._fn_override is not None:
+            return self._fn_override
+        c = self.config
+        sch = DDIMEpsSchedule.create(c.num_sampling_steps)
+        c_x, c_eps = sch.step_arrays()
+        cache_cfg = self._cache_cfg_force()
+        core, g = self.core, c.guidance_scale
+        C = self.model_cfg.in_channels
+
+        def combine(chunks):
+            cond_o = chunks[0][..., :C]
+            uncond_o = chunks[1][..., :C]
+            return uncond_o + g * (cond_o - uncond_o)
+
+        def fn(params, z, cond, skips):
+            return sample_euler(core, params, z, cond,
+                                timesteps=sch.timesteps.astype(np.float32),
+                                dts=c_eps, x_coeffs=c_x, cache_cfg=cache_cfg,
+                                lanes=2, combine_fn=combine,
+                                skip_mask_override=skips)
+
+        self._fn_override = jax.jit(fn)
+        return self._fn_override
 
     def _sample_fn(self):
         if self._fn is not None:
@@ -107,16 +161,7 @@ class LattePipeline(BasePipeline):
         c_x, c_eps = sch.step_arrays()
         cache_cfg = None
         if c.use_magcache and not c.magcache_calibration:
-            # user-fed ratios are the calibration recording's norm_ratio list
-            # (joint single-lane, steps-1 entries): pad + resample to install
-            ratios = c.magcache_ratios or tuple(
-                np.ones(c.num_sampling_steps - 1))
-            ratios = prepare_mag_ratios(np.asarray(ratios),
-                                        c.num_sampling_steps, lanes=1)
-            cache_cfg = MagCacheConfig(
-                num_steps=c.num_sampling_steps, mag_ratios=tuple(ratios),
-                thresh=c.magcache_thresh, max_consecutive_skips=c.magcache_K,
-                retention_ratio=c.retention_ratio, lanes=1)
+            cache_cfg = self._cache_cfg_force()
         core, g = self.core, c.guidance_scale
         C = self.model_cfg.in_channels
 
@@ -138,8 +183,11 @@ class LattePipeline(BasePipeline):
         self._fn = jax.jit(fn)
         return self._fn
 
-    def generate(self, prompt: str, negative_prompt: str = "", seed: int = 0
+    def generate(self, prompt: str, negative_prompt: str = "", seed: int = 0,
+                 skip_override: Optional[np.ndarray] = None
                  ) -> PipelineOutput:
+        """``skip_override``: ``bool[steps, 1]`` mask from `skip_mask_for` —
+        per-request cache schedule through one compiled program."""
         t0 = time.time()
         if self.config.clean_caption:
             from magcache_tpu.pipelines.open_sora_cond import clean_caption
@@ -149,7 +197,13 @@ class LattePipeline(BasePipeline):
         cond = {"y": self.text_encoder([prompt, negative_prompt])}
         z = jax.random.normal(set_seed(seed), (1,) + self.latent_shape,
                               jnp.float32)
-        out = self._sample_fn()(self.params, z, cond)
+        if skip_override is not None:
+            assert not self.config.magcache_calibration, (
+                "skip_override is a generation-path surface")
+            out = self._sample_fn_override()(self.params, z, cond,
+                                             jnp.asarray(skip_override, bool))
+        else:
+            out = self._sample_fn()(self.params, z, cond)
         calibration = None
         if self.config.magcache_calibration:
             from magcache_tpu.pipelines.base import calibration_dict

@@ -160,6 +160,47 @@ class OpenSoraPipeline(BasePipeline):
                            retention_ratio=c.retention_ratio,
                            ratios=c.magcache_ratios)
 
+    def _cache_cfg_force(self, thresh=None, K=None, retention=None):
+        """Adapter-policy cache config regardless of use_magcache — the lane
+        structure for per-request override scheduling."""
+        c = self.config
+        return make_config(
+            "opensora-v1.2", c.num_sampling_steps,
+            thresh=c.magcache_thresh if thresh is None else thresh,
+            K=c.magcache_K if K is None else K,
+            retention_ratio=(c.retention_ratio if retention is None
+                             else retention),
+            ratios=c.magcache_ratios)
+
+    # ---- one-program-many-schedules (serving overrides) -------------------
+    def skip_mask_for(self, thresh=None, K=None, retention_ratio=None,
+                      use_magcache: bool = True) -> np.ndarray:
+        """Host-precompute the ``bool[steps, 1]`` skip mask for an E/K/R
+        triple (single cache lane over the joint CFG batch); feed it to
+        ``generate(skip_override=...)``."""
+        return self._skip_mask_from_cfg(
+            self._cache_cfg_force(thresh, K, retention_ratio), use_magcache)
+
+    def _sample_fn_override(self):
+        """Jitted plain-t2v sampler taking the skip mask as a TRACED
+        argument — one compiled executable serves every E/K/R triple."""
+        if "override" in self._fn:
+            return self._fn["override"]
+        sch = self.schedule
+        dts = np.array([sch.dt(i) for i in range(sch.num_steps)], np.float32)
+        cache_cfg = self._cache_cfg_force()
+        core, combine = self.core, self._combine()
+
+        def fn(params, z, cond, skips):
+            return sample_euler(core, params, z, cond,
+                                timesteps=sch.timesteps, dts=dts,
+                                cache_cfg=cache_cfg, lanes=2,
+                                combine_fn=combine,
+                                skip_mask_override=skips)
+
+        self._fn["override"] = jax.jit(fn)
+        return self._fn["override"]
+
     def _combine(self):
         g = self.config.cfg_scale
         C = self.model_cfg.in_channels
@@ -253,7 +294,9 @@ class OpenSoraPipeline(BasePipeline):
                  camera_motion: Optional[str] = None,
                  condition_frame_length: int = 5, align: int = 5,
                  condition_frame_edit: float = 0.0,
-                 use_text_preprocessing: bool = True) -> PipelineOutput:
+                 use_text_preprocessing: bool = True,
+                 skip_override: Optional[np.ndarray] = None
+                 ) -> PipelineOutput:
         """Full reference surface (``pipeline_open_sora.py:426-656``): score
         appending + caption cleaning, mask-strategy conditioning, looped
         generation with condition-frame hand-off.
@@ -316,7 +359,14 @@ class OpenSoraPipeline(BasePipeline):
                         and masks is not None), (
                 "calibration records the plain t2v trajectory; drop the "
                 "mask strategy / loop conditioning")
-            if masks is None:
+            if skip_override is not None:
+                assert masks is None and not c.magcache_calibration, (
+                    "skip_override covers the plain t2v path (no mask "
+                    "strategy / calibration)")
+                out = self._sample_fn_override()(
+                    self.params, jnp.asarray(z), cond,
+                    jnp.asarray(skip_override, bool))
+            elif masks is None:
                 out = self._sample_fn()(self.params, jnp.asarray(z), cond)
             else:
                 out = self._sample_fn_masked()(
@@ -324,6 +374,10 @@ class OpenSoraPipeline(BasePipeline):
                     jnp.asarray(masks, jnp.float32), nkey)
             if self.config.magcache_calibration:
                 out, cal_stats = out
+            elif skip_override is not None:
+                if rs:
+                    all_skips.append(
+                        np.asarray(skip_override, bool).reshape(-1))
             elif rs:
                 out, sk = out
                 all_skips.append(np.asarray(jax.device_get(sk)))

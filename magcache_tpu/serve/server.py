@@ -67,9 +67,19 @@ from magcache_tpu.utils.logging import get_logger
 
 logger = get_logger(__name__)
 
-# kwargs a /generate request may forward to pipeline.generate(); everything
-# else is rejected up front so typos fail loudly instead of at trace time
-_ALLOWED_KWARGS = ("negative_prompt", "seed")
+# kwargs a /generate request may forward to pipeline.generate(): whatever
+# the pipeline's compiled signature accepts (the reference engine forwards
+# arbitrary generate() kwargs the same way, videosys/core/engine.py:100-101);
+# anything else is rejected up front so typos fail loudly instead of at
+# trace time. skip_override is server-internal (set from _OVERRIDE_KEYS).
+def _pipeline_kwargs(pipeline) -> tuple:
+    import inspect
+    try:
+        params = inspect.signature(pipeline.generate).parameters
+    except (TypeError, ValueError):
+        return ("negative_prompt", "seed")
+    return tuple(k for k in params
+                 if k not in ("self", "prompt", "skip_override"))
 # per-request cache-schedule overrides — translated to a precomputed skip
 # mask through pipeline.skip_mask_for() (supported pipelines only)
 _OVERRIDE_KEYS = ("use_magcache", "magcache_thresh", "magcache_K",
@@ -180,7 +190,8 @@ class PipelineServer:
         prompt = request.get("prompt")
         if not isinstance(prompt, str) or not prompt:
             raise ValueError("request must carry a non-empty string 'prompt'")
-        allowed = _ALLOWED_KWARGS + _OVERRIDE_KEYS + _CONTROL_KEYS
+        allowed = _pipeline_kwargs(self.pipeline) + _OVERRIDE_KEYS \
+            + _CONTROL_KEYS
         bad = [k for k in request if k not in allowed]
         if bad:
             raise ValueError(f"unknown request fields {bad}; allowed: "
@@ -465,7 +476,8 @@ class PipelineServer:
         return results
 
     def _execute(self, request: Dict[str, Any]) -> Dict[str, Any]:
-        kwargs = {k: request[k] for k in _ALLOWED_KWARGS if k in request}
+        kwargs = {k: request[k] for k in _pipeline_kwargs(self.pipeline)
+                  if k in request}
         overrides = {k: request[k] for k in _OVERRIDE_KEYS if k in request}
         if overrides:
             # E/K/R (or full compute) as a precomputed mask through the

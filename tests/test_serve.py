@@ -133,10 +133,16 @@ def test_bad_requests_rejected(served):
 
 def test_pipeline_error_surfaces_as_500(served):
     _, base = served
-    # FLUX is CFG-distilled: generate() takes no negative_prompt -> the job
-    # errors and the server survives to serve the next request
+    # FLUX is CFG-distilled: generate() takes no negative_prompt, and the
+    # signature-derived kwarg gate (round 5) now rejects it up front as 400
+    # instead of erroring at execution
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(base + "/generate", {"prompt": "x", "negative_prompt": "y"})
+    assert ei.value.code == 400
+    # a value that passes the gate but explodes inside generate() -> 500,
+    # and the server survives to serve the next request
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/generate", {"prompt": "x", "seed": "not-an-int"})
     assert ei.value.code == 500
     code, rec = _post(base + "/generate", {"prompt": "still alive"})
     assert code == 200 and rec["status"] == "done"
@@ -565,12 +571,22 @@ def test_override_requests_share_one_program(wan_served):
                                rtol=2e-5, atol=2e-5)
 
 
-def test_override_rejected_for_unsupported_pipeline(served):
-    _, base = served
-    with pytest.raises(urllib.error.HTTPError) as ei:
-        _post(base + "/generate", {"prompt": "x", "magcache_thresh": 0.2})
-    assert ei.value.code == 400
-    assert "skip_mask_for" in json.loads(ei.value.read())["error"]
+def test_override_rejected_for_unsupported_pipeline():
+    # a pipeline without skip_mask_for (FluxPipeline gained override support
+    # in round 5, so the stub stands in for the remaining families)
+    server = PipelineServer(_SlowPipe(delay=0.0), steps=2)
+    httpd = make_http_server(server, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = "http://127.0.0.1:%d" % httpd.server_address[1]
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/generate", {"prompt": "x", "magcache_thresh": 0.2})
+        assert ei.value.code == 400
+        assert "skip_mask_for" in json.loads(ei.value.read())["error"]
+    finally:
+        httpd.shutdown()
+        server.shutdown()
 
 
 def test_bad_timeout_rejected(served):
