@@ -95,6 +95,59 @@ class CogVideoXPipeline(BasePipeline):
         self.params = params if params is not None else init_cogvideox_params(
             key, self.model_cfg)
         self._fn = None
+        self._fn_override = None
+
+    def _cache_cfg_force(self, thresh=None, K=None, retention=None):
+        """MagCache config regardless of use_magcache. User-fed ratios are
+        the calibration recording's norm_ratio list (joint single-lane,
+        num_steps-1 entries): pad + resample like the reference install
+        path. No published CogVideoX calibration exists in the reference —
+        run calibration mode per deployment; a flat near-1 prior otherwise."""
+        c = self.config
+        ratios = c.magcache_ratios or tuple(
+            np.ones(c.num_inference_steps - 1))
+        ratios = prepare_mag_ratios(np.asarray(ratios),
+                                    c.num_inference_steps, lanes=1)
+        return MagCacheConfig(
+            num_steps=c.num_inference_steps, mag_ratios=tuple(ratios),
+            thresh=c.magcache_thresh if thresh is None else thresh,
+            max_consecutive_skips=c.magcache_K if K is None else K,
+            retention_ratio=(c.retention_ratio if retention is None
+                             else retention),
+            lanes=1)
+
+    # ---- one-program-many-schedules (serving overrides) -------------------
+    def skip_mask_for(self, thresh=None, K=None, retention_ratio=None,
+                      use_magcache: bool = True) -> np.ndarray:
+        """Host-precompute the ``bool[steps, 1]`` skip mask (single cache
+        lane over the joint CFG batch); feed to ``generate(skip_override=)``."""
+        return self._skip_mask_from_cfg(
+            self._cache_cfg_force(thresh, K, retention_ratio), use_magcache)
+
+    def _sample_fn_override(self):
+        if self._fn_override is not None:
+            return self._fn_override
+        c = self.config
+        sch = CogVideoDDIMSchedule.create(c.num_inference_steps)
+        c_x, c_v = sch.step_arrays()
+        cache_cfg = self._cache_cfg_force()
+        core, g = self.core, c.guidance_scale
+        assert not c.use_dynamic_cfg, (
+            "per-request overrides cover the static-CFG path")
+
+        def combine(chunks):
+            cond_o, uncond_o = chunks
+            return uncond_o + g * (cond_o - uncond_o)
+
+        def fn(params, z, cond, skips):
+            return sample_euler(core, params, z, cond,
+                                timesteps=sch.timesteps.astype(np.float32),
+                                dts=c_v, x_coeffs=c_x, cache_cfg=cache_cfg,
+                                lanes=2, combine_fn=combine,
+                                skip_mask_override=skips)
+
+        self._fn_override = jax.jit(fn)
+        return self._fn_override
 
     def _sample_fn(self):
         if self._fn is not None:
@@ -105,20 +158,7 @@ class CogVideoXPipeline(BasePipeline):
         c_x, c_v = sch.step_arrays()
         cache_cfg = None
         if c.use_magcache and not calibrate:
-            ratios = c.magcache_ratios
-            if ratios is None:
-                # no published CogVideoX calibration in the reference — run
-                # calibration mode per deployment; a flat near-1 prior here
-                ratios = tuple(np.ones(c.num_inference_steps - 1))
-            # user-fed ratios are the calibration recording's norm_ratio list
-            # (joint single-lane, num_steps-1 entries): pad + resample like
-            # the reference install path
-            ratios = prepare_mag_ratios(np.asarray(ratios),
-                                        c.num_inference_steps, lanes=1)
-            cache_cfg = MagCacheConfig(
-                num_steps=c.num_inference_steps, mag_ratios=tuple(ratios),
-                thresh=c.magcache_thresh, max_consecutive_skips=c.magcache_K,
-                retention_ratio=c.retention_ratio, lanes=1)
+            cache_cfg = self._cache_cfg_force()
         core, g = self.core, c.guidance_scale
 
         if c.use_dynamic_cfg:
@@ -148,13 +188,22 @@ class CogVideoXPipeline(BasePipeline):
         self._fn = jax.jit(fn)
         return self._fn
 
-    def generate(self, prompt: str, negative_prompt: str = "", seed: int = 42
+    def generate(self, prompt: str, negative_prompt: str = "", seed: int = 42,
+                 skip_override: Optional[np.ndarray] = None
                  ) -> PipelineOutput:
+        """``skip_override``: ``bool[steps, 1]`` mask from `skip_mask_for` —
+        per-request cache schedule through one compiled program."""
         t0 = time.time()
         cond = {"txt": self.text_encoder([prompt, negative_prompt])}
         z = jax.random.normal(set_seed(seed), (1,) + self.latent_shape,
                               jnp.float32)
-        out = self._sample_fn()(self.params, z, cond)
+        if skip_override is not None:
+            assert not self.config.magcache_calibration, (
+                "skip_override is a generation-path surface")
+            out = self._sample_fn_override()(
+                self.params, z, cond, jnp.asarray(skip_override, bool))
+        else:
+            out = self._sample_fn()(self.params, z, cond)
         calibration = None
         if self.config.magcache_calibration:
             from magcache_tpu.pipelines.base import calibration_dict

@@ -43,6 +43,9 @@ class QwenImagePipelineConfig:
     magcache_K: Optional[int] = None
     retention_ratio: Optional[float] = None
     magcache_calibration: bool = False
+    # recorded norm_ratio list from a calibration run; replaces the published
+    # table via the same pad+resample install path
+    mag_ratios_override: Optional[tuple] = None
     dtype: str = "float32"
     tiny: bool = False
     ckpt_dir: Optional[str] = None   # published transformer checkpoint dir
@@ -80,13 +83,53 @@ class QwenImagePipeline(BasePipeline):
             key, self.model_cfg)
         self._jit_cache = {}
 
+    def _schedule(self):
+        c = self.config
+        return FlowMatchSchedule.create(
+            c.sample_steps, mu=FlowMatchSchedule.flux_mu(
+                self.grid[0] * self.grid[1]), linspace_endpoint=True)
+
+    def _cache_cfg_force(self, thresh=None, K=None, retention=None):
+        c = self.config
+        return make_config(
+            c.model, c.sample_steps,
+            thresh=c.magcache_thresh if thresh is None else thresh,
+            K=c.magcache_K if K is None else K,
+            retention_ratio=(c.retention_ratio if retention is None
+                             else retention),
+            ratios=c.mag_ratios_override)
+
+    # ---- one-program-many-schedules (serving overrides) -------------------
+    def skip_mask_for(self, thresh=None, K=None, retention_ratio=None,
+                      use_magcache: bool = True) -> np.ndarray:
+        """Host-precompute the ``bool[steps, lanes]`` skip mask for an E/K/R
+        triple (true-CFG dual lanes); feed to ``generate(skip_override=)``."""
+        return self._skip_mask_from_cfg(
+            self._cache_cfg_force(thresh, K, retention_ratio), use_magcache)
+
+    def _sample_fn_override(self):
+        if "override" in self._jit_cache:
+            return self._jit_cache["override"]
+        c = self.config
+        sch = self._schedule()
+        dts = np.diff(sch.sigmas)
+        core, g = self.core, c.true_cfg_scale
+        cache_cfg = self._cache_cfg_force()
+
+        def fn(params, x, cond, skips):
+            return sample_euler(core, params, x, cond,
+                                timesteps=sch.timesteps, dts=dts,
+                                cache_cfg=cache_cfg, guidance_scale=g,
+                                skip_mask_override=skips)
+        self._jit_cache["override"] = jax.jit(fn)
+        return self._jit_cache["override"]
+
     def _sample_fn(self):
         c = self.config
         k = (c.use_magcache, c.magcache_calibration)
         if k in self._jit_cache:
             return self._jit_cache[k]
-        sch = FlowMatchSchedule.create(c.sample_steps, mu=FlowMatchSchedule.flux_mu(
-            self.grid[0] * self.grid[1]), linspace_endpoint=True)
+        sch = self._schedule()
         dts = np.diff(sch.sigmas)
         core, g = self.core, c.true_cfg_scale
         if c.magcache_calibration:
@@ -97,10 +140,7 @@ class QwenImagePipeline(BasePipeline):
         else:
             cache_cfg = None
             if c.use_magcache:
-                cache_cfg = make_config(c.model, c.sample_steps,
-                                        thresh=c.magcache_thresh,
-                                        K=c.magcache_K,
-                                        retention_ratio=c.retention_ratio)
+                cache_cfg = self._cache_cfg_force()
 
             def fn(params, x, cond):
                 return sample_euler(core, params, x, cond,
@@ -114,7 +154,11 @@ class QwenImagePipeline(BasePipeline):
     # differently from "" under true-CFG; QwenImage magcache_generate.py:285,
     # QwenImageEdit :284)
     def generate(self, prompt: str, negative_prompt: str = " ", seed: int = 0,
-                 ref_latents=None) -> PipelineOutput:
+                 ref_latents=None,
+                 skip_override: Optional[np.ndarray] = None
+                 ) -> PipelineOutput:
+        """``skip_override``: ``bool[steps, lanes]`` mask from
+        `skip_mask_for` — per-request schedule, one compiled program."""
         t0 = time.time()
         gh, gw = self.grid
         cond = {"txt": self.text_encoder([prompt, negative_prompt])}
@@ -128,7 +172,13 @@ class QwenImagePipeline(BasePipeline):
         x0 = jax.random.normal(set_seed(seed),
                                (1, gh * gw, self.model_cfg.in_channels),
                                jnp.float32)
-        out = self._sample_fn()(self.params, x0, cond)
+        if skip_override is not None:
+            assert not self.config.magcache_calibration, (
+                "skip_override is a generation-path surface")
+            out = self._sample_fn_override()(
+                self.params, x0, cond, jnp.asarray(skip_override, bool))
+        else:
+            out = self._sample_fn()(self.params, x0, cond)
         calibration = None
         if self.config.magcache_calibration:
             from magcache_tpu.pipelines.base import calibration_dict

@@ -33,8 +33,26 @@ def _latte():
     return LattePipeline(cfg), dict(seed=7)
 
 
-@pytest.mark.parametrize("mk", [_flux, _open_sora, _latte],
-                         ids=["flux", "open_sora", "latte"])
+def _qwen():
+    from magcache_tpu.pipelines.qwen_image import (QwenImagePipeline,
+                                                   QwenImagePipelineConfig)
+    cfg = QwenImagePipelineConfig(tiny=True, height=64, width=64, txt_len=8,
+                                  sample_steps=6, dtype="float32")
+    return QwenImagePipeline(cfg), dict(seed=7)
+
+
+def _cogvideox():
+    from magcache_tpu.pipelines.cogvideox import (CogVideoXPipeline,
+                                                  CogVideoXPipelineConfig)
+    cfg = CogVideoXPipelineConfig(tiny=True, num_frames=9, height=32,
+                                  width=32, num_inference_steps=6, txt_len=8,
+                                  dtype="float32")
+    return CogVideoXPipeline(cfg), dict(seed=7)
+
+
+@pytest.mark.parametrize("mk", [_flux, _open_sora, _latte, _qwen, _cogvideox],
+                         ids=["flux", "open_sora", "latte", "qwen",
+                              "cogvideox"])
 def test_override_mask_roundtrip(mk):
     pipe, kw = mk()
     prompt = "an override test prompt"
@@ -61,8 +79,9 @@ def test_override_mask_roundtrip(mk):
                     if k == ("override", False)]) <= 1
 
 
-@pytest.mark.parametrize("mk", [_flux, _open_sora, _latte],
-                         ids=["flux", "open_sora", "latte"])
+@pytest.mark.parametrize("mk", [_flux, _open_sora, _latte, _qwen, _cogvideox],
+                         ids=["flux", "open_sora", "latte", "qwen",
+                              "cogvideox"])
 def test_override_matches_config_level_magcache(mk):
     """generate(skip_override=mask(E,K,R)) == a pipeline configured with the
     same E/K/R natively (the mask is the whole schedule)."""

@@ -16,7 +16,19 @@ zero-egress image has no published checkpoints. Two kinds of sections:
   the reference's calibrate-then-hardcode flow
   (``magcache_generate.py:163-193,921-928``) closed end-to-end.
 
-Usage:  python tools/eval_selfcheck.py [--out EVAL_r04.json] [--cpu]
+Round 5 broadens the natural-threshold round-trip to every major family
+(wan, ti2v, flux, hunyuan, latte, open_sora, cogvideox, qwen_image): each
+section calibrates on its own trajectory, installs the recorded ratios, and
+lets the published E/K/R defaults decide the schedule — when the defaults
+elect zero skips on the tiny random-init trajectory, a threshold ladder
+finds the smallest E that engages (recorded as ``thresh_used``; the per-step
+decisions remain the natural recurrence on recorded ratios throughout).
+Comparator sections (TeaCache) use the same ladder so they actually engage.
+
+All ``seconds`` are tiny-CPU-run wall times — NOT performance evidence
+(bench.py on real hardware is); they exist to catch pathological slowdowns.
+
+Usage:  python tools/eval_selfcheck.py [--out EVAL_r05.json] [--cpu]
 """
 
 from __future__ import annotations
@@ -59,9 +71,133 @@ def _decoded_metrics(vae, a, b):
     return {"psnr": float(psnr(va, vb)), "ssim": float(ssim(va, vb))}
 
 
+def _pipeline_roundtrip(PipeCls, CfgCls, base, ratios_field, timed, prompt,
+                        vae=None, gen_kwargs=None, name=None):
+    """calibrate -> install recorded ratios -> natural-threshold generate.
+
+    Returns the section dict: recorded-ratio head, naturally-decided skips
+    (threshold ladder when the published default elects none), latent (and
+    decoded, when a VAE is given) metrics vs the full-compute run on the
+    same weights/seed."""
+    import numpy as np
+
+    gen_kwargs = dict(gen_kwargs or {})
+    if name is None:
+        name = CfgCls.__name__.replace("PipelineConfig", "").lower()
+    cal = PipeCls(CfgCls(magcache_calibration=True, **base))
+    rec = timed(f"{name}_calibrate",
+                lambda: cal.generate(prompt, seed=42, **gen_kwargs))
+    ratios = tuple(rec.calibration["norm_ratio"])
+
+    full = PipeCls(CfgCls(**base), params=cal.params)
+    ref = timed(f"{name}_full",
+                lambda: full.generate(prompt, seed=42, **gen_kwargs))
+
+    probe = PipeCls(CfgCls(use_magcache=True, **{ratios_field: ratios},
+                           **base), params=cal.params)
+    thresh_used = "published-default"
+    mask = probe.skip_mask_for()
+    for th in (0.24, 0.6, 1.2, 5.0, 20.0):
+        if mask.sum() > 0:
+            break
+        mask = probe.skip_mask_for(thresh=th)
+        thresh_used = th
+    nat_kwargs = {} if thresh_used == "published-default" else {
+        "magcache_thresh": thresh_used}
+    nat = PipeCls(CfgCls(use_magcache=True, **{ratios_field: ratios},
+                         **nat_kwargs, **base), params=cal.params)
+    nat.record_skips = True     # honored by pipelines with skips plumbing
+    out = timed(f"{name}_magcache",
+                lambda: nat.generate(prompt, seed=42, **gen_kwargs))
+
+    sec = {
+        "thresholds": ("published defaults - NOT forced"
+                       if thresh_used == "published-default" else
+                       f"natural recurrence at E={thresh_used} (ladder: "
+                       "published default elected 0 skips on this tiny "
+                       "random-init trajectory)"),
+        "recorded_ratio_head": [round(float(r), 4) for r in ratios[:6]],
+        "skips": {"skipped": int(mask.sum()), "total": int(mask.size),
+                  "naturally_decided": True},
+        "magcache_vs_full": _latent_metrics(out.latents, ref.latents),
+    }
+    if out.skips is not None:
+        executed = np.asarray(out.skips).reshape(mask.shape)
+        sec["schedule_equals_host_recurrence_on_recorded_ratios"] = bool(
+            (executed == mask).all())
+    if vae is not None:
+        sec["decoded_magcache_vs_full"] = _decoded_metrics(
+            vae, out.latents, ref.latents)
+    return sec
+
+
+def _hunyuan_roundtrip(timed, prompt):
+    """Core-level calibrate -> install -> natural-threshold cached run for
+    HunyuanVideo (single-lane MagCache on the joint token sequence,
+    MagCache4HunyuanVideo flow)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from magcache_tpu.core.magcache import compute_skip_schedule
+    from magcache_tpu.core.presets import make_config
+    from magcache_tpu.core.sampler import calibrate_euler, sample_euler
+    from magcache_tpu.models.hunyuan import (HunyuanConfig,
+                                             init_hunyuan_params,
+                                             make_hunyuan_core)
+    from magcache_tpu.pipelines.base import calibration_dict
+    from magcache_tpu.schedulers.flow_match import FlowMatchSchedule
+
+    cfg = HunyuanConfig.tiny()
+    grid, lat, txt, steps = (3, 4, 4), (3, 8, 8), 8, 8
+    core = make_hunyuan_core(cfg, txt, grid)
+    params = init_hunyuan_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(42)
+    x = jnp.asarray(rng.normal(size=(1,) + lat + (cfg.in_channels,)),
+                    jnp.float32)
+    cond = {"txt": jnp.asarray(rng.normal(size=(1, txt, cfg.text_dim)),
+                               jnp.float32),
+            "vec": jnp.asarray(rng.normal(size=(1, cfg.vec_dim)),
+                               jnp.float32),
+            "guidance": jnp.full((1,), 6.0, jnp.float32)}
+    sch = FlowMatchSchedule.create(steps, shift=7.0)
+    dts = np.diff(sch.sigmas)
+
+    _, stats = timed("hunyuan_calibrate", lambda: jax.block_until_ready(
+        calibrate_euler(core, params, x, cond, timesteps=sch.timesteps,
+                        dts=dts, lanes=1)))
+    ratios = tuple(calibration_dict(stats)["norm_ratio"])
+
+    thresh_used = "published-default"
+    mcfg = make_config("hunyuanvideo-720p", steps, ratios=ratios)
+    for th in (0.24, 0.6, 1.2, 5.0, 20.0):
+        if compute_skip_schedule(mcfg).sum() > 0:
+            break
+        mcfg = make_config("hunyuanvideo-720p", steps, ratios=ratios,
+                           thresh=th)
+        thresh_used = th
+    mask = np.asarray(compute_skip_schedule(mcfg))
+
+    ref = timed("hunyuan_full", lambda: jax.block_until_ready(
+        sample_euler(core, params, x, cond, timesteps=sch.timesteps,
+                     dts=dts)))
+    out = timed("hunyuan_magcache", lambda: jax.block_until_ready(
+        sample_euler(core, params, x, cond, timesteps=sch.timesteps,
+                     dts=dts, cache_cfg=mcfg)))
+    return {
+        "thresholds": ("published defaults - NOT forced"
+                       if thresh_used == "published-default" else
+                       f"natural recurrence at E={thresh_used} (ladder)"),
+        "recorded_ratio_head": [round(float(r), 4) for r in ratios[:6]],
+        "skips": {"skipped": int(mask.sum()), "total": int(mask.size),
+                  "naturally_decided": True},
+        "magcache_vs_full": _latent_metrics(out, ref),
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="EVAL_r04.json")
+    ap.add_argument("--out", default="EVAL_r05.json")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
     if args.cpu:
@@ -79,9 +215,15 @@ def main(argv=None):
 
     report = {
         "mode": ("tiny-self-consistency (random init; latent-space metrics; "
-                 "forced-threshold sections exercise replay; the "
-                 "calibration_roundtrip section uses NATURAL thresholds)"),
+                 "EVERY family section is a calibrate->install->generate "
+                 "round-trip under NATURAL thresholds — ladder noted when "
+                 "the published default elects 0 skips on a tiny random-init "
+                 "trajectory; the wan forced-threshold subsection remains "
+                 "for replay-path coverage)"),
         "steps": 8, "seed": 42,
+        "seconds_caveat": ("all 'seconds' are tiny-CPU wall times, NOT "
+                           "performance evidence (bench.py on real TPU is); "
+                           "they only catch pathological slowdowns"),
     }
     secs = {}
     prompt = "an eval prompt"
@@ -108,11 +250,24 @@ def main(argv=None):
                                        **base), params=full.params)
     mc.record_skips = True
     out_mc = timed("wan_magcache", lambda: mc.generate(prompt, seed=42))
-    tc = WanPipeline(WanPipelineConfig(enable_teacache=True,
-                                       teacache_thresh=0.5, **base),
-                     params=full.params)
-    tc.record_skips = True
-    out_tc = timed("wan_teacache", lambda: tc.generate(prompt, seed=42))
+    # TeaCache comparator: its accumulated-rel-L1 rule must actually ENGAGE
+    # (r4's fixed 0.5 threshold elected 0/16 skips on the tiny random-init
+    # trajectory — a vacuous comparison). Ladder up until the rule naturally
+    # elects some-but-not-all skips; the per-step decisions stay TeaCache's.
+    # the ladder spans 5 decades: the published rescale polynomial maps a
+    # random-init trajectory's O(1) rel-L1 to O(1e3) per step, so tiny-model
+    # engagement happens far above the real-model 0.2 default
+    tc_ladder = (0.5, 5.0, 50.0, 500.0, 5000.0, 50000.0)
+    out_tc = None
+    for tc_th in tc_ladder:
+        tc = WanPipeline(WanPipelineConfig(enable_teacache=True,
+                                           teacache_thresh=tc_th, **base),
+                         params=full.params)
+        tc.record_skips = True
+        out_tc = timed("wan_teacache", lambda: tc.generate(prompt, seed=42))
+        n_sk = int(np.asarray(out_tc.skips).sum())
+        if 0 < n_sk < int(np.asarray(out_tc.skips).size):
+            break
     report["wan"] = {
         "magcache_vs_full": _latent_metrics(out_mc.latents, ref.latents),
         "teacache_vs_full": _latent_metrics(out_tc.latents, ref.latents),
@@ -120,7 +275,10 @@ def main(argv=None):
             "magcache": {"skipped": int(np.asarray(out_mc.skips).sum()),
                          "total": int(np.asarray(out_mc.skips).size)},
             "teacache": {"skipped": int(np.asarray(out_tc.skips).sum()),
-                         "total": int(np.asarray(out_tc.skips).size)},
+                         "total": int(np.asarray(out_tc.skips).size),
+                         "thresh_used": tc_th,
+                         "thresh_ladder": list(tc_ladder),
+                         "naturally_decided": True},
         },
         "decoded_magcache_vs_full": _decoded_metrics(vae, out_mc.latents,
                                                      ref.latents),
@@ -157,40 +315,57 @@ def main(argv=None):
                                                      ref_cal.latents),
     }
 
-    # -------------------------------------------------------------- ti2v
+    # -------------- ti2v roundtrip (NATURAL; was forced-threshold in r4)
     tbase = dict(model="wan2.2-ti2v-5B-t2v", task="ti2v", tiny=True,
                  size=(64, 32), frame_num=9, sample_steps=8,
                  sample_solver="unipc", sample_shift=5.0, dtype="float32")
-    tfull = WanPipeline(WanPipelineConfig(**tbase))
-    tref = timed("ti2v_full", lambda: tfull.generate(prompt, seed=42))
-    tmc = WanPipeline(WanPipelineConfig(use_magcache=True,
-                                        magcache_thresh=10.0, magcache_K=4,
-                                        **tbase), params=tfull.params)
-    tmc.record_skips = True
-    tout = timed("ti2v_magcache", lambda: tmc.generate(prompt, seed=42))
-    report["ti2v"] = {
-        "magcache_vs_full": _latent_metrics(tout.latents, tref.latents),
-        "skips": {"magcache": {"skipped": int(np.asarray(tout.skips).sum()),
-                               "total": int(np.asarray(tout.skips).size)}},
-    }
+    report["ti2v"] = _pipeline_roundtrip(
+        WanPipeline, WanPipelineConfig, tbase, "mag_ratios_override",
+        timed, prompt, name="ti2v")
 
-    # -------------------------------------------------------------- FLUX
+    # -------------- FLUX roundtrip (NATURAL; was forced-threshold in r4)
     from magcache_tpu.pipelines.flux import FluxPipeline, FluxPipelineConfig
     fbase = dict(tiny=True, height=64, width=64, txt_len=8,
                  num_inference_steps=8, dtype="float32")
-    ffull = FluxPipeline(FluxPipelineConfig(**fbase))
-    fref = timed("flux_full", lambda: ffull.generate(prompt, seed=42))
-    fmc = FluxPipeline(FluxPipelineConfig(use_magcache=True,
-                                          magcache_thresh=10.0,
-                                          magcache_K=4, **fbase),
-                       params=ffull.params)
-    fmc.record_skips = True
-    fout = timed("flux_magcache", lambda: fmc.generate(prompt, seed=42))
-    report["flux"] = {
-        "magcache_vs_full": _latent_metrics(fout.latents, fref.latents),
-        "skips": {"magcache": {"skipped": int(np.asarray(fout.skips).sum()),
-                               "total": int(np.asarray(fout.skips).size)}},
-    }
+    report["flux"] = _pipeline_roundtrip(
+        FluxPipeline, FluxPipelineConfig, fbase, "mag_ratios_override",
+        timed, prompt, name="flux")
+
+    # ---------------- latte / open_sora / cogvideox / qwen roundtrips (r5)
+    from magcache_tpu.pipelines.latte import LattePipeline, LattePipelineConfig
+    report["latte"] = _pipeline_roundtrip(
+        LattePipeline, LattePipelineConfig,
+        dict(tiny=True, num_frames=4, height=32, width=32,
+             num_sampling_steps=8, caption_len=4, dtype="float32"),
+        "magcache_ratios", timed, prompt, name="latte")
+
+    from magcache_tpu.pipelines.open_sora import (OpenSoraPipeline,
+                                                  OpenSoraPipelineConfig)
+    report["open_sora"] = _pipeline_roundtrip(
+        OpenSoraPipeline, OpenSoraPipelineConfig,
+        dict(tiny=True, num_frames=8, height=32, width=32,
+             num_sampling_steps=8, caption_len=4, dtype="float32"),
+        "magcache_ratios", timed, prompt, name="open_sora")
+
+    from magcache_tpu.pipelines.cogvideox import (CogVideoXPipeline,
+                                                  CogVideoXPipelineConfig)
+    report["cogvideox"] = _pipeline_roundtrip(
+        CogVideoXPipeline, CogVideoXPipelineConfig,
+        dict(tiny=True, num_frames=9, height=32, width=32,
+             num_inference_steps=8, txt_len=8, dtype="float32"),
+        "magcache_ratios", timed, prompt, name="cogvideox")
+
+    from magcache_tpu.pipelines.qwen_image import (QwenImagePipeline,
+                                                   QwenImagePipelineConfig)
+    report["qwen_image"] = _pipeline_roundtrip(
+        QwenImagePipeline, QwenImagePipelineConfig,
+        dict(tiny=True, height=64, width=64, txt_len=8, sample_steps=8,
+             dtype="float32"),
+        "mag_ratios_override", timed, prompt, name="qwen_image")
+
+    # ---------------- HunyuanVideo roundtrip (core-level: the family runs
+    # through core+sampler; single-lane embedded-guidance like the reference)
+    report["hunyuan"] = _hunyuan_roundtrip(timed, prompt)
 
     # --------------------------------------------------------- FramePack
     from magcache_tpu.pipelines.framepack import (
