@@ -132,6 +132,9 @@ class WanPipelineConfig:
     clip_ckpt: Optional[str] = None      # CLIP vision tower weights (i2v)
     vace_ref_images: int = 0             # VACE R2V: # reference images
     tiny: bool = False                   # toy-size model for smoke runs
+    # explicit WanConfig (e.g. sniffed from an arbitrary checkpoint by
+    # tools/validate_checkpoints.py --serve); overrides the preset mapping
+    model_cfg_override: Optional[object] = None
 
     def __post_init__(self):
         if self.moe_boundary is None:
@@ -146,6 +149,8 @@ class WanPipelineConfig:
         return float(g), float(g)
 
     def model_config(self) -> WanConfig:
+        if self.model_cfg_override is not None:
+            return self.model_cfg_override
         if self.tiny:
             base = WanConfig.tiny(dtype=self.dtype)
             if self.task in ("i2v", "flf2v"):

@@ -102,3 +102,12 @@ def test_sniffed_configs_match_published_geometry(tree):
     assert (cfg.dim, cfg.layers, cfg.ffn_dim, cfg.text_dim) == \
            (cfg_t.dim, cfg_t.layers, cfg_t.ffn_dim, cfg_t.text_dim)
     assert cfg.model_type == "t2v"
+
+
+def test_serve_smoke_roundtrip(tree):
+    """--serve: converted Wan weights -> pipeline -> HTTP /generate -> 200
+    (the weights-day full user surface, VERDICT r4 item 9)."""
+    mod = _tool()
+    rec = mod.serve_smoke(mod.find_weight_dirs(str(tree)))
+    assert rec["status"] == "done", rec
+    assert rec["latents_shape"], rec

@@ -555,6 +555,58 @@ def find_weight_dirs(root: str):
     return sorted(hits)
 
 
+def serve_smoke(dirs) -> Dict:
+    """Weights-day serving smoke (--serve): find a Wan DiT among the
+    validated dirs, build a WanPipeline on the CONVERTED weights (sniffed
+    config, tiny 2-step euler geometry), stand up the HTTP endpoint, and run
+    ONE /generate round-trip — the full user surface load -> serve -> 200.
+    """
+    import threading
+    import urllib.request
+
+    import jax.numpy as jnp  # noqa: F401  (backend must be up before server)
+
+    from magcache_tpu.models.convert import load_safetensors_dir
+    from magcache_tpu.pipelines.wan import WanPipeline, WanPipelineConfig
+    from magcache_tpu.serve import PipelineServer, make_http_server
+
+    for d in dirs:
+        try:
+            sd = load_safetensors_dir(d)
+        except Exception:
+            continue
+        keys = set(sd)
+        fam = next((f for f in _registry() if f.detect(keys)), None)
+        if fam is None or not fam.name.startswith("wan"):
+            continue
+        cfg = fam.sniff(sd)
+        if cfg.model_type != "t2v" or cfg.in_channels != 16:
+            continue        # the smoke serves the plain t2v surface
+        params = fam.convert(sd, cfg)
+        pcfg = WanPipelineConfig(size=(64, 32), frame_num=5, sample_steps=2,
+                                 sample_solver="euler", dtype=cfg.dtype,
+                                 model_cfg_override=cfg)
+        pipe = WanPipeline(pcfg, params=params)
+        server = PipelineServer(pipe, steps=2)
+        httpd = make_http_server(server, port=0)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            req = urllib.request.Request(
+                "http://127.0.0.1:%d/generate" % httpd.server_address[1],
+                json.dumps({"prompt": "weights-day smoke",
+                            "seed": 0}).encode(),
+                {"Content-Type": "application/json"})
+            rec = json.load(urllib.request.urlopen(req, timeout=600))
+            return {"path": d, "status": rec.get("status"),
+                    "latents_shape": rec.get("result", {}).get(
+                        "latents_shape")}
+        finally:
+            httpd.shutdown()
+            server.shutdown()
+    return {"status": "skipped",
+            "note": "no t2v Wan DiT checkpoint found to serve"}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("root", help="checkpoint tree root (or one weights dir)")
@@ -564,6 +616,9 @@ def main(argv=None):
                     choices=["float32", "bfloat16"])
     ap.add_argument("--report", default=None, help="write JSON report here")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--serve", action="store_true",
+                    help="after validation, serve a converted Wan DiT over "
+                         "HTTP and run one /generate round-trip")
     args = ap.parse_args(argv)
 
     import jax
@@ -584,12 +639,20 @@ def main(argv=None):
         err = f"  <- {r.get('error', '')}" if "error" in r else ""
         print(f"[{mark}] {r['path']}: {fam}{extra}{err}")
     print(f"\n{ok}/{len(records)} components validated")
+    serve_rec = None
+    if args.serve:
+        serve_rec = serve_smoke(dirs)
+        print(f"serve smoke: {serve_rec}")
     if args.report:
+        payload = {"records": records, "ok": ok, "total": len(records)}
+        if serve_rec is not None:
+            payload["serve"] = serve_rec
         with open(args.report, "w") as f:
-            json.dump({"records": records, "ok": ok, "total": len(records)},
-                      f, indent=1, default=str)
+            json.dump(payload, f, indent=1, default=str)
         print(f"report -> {args.report}")
-    return 0 if ok == len(records) else 1
+    bad_serve = args.serve and serve_rec.get("status") not in ("done",
+                                                               "skipped")
+    return 0 if ok == len(records) and not bad_serve else 1
 
 
 if __name__ == "__main__":
