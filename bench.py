@@ -474,7 +474,12 @@ def main():
         @section("opensora_headline")
         def _opensora():
             from magcache_tpu.eval.bench_opensora import run as run_opensora
-            return run_opensora(tiny=tiny or quick)
+
+            def flush_denoise(partial):
+                _STATE["detail"]["opensora_headline"] = partial
+                _flush_partial()
+
+            return run_opensora(tiny=tiny or quick, on_partial=flush_denoise)
         _opensora()
 
     # ---- PAB evidence: full vs PAB-broadcast whole runs (240p bucket) ------

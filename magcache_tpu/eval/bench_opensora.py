@@ -28,8 +28,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run(tiny: bool = False) -> dict:
-    """Measure full vs MagCache whole runs; returns the metric dict."""
+def run(tiny: bool = False, on_partial=None) -> dict:
+    """Measure full vs MagCache whole runs; returns the metric dict.
+
+    ``on_partial``: optional callback receiving the metric dict as soon as
+    the DENOISE measurements exist, before the e2e extras (whose composite
+    VAE decode has its own multi-minute remote compile) — so a wedge there
+    cannot lose the headline numbers (round-5 resilience rule: flush every
+    measurement the moment it exists)."""
     import jax
     import jax.numpy as jnp
 
@@ -139,6 +145,41 @@ def run(tiny: bool = False) -> dict:
     mfu = mfu_pct(step_flops, t_full / steps)
     log(f"compute-step MFU {mfu:.1f}% ({step_flops/1e12:.1f} TFLOP/step)")
 
+    def _result(e2e):
+        return {
+            "metric": "OpenSora-1.2 480p MagCache E012K3R02 speedup "
+                      "(30-step RFLOW, 1 chip)",
+            "value": round(speedup, 3),
+            "unit": "x",
+            "vs_baseline": round(speedup / 2.1, 3),  # reference measured 2.1x
+            "detail": {
+                "sec_per_video_full": round(t_full, 2),
+                "sec_per_video_magcache": round(t_cached, 2),
+                "mfu_pct_compute_step": round(mfu, 1),
+                "forward_tflops_analytic": round(step_flops / 1e12, 1),
+                "steps_elided": n_skip,
+                "schedule_ceiling": round(ceiling, 3),
+                "tokens": ntok,
+                "reference_A800_full_s": 44.56,
+                "reference_A800_magcache_s": 21.21,
+                "speed_vs_reference_absolute": {
+                    "full": round(44.56 / t_full, 3),
+                    "magcache": round(21.21 / t_cached, 3)},
+                "tiny_smoke": tiny,
+                "e2e": e2e,
+                "note": ("speed_vs_reference_absolute compares denoise-only "
+                         "spans (schedule arithmetic); the reference's "
+                         "published 44.56 s spans generate() incl. T5/VAE "
+                         "-- the matching comparison is "
+                         "e2e.speed_vs_reference_absolute_e2e"),
+            }}
+
+    if on_partial is not None:
+        try:
+            on_partial(_result({"pending": "e2e extras still measuring"}))
+        except Exception:  # noqa: BLE001 -- flushing must not kill the run
+            pass
+
     # ---- whole-generate span (VERDICT r4 Missing #2): the reference's
     # 44.56 s spans generate() incl. T5 encode and the composite VAE decode
     # (pipeline_open_sora.py:625-648), so the absolute-vs-A800 comparison is
@@ -165,32 +206,7 @@ def run(tiny: bool = False) -> dict:
                     "sequential) -- matches the reference's generate() span",
         })
 
-    return {
-        "metric": "OpenSora-1.2 480p MagCache E012K3R02 speedup "
-                  "(30-step RFLOW, 1 chip)",
-        "value": round(speedup, 3),
-        "unit": "x",
-        "vs_baseline": round(speedup / 2.1, 3),   # reference's measured 2.1x
-        "detail": {
-            "sec_per_video_full": round(t_full, 2),
-            "sec_per_video_magcache": round(t_cached, 2),
-            "mfu_pct_compute_step": round(mfu, 1),
-            "forward_tflops_analytic": round(step_flops / 1e12, 1),
-            "steps_elided": n_skip,
-            "schedule_ceiling": round(ceiling, 3),
-            "tokens": ntok,
-            "reference_A800_full_s": 44.56,
-            "reference_A800_magcache_s": 21.21,
-            "speed_vs_reference_absolute": {
-                "full": round(44.56 / t_full, 3),
-                "magcache": round(21.21 / t_cached, 3)},
-            "tiny_smoke": tiny,
-            "e2e": e2e,
-            "note": ("speed_vs_reference_absolute compares denoise-only "
-                     "spans (schedule arithmetic); the reference's published "
-                     "44.56 s spans generate() incl. T5/VAE -- the matching "
-                     "comparison is e2e.speed_vs_reference_absolute_e2e"),
-        }}
+    return _result(e2e)
 
 
 def _measure_e2e_extras(tiny, lat, frames, cap_len, cfg):
