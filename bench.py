@@ -465,6 +465,16 @@ def main():
     })
     _flush_partial()
 
+    # free the Wan section's device buffers before the STDiT3 sections: the
+    # PAB run's per-block caches are ~4.7 GB at 240p and the leftover 1.3B
+    # params pushed r5's first complete pass over one v5e's 16 GB HBM
+    # (RESOURCE_EXHAUSTED); rebinding the closure cells is enough — none of
+    # the section closures run again
+    params = cond = carry0 = x = mask = None  # noqa: F841
+    import gc
+    gc.collect()
+    jax.clear_caches()
+
     # ---- second headline: Open-Sora 1.2 STDiT3 480p 30-step RFLOW ---------
     # (the reference's VideoSys-path numbers, eval/magcache/README.md:66).
     # Attached to detail so the round artifact carries both headliners; any
@@ -485,6 +495,9 @@ def main():
     # ---- PAB evidence: full vs PAB-broadcast whole runs (240p bucket) ------
     # The "other cache" (videosys/core/pab_mgr.py); VERDICT r3 asked for a
     # measured speedup, not just code. MAGCACHE_BENCH_PAB=0 disables.
+    import gc as _gc
+    _gc.collect()
+    jax.clear_caches()          # drop the opensora section's compiled execs
     if os.environ.get("MAGCACHE_BENCH_PAB", "1") != "0":
         @section("opensora_pab")
         def _pab():

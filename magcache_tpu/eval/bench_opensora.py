@@ -249,11 +249,31 @@ def _measure_e2e_extras(tiny, lat, frames, cap_len, cfg):
     z = jax.random.normal(jax.random.PRNGKey(7),
                           (1,) + lat + (t_cfg.latent_embed_dim,),
                           jnp.float32)
-    dec = jax.jit(vae.decode)                # 3-chunk loop traces/unrolls
-    y = dec(z)
-    jax.block_until_ready(y)                 # compile
+    # jit ONE micro-frame chunk and dispatch per chunk: jitting the whole
+    # decode unrolls all 3 chunks into one graph whose remote compile was
+    # observed to exceed 25 min; the chunks share a shape, so one compile
+    # serves all, and per-chunk dispatches stay under the tunnel's ~60 s
+    # dispatch ceiling
+    ds = 2 ** sum(t_cfg.temporal_downsample)
+    lc = -(-mf // ds)                        # latents per chunk (front-pad)
+
+    @jax.jit
+    def dec_chunk(zc):
+        y = temporal.decode(zc, num_frames=min(mf, zc.shape[1] * ds))
+        return vae._spatial_decode(y)
+
+    def full_decode():
+        outs = []
+        for i in range(0, z.shape[1], lc):
+            o = dec_chunk(z[:, i:i + lc])
+            jax.block_until_ready(o)
+            outs.append(o)
+        return jnp.concatenate(outs, axis=1)
+
+    y = full_decode()                        # compile (one chunk program)
+    jax.block_until_ready(y)
     t0 = time.time()
-    y = dec(z)
+    y = full_decode()
     jax.block_until_ready(y)
     t_dec = time.time() - t0
     log(f"e2e extras: text encode {t_text:.2f}s, composite VAE decode "
