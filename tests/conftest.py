@@ -23,12 +23,65 @@ jax.config.update("jax_enable_x64", False)
 
 
 # ---------------------------------------------------------------- tiering
-# Compile-heavy tests are marked `slow` and excluded from the default run so
-# plain `pytest -q` verifies the suite in minutes. The full bill:
+# Compile-heavy tests are excluded from the default run so plain `pytest -q`
+# verifies the suite in < 5 minutes on a single core. Two mechanisms:
+# `@pytest.mark.slow` on individual tests, and the file-level tier list
+# below (measured per-file wall times, round 5: the full suite is ~60 min of
+# XLA-compile-dominated CPU time; the default tier keeps every subsystem's
+# fast structural tests — schedule parity, cache core, samplers, kernels,
+# collectives/mesh, per-family model smokes — and defers the heavy
+# pipeline/VAE/CLI integration files). The full bill:
 #   pytest -q -m slow              # only the slow tier
 #   MAGCACHE_RUN_SLOW=1 pytest -q  # everything
+_SLOW_FILES = {
+    # measured seconds (single-file run, 1-core CPU, 8 virtual devices)
+    "test_adapters.py",              # 234
+    "test_vae_wan.py",               # 210
+    "test_cli_flags.py",             # 198
+    "test_dtype_discipline.py",      # 195
+    "test_graft_entry.py",           # 179 (the driver runs the real thing)
+    "test_overrides_families.py",    # 172
+    "test_convert.py",               # 151
+    "test_eval.py",                  # 124
+    "test_calibration.py",           # 124
+    "test_wan.py",                   # 109
+    "test_clip_i2v.py",              # 102
+    "test_vae_cogvideox.py",         # 100
+    "test_latte.py",                 # 99
+    "test_calibration_roundtrip.py", # 93
+    "test_vchitect_osp.py",          # 93
+    "test_vae_osp.py",               # 90
+    "test_wan22_ti2v.py",            # 89
+    "test_record_skips.py",          # 88
+    "test_open_sora.py",             # 84
+    "test_vae_temporal.py",          # 84
+    "test_framepack_demo.py",        # 82
+    "test_vae.py",                   # 82
+    "test_parallel.py",              # 76
+    "test_ops.py",                   # 74
+    "test_open_sora_cond.py",        # 69
+    "test_wan22_moe.py",             # 66
+    "test_ckpt_plumbing.py",         # 66
+    "test_dpm_flow.py",              # 66
+    "test_pipelines.py",             # 65
+    "test_14b_lowering.py",          # 61
+    "test_serve.py",                 # 58
+    "test_teacache_wan.py",          # 58
+    "test_flux.py",                  # 55
+    "test_taylorseer.py",            # 51
+    "test_text_encoders.py",         # 51
+    "test_vae_sd.py",                # 50
+    "test_fused_qk_flash.py",        # 47
+}
+
+
 def pytest_collection_modifyitems(config, items):
     import pytest as _pytest
+    for item in items:
+        # file-level tier list -> real `slow` markers, so `-m slow` selects
+        # them and `-m` / MAGCACHE_RUN_SLOW semantics stay uniform
+        if item.fspath.basename in _SLOW_FILES:
+            item.add_marker(_pytest.mark.slow)
     if config.getoption("-m") or os.environ.get("MAGCACHE_RUN_SLOW"):
         return
     skip = _pytest.mark.skip(
