@@ -450,11 +450,18 @@ def make_stdit3_core(
             return linear(p["mlp2"], jax.nn.gelu(linear(p["mlp1"], xm),
                                                  approximate=True))
 
+        # PAB reuse decisions are STATIC python bools: the broadcast masks
+        # are host-known per step, and `trunk_pab` specializes one
+        # straight-line body per unique flag signature behind a single
+        # lax.switch. The earlier per-site lax.cond design (6 conditionals x
+        # depth per step) cost ~100 ms/step at 240p in broken fusion and
+        # conditional buffer copies — more than PAB's own elision saved
+        # (measured: straight-line full 356 ms/step vs conditional-full
+        # 450 ms/step vs conditional-reuse 201 ms/step).
         new_cached = {}
         kind = "temporal" if temporal else "spatial"
         if cached is not None:
-            a = jax.lax.cond(reuse_flags[kind], lambda _: cached["attn"],
-                             lambda h_: compute_attn(h_), h)
+            a = cached["attn"] if reuse_flags[kind] else compute_attn(h)
             new_cached["attn"] = a
         else:
             a = compute_attn(h)
@@ -462,16 +469,14 @@ def make_stdit3_core(
                        z_g_a if x_mask is not None else None).astype(h.dtype)
 
         if cached is not None:
-            c = jax.lax.cond(reuse_flags["cross"], lambda _: cached["cross"],
-                             lambda h_: compute_cross(h_), h)
+            c = cached["cross"] if reuse_flags["cross"] else compute_cross(h)
             new_cached["cross"] = c
         else:
             c = compute_cross(h)
         h = h + c
 
         if cached is not None:
-            mo = jax.lax.cond(reuse_flags["mlp"], lambda _: cached["mlp"],
-                              lambda h_: compute_mlp(h_), h)
+            mo = cached["mlp"] if reuse_flags["mlp"] else compute_mlp(h)
             new_cached["mlp"] = mo
         else:
             mo = compute_mlp(h)
@@ -516,32 +521,70 @@ def make_stdit3_core(
             "tp_attn": z(), "tp_cross": z(), "tp_mlp": z(),
         }
 
+    # One straight-line trunk body per unique per-step flag signature,
+    # selected by a SINGLE lax.switch on the step index (the broadcast masks
+    # are host-known, so every signature's body compiles with the reuse
+    # decisions constant-folded). At the 240p bench there are 5 signatures.
+    if masks is not None:
+        _sig_rows = np.stack(
+            [np.asarray(masks[k]) for k in ("spatial", "temporal",
+                                            "cross", "mlp")], axis=1)
+        _sigs, _sig_inv = np.unique(_sig_rows, axis=0, return_inverse=True)
+        _sig_idx = jnp.asarray(_sig_inv.astype(np.int32))
+
+    def _pab_body(sig):
+        sp_f, tp_f, cr_f, ml_f = (bool(x) for x in sig)
+
+        def run(params, h, ctx, state):
+            sp_g, tp_g, packed = _exec_groups(params)
+            rf_sp = {"spatial": sp_f, "temporal": tp_f,
+                     "cross": cr_f, "mlp": ml_f}
+
+            def body(carry, ps):
+                h = carry
+                sp, tp_, c_sa, c_sc, c_sm, c_ta, c_tc, c_tm = ps
+                h, nc_s = _block(sp, h, ctx, temporal=False,
+                                 cached={"attn": c_sa, "cross": c_sc,
+                                         "mlp": c_sm},
+                                 reuse_flags=rf_sp, packed=packed)
+                h, nc_t = _block(tp_, h, ctx, temporal=True,
+                                 cached={"attn": c_ta, "cross": c_tc,
+                                         "mlp": c_tm},
+                                 reuse_flags=rf_sp, packed=packed)
+                return h, (nc_s["attn"], nc_s["cross"], nc_s["mlp"],
+                           nc_t["attn"], nc_t["cross"], nc_t["mlp"])
+
+            h, ys = jax.lax.scan(
+                body, h,
+                (sp_g, tp_g, state["sp_attn"],
+                 state["sp_cross"], state["sp_mlp"], state["tp_attn"],
+                 state["tp_cross"], state["tp_mlp"]))
+            new_state = {"sp_attn": ys[0], "sp_cross": ys[1],
+                         "sp_mlp": ys[2], "tp_attn": ys[3],
+                         "tp_cross": ys[4], "tp_mlp": ys[5]}
+            return h, new_state
+
+        return run
+
     def trunk_pab(params, h, ctx, state, step_idx):
-        flags = {k: masks[k][step_idx] for k in masks}
-        rf_sp = {"spatial": flags["spatial"], "temporal": flags["temporal"],
-                 "cross": flags["cross"], "mlp": flags["mlp"]}
-        sp_g, tp_g, packed = _exec_groups(params)
-
-        def body(carry, ps):
-            h = carry
-            sp, tp_, c_sa, c_sc, c_sm, c_ta, c_tc, c_tm = ps
-            h, nc_s = _block(sp, h, ctx, temporal=False,
-                             cached={"attn": c_sa, "cross": c_sc, "mlp": c_sm},
-                             reuse_flags=rf_sp, packed=packed)
-            h, nc_t = _block(tp_, h, ctx, temporal=True,
-                             cached={"attn": c_ta, "cross": c_tc, "mlp": c_tm},
-                             reuse_flags=rf_sp, packed=packed)
-            return h, (nc_s["attn"], nc_s["cross"], nc_s["mlp"],
-                       nc_t["attn"], nc_t["cross"], nc_t["mlp"])
-
-        h, ys = jax.lax.scan(
-            body, h,
-            (sp_g, tp_g, state["sp_attn"],
-             state["sp_cross"], state["sp_mlp"], state["tp_attn"],
-             state["tp_cross"], state["tp_mlp"]))
-        new_state = {"sp_attn": ys[0], "sp_cross": ys[1], "sp_mlp": ys[2],
-                     "tp_attn": ys[3], "tp_cross": ys[4], "tp_mlp": ys[5]}
-        return h, new_state
+        # callers use step_idx=-1 (or any OOB) for "full compute"; route it
+        # to the all-False body, deduplicated against the signature list
+        sig_list = [tuple(bool(x) for x in s) for s in _sigs]
+        allf = (False, False, False, False)
+        if allf in sig_list:
+            bodies = [_pab_body(s) for s in sig_list]
+            full_branch = sig_list.index(allf)
+            offset = 0
+        else:
+            bodies = [_pab_body(allf)] + [_pab_body(s) for s in sig_list]
+            full_branch = 0
+            offset = 1
+        if len(bodies) == 1:
+            return bodies[0](params, h, ctx, state)
+        in_range = (step_idx >= 0) & (step_idx < _sig_idx.shape[0])
+        sig = _sig_idx[jnp.clip(step_idx, 0, _sig_idx.shape[0] - 1)] + offset
+        idx = jnp.where(in_range, sig, full_branch)
+        return jax.lax.switch(idx, bodies, params, h, ctx, state)
 
     def head(params, h, ctx):
         te = ctx["te"]
