@@ -217,7 +217,6 @@ def _measure_e2e_extras(tiny, lat, frames, cap_len, cfg):
     import jax.numpy as jnp
 
     from magcache_tpu.models.text import MockTextEncoder
-    from magcache_tpu.models.vae import MicroFrameVAE
     from magcache_tpu.models.vae_sd import (SDVAE, SDVAEConfig,
                                             init_sd_vae_params)
     from magcache_tpu.models.vae_temporal import (VAETemporal,
@@ -242,32 +241,58 @@ def _measure_e2e_extras(tiny, lat, frames, cap_len, cfg):
     spatial = SDVAE(s_cfg, init_sd_vae_params(jax.random.PRNGKey(5), s_cfg))
     temporal = VAETemporal(
         t_cfg, init_vae_temporal_params(jax.random.PRNGKey(6), t_cfg))
-    vae = MicroFrameVAE(spatial, temporal, micro_frame_size=mf)
-    # f32 decode (the composite VAE modules are parity-tested in f32); a
-    # conservative choice -- the reference decodes in fp16, so our e2e
-    # overhead is if anything overstated
+    # bf16 decode (the serving-path dtype, like the Wan e2e span; the
+    # reference decodes in fp16 — vae_sd's numpy-scalar promotion bug that
+    # silently forced f32 here is fixed). The chunking below mirrors
+    # MicroFrameVAE.decode's front-padded-latents rule.
+    bf = jnp.bfloat16
+    cast = lambda t: jax.tree.map(
+        lambda a: a.astype(bf) if a.dtype == jnp.float32 else a, t)
+    spatial.params = cast(spatial.params)
+    temporal.params = cast(temporal.params)
     z = jax.random.normal(jax.random.PRNGKey(7),
-                          (1,) + lat + (t_cfg.latent_embed_dim,),
-                          jnp.float32)
-    # jit ONE micro-frame chunk and dispatch per chunk: jitting the whole
-    # decode unrolls all 3 chunks into one graph whose remote compile was
-    # observed to exceed 25 min; the chunks share a shape, so one compile
-    # serves all, and per-chunk dispatches stay under the tunnel's ~60 s
-    # dispatch ceiling
+                          (1,) + lat + (t_cfg.latent_embed_dim,), bf)
+    # jit ONE micro-frame chunk and dispatch per chunk, with the VAE params
+    # as ARGUMENTS: closing over them embeds ~100 MB of weight constants in
+    # the HLO upload, which the remote compile server rejects (HTTP 413
+    # "length limit exceeded" / broken pipe — the failure mode of rounds
+    # 4-5's e2e attempts). Chunks share a shape, so one compile serves all,
+    # and per-chunk dispatches stay under the tunnel's ~60 s ceiling.
     ds = 2 ** sum(t_cfg.temporal_downsample)
     lc = -(-mf // ds)                        # latents per chunk (front-pad)
+    nf_chunk = min(mf, lc * ds)
+    fb = 8                                   # spatial frames per dispatch:
+    # a 17-frame 480p f32 spatial decode needs 18.6 GB of conv temps (OOM on
+    # one v5e); bf16 8-frame sub-batches peak ~2.3 GB and measured fastest
+    # (fb=4: 4.5 s/51f dispatch-bound, fb=8: 1.9 s, fb=17: 2.4 s), and
+    # padding the frame axis to a multiple keeps ONE compiled program shape
 
     @jax.jit
-    def dec_chunk(zc):
-        y = temporal.decode(zc, num_frames=min(mf, zc.shape[1] * ds))
-        return vae._spatial_decode(y)
+    def dec_t(t_params, zc):
+        return VAETemporal(t_cfg, t_params).decode(zc, num_frames=nf_chunk)
+
+    @jax.jit
+    def dec_s(s_params, fr):
+        return SDVAE(s_cfg, s_params).decode(fr)
 
     def full_decode():
         outs = []
         for i in range(0, z.shape[1], lc):
-            o = dec_chunk(z[:, i:i + lc])
-            jax.block_until_ready(o)
-            outs.append(o)
+            y = dec_t(temporal.params, z[:, i:i + lc])
+            jax.block_until_ready(y)
+            b, t = y.shape[:2]
+            flat = y.reshape((b * t,) + y.shape[2:])
+            tp_ = -(-flat.shape[0] // fb) * fb
+            if tp_ != flat.shape[0]:
+                flat = jnp.pad(flat, ((0, tp_ - flat.shape[0]),) +
+                               ((0, 0),) * (flat.ndim - 1))
+            frames = []
+            for j in range(0, tp_, fb):
+                o = dec_s(spatial.params, flat[j:j + fb])
+                jax.block_until_ready(o)
+                frames.append(o)
+            out = jnp.concatenate(frames, axis=0)[:b * t]
+            outs.append(out.reshape((b, t) + out.shape[1:]))
         return jnp.concatenate(outs, axis=1)
 
     y = full_decode()                        # compile (one chunk program)
@@ -277,10 +302,10 @@ def _measure_e2e_extras(tiny, lat, frames, cap_len, cfg):
     jax.block_until_ready(y)
     t_dec = time.time() - t0
     log(f"e2e extras: text encode {t_text:.2f}s, composite VAE decode "
-        f"(f32) {t_dec:.2f}s ({tuple(y.shape)})")
+        f"(bf16) {t_dec:.2f}s ({tuple(y.shape)})")
     return {"t_text_encode_s": round(t_text, 3),
             "t_vae_decode_s": round(t_dec, 3),
-            "vae_decode_dtype": "float32"}
+            "vae_decode_dtype": "bfloat16"}
 
 
 def run_pab(tiny: bool = False) -> dict:

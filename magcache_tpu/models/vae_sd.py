@@ -145,7 +145,10 @@ def _attn(p, x, groups):
     q = h @ p["q"]["w"].T + p["q"]["b"]
     k = h @ p["k"]["w"].T + p["k"]["b"]
     v = h @ p["v"]["w"].T + p["v"]["b"]
-    a = jax.nn.softmax((q @ k.transpose(0, 2, 1)) / np.sqrt(c), axis=-1)
+    # float(): a NumPy scalar is non-weak and would promote a bf16 h to f32,
+    # poisoning every downstream conv's dtype (bf16 decode path)
+    a = jax.nn.softmax((q @ k.transpose(0, 2, 1)) / float(np.sqrt(c)),
+                       axis=-1)
     o = (a @ v) @ p["o"]["w"].T + p["o"]["b"]
     return x + o.reshape(b, hh, ww, c)
 
