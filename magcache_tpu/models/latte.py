@@ -211,11 +211,15 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
             xn = layer_norm_mod(h, scale=sc_a[:, 0], shift=sh_a[:, 0],
                                 eps=cfg.eps)
             if temporal:
-                xr = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3).reshape(rows * S, T, d)
+                xr4 = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3)
                 if packed:
-                    qkv = linear(p["qkv"], xr)    # [R, T, 3*H*dp]
+                    # pad frames BEFORE the projection (fuses into the
+                    # transpose copy; 1/5.3 the bytes of padding the output)
                     if Tp != T:
-                        qkv = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0)))
+                        xr4 = jnp.pad(xr4,
+                                      ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+                    xr = xr4.reshape(rows * S, Tp, d)
+                    qkv = linear(p["qkv"], xr)    # [R, Tp, 3*H*dp]
                     plan = _plan()
                     if plan is None:
                         o = grouped_attention_fused_qkv(
@@ -235,6 +239,7 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
                 else:
                     # tiny frame axis: fused VMEM attention over the qkv
                     # projection (no qk-norm/rope in Latte temporal blocks)
+                    xr = xr4.reshape(rows * S, T, d)
                     qkv = linear(p["qkv"], xr)
                     o = tiny_temporal_attention(qkv, None, None, None, None,
                                                 cfg.heads)

@@ -348,21 +348,27 @@ def make_stdit3_core(
                            z_sh_a if x_mask is not None else None,
                            z_sc_a if x_mask is not None else None).astype(h.dtype)
             if temporal:
-                xr = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3).reshape(rows * S, T, d)
+                xr4 = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3)
                 if packed:
                     # padded-layout qkv -> block-diagonal grouped flash with
                     # qk-norm + frame RoPE fused into the q/k loads; q/k/v
                     # read straight out of the projection output (no split
-                    # copies — grouped_attention_fused_qkv)
-                    qkv = linear(p_slice(p, "qkv"), xr)   # [R, T, 3*H*dp]
+                    # copies — grouped_attention_fused_qkv). Pad the frame
+                    # axis BEFORE the projection: XLA fuses the pad into the
+                    # transpose copy, and padding the 1152-wide input costs
+                    # 1/5.3 the bytes of padding the 6144-wide output
+                    # (~1.2 ms/layer at 480p)
                     if Tp != T:
-                        qkv = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0)))
+                        xr4 = jnp.pad(xr4,
+                                      ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+                    xr = xr4.reshape(rows * S, Tp, d)
+                    qkv = linear(p_slice(p, "qkv"), xr)   # [R, Tp, 3*H*dp]
                     plan = _plan()
                     if plan is None:
                         o = grouped_attention_fused_qkv(
                             qkv.reshape(1, rows * S * Tp, 3 * cfg.heads * dp),
                             cfg.heads, group=Tp, group_valid=T,
-                            scale=sc_attn, qk_gains=_gains(),
+                            scale=sc_attn, qk_gains=_gains(), fixed_max=QKNORM_FIXED_MAX,
                             rope_tables=rope_packed, true_d=cfg.head_dim,
                             eps=1e-6, interpret=_interp())
                     else:
@@ -371,7 +377,7 @@ def make_stdit3_core(
                         o = sharded_grouped_attention_fused_qkv(
                             qkv.reshape(rows, S * Tp, 3 * cfg.heads * dp),
                             cfg.heads, plan.mesh, group=Tp, group_valid=T,
-                            scale=sc_attn, qk_gains=_gains(),
+                            scale=sc_attn, qk_gains=_gains(), fixed_max=QKNORM_FIXED_MAX,
                             rope_tables=rope_packed, true_d=cfg.head_dim,
                             eps=1e-6, shard_tokens=True, interpret=_interp())
                     o = o.reshape(rows * S, Tp, cfg.heads * dp)
@@ -381,6 +387,7 @@ def make_stdit3_core(
                     # qk-norm + RoPE + attention in one pass over the qkv
                     # projection (ops/tiny_attention.py; falls back to the
                     # unfused composition off-TPU / under a mesh)
+                    xr = xr4.reshape(rows * S, T, d)
                     qkv = linear(p_slice(p, "qkv"), xr)
                     o = tiny_temporal_attention(
                         qkv, p.get("q_norm"), p.get("k_norm"),
@@ -400,7 +407,7 @@ def make_stdit3_core(
                     if plan is None:
                         o = grouped_attention_fused_qkv(
                             qkv, cfg.heads, group=Sg, group_valid=S,
-                            scale=sc_attn, qk_gains=_gains(),
+                            scale=sc_attn, qk_gains=_gains(), fixed_max=QKNORM_FIXED_MAX,
                             true_d=cfg.head_dim, eps=1e-6,
                             interpret=_interp())
                     else:
@@ -408,7 +415,7 @@ def make_stdit3_core(
                             sharded_grouped_attention_fused_qkv)
                         o = sharded_grouped_attention_fused_qkv(
                             qkv, cfg.heads, plan.mesh, group=Sg,
-                            group_valid=S, scale=sc_attn, qk_gains=_gains(),
+                            group_valid=S, scale=sc_attn, qk_gains=_gains(), fixed_max=QKNORM_FIXED_MAX,
                             true_d=cfg.head_dim, eps=1e-6,
                             interpret=_interp())
                     a = linear(p_slice(p, "proj"), o)

@@ -557,7 +557,8 @@ def flash_attention_bshd(
 
 
 def _grouped_kernel(q_ref, k_ref, v_ref, *rest, group: int, gvalid: int,
-                    scale_log2e: float, norm=None, rope: bool = False):
+                    scale_log2e: float, norm=None, rope: bool = False,
+                    fixed_max: Optional[float] = None):
     """One-shot softmax attention within contiguous ``group``-token groups.
 
     Each grid step sees one [block, d] q tile and the SAME-position k/v tile;
@@ -596,16 +597,34 @@ def _grouped_kernel(q_ref, k_ref, v_ref, *rest, group: int, gvalid: int,
     k = k.astype(v.dtype)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    q_loc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    k_loc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    mask = (q_loc // group == k_loc // group) & (k_loc % group < gvalid)
-    s = jnp.where(mask, s, _NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m)
+    block = s.shape[0]
+    if block == group and gvalid == group:
+        mask = None                         # one group, no padded tail
+    elif block == group:
+        # one-shot case: the whole block IS one group, so only the padded
+        # tail columns need masking — a 1-D lane condition instead of two
+        # full [block, block] iota tensors (measured VPU savings at S=1600)
+        k_loc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = k_loc < gvalid
+    else:
+        q_loc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        k_loc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = (q_loc // group == k_loc // group) & (k_loc % group < gvalid)
+    if mask is not None:
+        s = jnp.where(mask, s, _NEG_INF)
+    if fixed_max is not None:
+        # norm-bounded scores (RMS qk-norm): static shift, no row-max lane
+        # reduction; overflow guard as in _flash_kernel_fixed_max
+        p = jnp.exp2(jnp.minimum(s, fixed_max + 126.0) - fixed_max)
+    else:
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[...] = jax.lax.dot(
-        (p / l).astype(v.dtype), v,
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    # divide AFTER the [block, d] contraction: a [block, d] divide instead
+    # of a [block, block] one (linearity: dot(p, v)/l == dot(p/l, v))
+    o = jax.lax.dot(p.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32)
+    o_ref[...] = (o / l).astype(o_ref.dtype)
 
 
 def grouped_flash_attention_bshd(
@@ -621,6 +640,7 @@ def grouped_flash_attention_bshd(
     rope_tables: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     true_d: Optional[int] = None,
     eps: float = 1e-6,
+    fixed_max: Optional[float] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Block-diagonal grouped attention on ``[B, S, H, D]``: token ``i``
@@ -667,7 +687,8 @@ def grouped_flash_attention_bshd(
     norm = (true_d, eps) if qk_gains is not None else None
     kernel = functools.partial(_grouped_kernel, group=group, gvalid=gvalid,
                                scale_log2e=scale * _LOG2E, norm=norm,
-                               rope=rope_tables is not None)
+                               rope=rope_tables is not None,
+                               fixed_max=fixed_max)
     spec = pl.BlockSpec((None, block, d), lambda g, i, h=h: (g // h, i, g % h),
                         memory_space=pltpu.VMEM)
     in_specs = [spec, spec, spec]
@@ -722,6 +743,7 @@ def grouped_attention_fused_qkv(
     rope_tables: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     true_d: Optional[int] = None,
     eps: float = 1e-6,
+    fixed_max: Optional[float] = None,
     head_major: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -780,7 +802,8 @@ def grouped_attention_fused_qkv(
     norm = (true_d, eps) if qk_gains is not None else None
     kernel = functools.partial(_grouped_kernel, group=group, gvalid=gvalid,
                                scale_log2e=scale * _LOG2E, norm=norm,
-                               rope=rope_tables is not None)
+                               rope=rope_tables is not None,
+                               fixed_max=fixed_max)
     if head_major:
         # feature layout [h, 3, d]: q/k/v of head g%h at lane blocks 3*(g%h)+{0,1,2}
         mk = lambda off: pl.BlockSpec(

@@ -46,6 +46,7 @@ def sharded_grouped_attention_fused_qkv(
     rope_tables=None,
     true_d: Optional[int] = None,
     eps: float = 1e-6,
+    fixed_max: Optional[float] = None,
     shard_tokens: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -108,7 +109,7 @@ def sharded_grouped_attention_fused_qkv(
             x, hl, group=group, group_valid=group_valid, scale=scale,
             qk_gains=(tuple(gains) if gains else None),
             rope_tables=rope_tables, true_d=true_d, eps=eps,
-            head_major=head_major, interpret=interpret)
+            fixed_max=fixed_max, head_major=head_major, interpret=interpret)
 
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
     # annotation, which the vma checker rejects inside shard_map

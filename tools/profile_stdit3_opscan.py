@@ -69,7 +69,7 @@ def main():
         if Sg != S:
             qkv = jnp.pad(qkv, ((0, 0), (0, Sg - S), (0, 0)))
         o = grouped_attention_fused_qkv(qkv, heads, group=Sg, group_valid=S,
-                                        scale=sc, qk_gains=gains, true_d=td,
+                                        scale=sc, qk_gains=gains, fixed_max=QKNORM_FIXED_MAX, true_d=td,
                                         eps=1e-6)
         a = linear(p["proj"], o)
         return a[:, :S].reshape(rows, N, d)
@@ -83,7 +83,7 @@ def main():
         qkv = jnp.tile(jnp.pad(base, ((0, 0), (0, 0),
                                       (0, heads * dp - d))), (1, 1, 3))
         o = grouped_attention_fused_qkv(qkv, heads, group=Sg, group_valid=S,
-                                        scale=sc, qk_gains=gains, true_d=td,
+                                        scale=sc, qk_gains=gains, fixed_max=QKNORM_FIXED_MAX, true_d=td,
                                         eps=1e-6)
         return o[:, :S, :d].reshape(rows, N, d)
 
@@ -104,7 +104,7 @@ def main():
         o = grouped_attention_fused_qkv(
             qkv.reshape(1, rows * S * Tp, 3 * heads * dp), heads,
             group=Tp, group_valid=T, scale=sc,
-            qk_gains=gains, rope_tables=rope, true_d=td, eps=1e-6)
+            qk_gains=gains, fixed_max=QKNORM_FIXED_MAX, rope_tables=rope, true_d=td, eps=1e-6)
         o = o.reshape(rows * S, Tp, heads * dp)
         a = linear(p["proj"], o)[:, :T]
         return a.reshape(rows, S, T, d).transpose(0, 2, 1, 3).reshape(
@@ -118,7 +118,7 @@ def main():
         q4 = q.reshape(1, rows * S * Tp, heads, dp)
         o = grouped_flash_attention_bshd(
             q4, q4, q4, group=Tp, group_valid=T, scale=sc,
-            qk_gains=gains, rope_tables=rope, true_d=td, eps=1e-6)
+            qk_gains=gains, fixed_max=QKNORM_FIXED_MAX, rope_tables=rope, true_d=td, eps=1e-6)
         o = o.reshape(rows * S, Tp, heads, dp)[:, :T, :, :td]
         return o.reshape(rows, S, T, d).transpose(0, 2, 1, 3).reshape(
             rows, N, d)
