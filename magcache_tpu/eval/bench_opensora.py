@@ -276,24 +276,25 @@ def _measure_e2e_extras(tiny, lat, frames, cap_len, cfg):
         return SDVAE(s_cfg, s_params).decode(fr)
 
     def full_decode():
+        # queue all ~12 sub-second dispatches and block once at the end —
+        # per-dispatch blocking serialized host gaps into the span (each
+        # dispatch is ~0.3 s, far under the tunnel's ~60 s ceiling)
         outs = []
         for i in range(0, z.shape[1], lc):
             y = dec_t(temporal.params, z[:, i:i + lc])
-            jax.block_until_ready(y)
             b, t = y.shape[:2]
             flat = y.reshape((b * t,) + y.shape[2:])
             tp_ = -(-flat.shape[0] // fb) * fb
             if tp_ != flat.shape[0]:
                 flat = jnp.pad(flat, ((0, tp_ - flat.shape[0]),) +
                                ((0, 0),) * (flat.ndim - 1))
-            frames = []
-            for j in range(0, tp_, fb):
-                o = dec_s(spatial.params, flat[j:j + fb])
-                jax.block_until_ready(o)
-                frames.append(o)
+            frames = [dec_s(spatial.params, flat[j:j + fb])
+                      for j in range(0, tp_, fb)]
             out = jnp.concatenate(frames, axis=0)[:b * t]
             outs.append(out.reshape((b, t) + out.shape[1:]))
-        return jnp.concatenate(outs, axis=1)
+        res = jnp.concatenate(outs, axis=1)
+        jax.block_until_ready(res)
+        return res
 
     y = full_decode()                        # compile (one chunk program)
     jax.block_until_ready(y)

@@ -34,7 +34,7 @@ from magcache_tpu.models.common import linear, linear_params, timestep_embedding
 from magcache_tpu.ops.attention import (
     QKNORM_FIXED_MAX, attention, flash_attention_bshd,
     grouped_attention_fused_qkv)
-from magcache_tpu.ops.fused_prologue import layer_norm_mod
+from magcache_tpu.ops.fused_prologue import layer_norm_mod, lnmod_matmul
 from magcache_tpu.ops.norms import layer_norm, rms_norm
 from magcache_tpu.ops.rope import apply_rope, rope_freqs_1d
 from magcache_tpu.ops.tiny_attention import tiny_temporal_attention
@@ -343,11 +343,15 @@ def make_stdit3_core(
 
         sc_attn = 1.0 / float(np.sqrt(cfg.head_dim))
 
+        def _mod_attn(h):
+            return _modulate(h, sh_a, sc_a,
+                             z_sh_a if x_mask is not None else None,
+                             z_sc_a if x_mask is not None else None
+                             ).astype(h.dtype)
+
         def compute_attn(h):
-            xn = _modulate(h, sh_a, sc_a,
-                           z_sh_a if x_mask is not None else None,
-                           z_sc_a if x_mask is not None else None).astype(h.dtype)
             if temporal:
+                xn = _mod_attn(h)
                 xr4 = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3)
                 if packed:
                     # padded-layout qkv -> block-diagonal grouped flash with
@@ -395,12 +399,27 @@ def make_stdit3_core(
                     a = linear(p_slice(p, "proj"), o)
                 a = a.reshape(rows, S, T, d).transpose(0, 2, 1, 3).reshape(rows, N, d)
             else:
-                xr = xn.reshape(rows * T, S, d)
+                if packed and x_mask is None:
+                    # LN + AdaLN-modulate fused INTO the qkv matmul
+                    # (ops/fused_prologue.lnmod_matmul): the modulate is
+                    # per-token, so it commutes with the [rows,N,d] ->
+                    # [rows*T,S,d] frame reshape and the separate ~VPU-bound
+                    # LN/mod pass + its HBM round-trip disappear under the MXU
+                    qkv = lnmod_matmul(h, sc_a[:, 0], sh_a[:, 0],
+                                       p["qkv"]["w"], p["qkv"].get("b"),
+                                       eps=cfg.eps, interpret=_interp())
+                    qkv = qkv.reshape(rows * T, S, qkv.shape[-1])
+                elif packed:
+                    xn = _mod_attn(h)
+                    qkv = linear(p_slice(p, "qkv"),
+                                 xn.reshape(rows * T, S, d))
+                else:
+                    xn = _mod_attn(h)
+                    xr = xn.reshape(rows * T, S, d)
                 if packed and Sg <= 2048:
                     # one-shot per-frame softmax: group = the (16-aligned)
                     # frame token count — 1.3% pad waste vs 66% for pow2
                     # flash blocks at S=1590, no KV re-fetch
-                    qkv = linear(p_slice(p, "qkv"), xr)   # [rows*T, S, 3*H*dp]
                     if Sg != S:
                         qkv = jnp.pad(qkv, ((0, 0), (0, Sg - S), (0, 0)))
                     plan = _plan()
@@ -422,7 +441,6 @@ def make_stdit3_core(
                     if Sg != S:
                         a = a[:, :S]
                 elif packed:
-                    qkv = linear(p_slice(p, "qkv"), xr)   # [rows*T, S, 3*H*dp]
                     qh, kh, vh = jnp.split(qkv, 3, axis=-1)
                     rs4 = lambda t_: t_.reshape(rows * T, S, cfg.heads, dp)
                     gains = _gains()
@@ -451,9 +469,14 @@ def make_stdit3_core(
             return linear(p["cross_o"], o)
 
         def compute_mlp(h):
-            xm = _modulate(h, sh_m, sc_m,
-                           z_sh_m if x_mask is not None else None,
-                           z_sc_m if x_mask is not None else None).astype(h.dtype)
+            if x_mask is None:
+                # LN + modulate + mlp1 matmul + gelu in one kernel pass
+                # (the gelu rides the MXU epilogue in f32)
+                y = lnmod_matmul(h, sc_m[:, 0], sh_m[:, 0], p["mlp1"]["w"],
+                                 p["mlp1"].get("b"), act="gelu", eps=cfg.eps,
+                                 interpret=packed and _interp())
+                return linear(p["mlp2"], y)
+            xm = _modulate(h, sh_m, sc_m, z_sh_m, z_sc_m).astype(h.dtype)
             return linear(p["mlp2"], jax.nn.gelu(linear(p["mlp1"], xm),
                                                  approximate=True))
 

@@ -36,7 +36,115 @@ from jax.experimental.pallas import tpu as pltpu
 from magcache_tpu.ops.norms import rms_norm
 from magcache_tpu.ops.rope import _pair_swap_matrix, apply_rope
 
-__all__ = ["rms_norm_rope", "layer_norm_mod"]
+__all__ = ["rms_norm_rope", "layer_norm_mod", "lnmod_matmul"]
+
+
+def _lnmod_mm_kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref, *,
+                     eps: float, act: Optional[str]):
+    """(LayerNorm + AdaLN modulate + matmul [+ bias] [+ gelu]) in one pass.
+
+    The separate LN+mod pass is VPU-compute-bound (~1.5 ms at STDiT3-480p,
+    insensitive to block size — measured round 5) and costs a full HBM
+    round-trip of the activation; inside the matmul kernel its VPU work
+    overlaps the MXU and the round-trip disappears."""
+    x32 = x_ref[...].astype(jnp.float32)                  # [bs, d_in]
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    cent = x32 - mean
+    var = jnp.mean(cent * cent, axis=-1, keepdims=True)
+    y = cent * jax.lax.rsqrt(var + eps)
+    # the unfused path rounds ln(x) to the activation dtype before the f32
+    # modulation (ops.norms.layer_norm returns x.dtype) — replicate, then
+    # round again to the matmul operand dtype like the unfused qkv input
+    y = y.astype(o_ref.dtype).astype(jnp.float32)
+    y = y * (1.0 + a_ref[...]) + b_ref[...]
+    acc = jax.lax.dot(y.astype(w_ref.dtype), w_ref[...],
+                      preferred_element_type=jnp.float32)
+    acc = acc + bias_ref[...]
+    if act == "gelu":
+        acc = jax.nn.gelu(acc, approximate=True)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def lnmod_matmul(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    shift: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    act: Optional[str] = None,
+    eps: float = 1e-6,
+    block_s: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``(layer_norm(x) * (1+scale) + shift) @ w [+ bias]`` fused, with an
+    optional gelu epilogue (the MLP-in projection).
+
+    x: [B, S, d_in]; scale/shift: [B, d_in] (per-sample AdaLN rows);
+    w: [d_in, d_out]; bias: [d_out]. Returns [B, S, d_out] in x.dtype.
+    The weight stays VMEM-resident across the token grid (d_in*d_out*2B —
+    14 MB at STDiT3's qkv), so the LN/mod VPU work runs under the MXU.
+    Falls back to the unfused composition off-TPU, under a mesh plan, or
+    for non-128-aligned dims."""
+    import os
+
+    from magcache_tpu.parallel.mesh import _ACTIVE
+
+    b, s, d_in = x.shape
+    d_out = w.shape[-1]
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    enabled = (os.environ.get("MAGCACHE_FUSED_PROLOGUE", "1") != "0"
+               and os.environ.get("MAGCACHE_LNMOD_MM", "1") != "0")
+    if not interpret and (not on_tpu or not enabled or d_in % 128 != 0
+                          or d_out % 128 != 0 or _ACTIVE.get() is not None):
+        y = layer_norm_mod(x, scale=scale, shift=shift, eps=eps,
+                           interpret=interpret)
+        out = jnp.einsum("bsd,df->bsf", y.astype(w.dtype), w)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        if act == "gelu":
+            out = jax.nn.gelu(out, approximate=True)
+        return out.astype(x.dtype)
+
+    a2 = scale.reshape(b, 1, d_in).astype(jnp.float32)
+    b2 = shift.reshape(b, 1, d_in).astype(jnp.float32)
+    bias2 = (jnp.asarray(bias, jnp.float32).reshape(1, d_out)
+             if bias is not None else jnp.zeros((1, d_out), jnp.float32))
+    a_spec = pl.BlockSpec((None, 1, d_in), lambda bi, i: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    block_s = min(block_s, max(8, 1 << (s - 1).bit_length()))
+    ns = -(-s // block_s)
+    out = pl.pallas_call(
+        functools.partial(_lnmod_mm_kernel, eps=eps, act=act),
+        grid=(b, ns),
+        in_specs=[
+            pl.BlockSpec((None, block_s, d_in), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            a_spec,
+            a_spec,
+            pl.BlockSpec((d_in, d_out), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_out), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_s, d_out),
+                               lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, d_out), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s * d_in * d_out,
+            bytes_accessed=(x.size * x.dtype.itemsize
+                            + b * s * d_out * x.dtype.itemsize
+                            + w.size * w.dtype.itemsize),
+            transcendentals=b * s * (d_out if act else 0),
+        ),
+        interpret=interpret,
+    )(x, a2, b2, w, bias2)
+    return out
 
 
 def _kernel(x_ref, g_ref, cos_ref, sin_ref, p_ref, o_ref, *, heads: int,
