@@ -351,6 +351,11 @@ def make_stdit3_core(
 
         def compute_attn(h):
             if temporal:
+                # NOTE (round 5, measured): fusing the [T,S]<->[S,T]
+                # transposes into the qkv/proj matmul kernels via transposed
+                # BlockSpec index maps LOST 130 ms/forward in-model at 480p
+                # despite winning standalone — the XLA transpose+pad+matmul
+                # chain fuses better in context. Keep the explicit path.
                 xn = _mod_attn(h)
                 xr4 = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3)
                 if packed:

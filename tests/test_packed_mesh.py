@@ -141,6 +141,19 @@ def test_packed_trunk_under_mesh_matches_unpacked(setup, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("setup", [_stdit3_setup, _latte_setup],
+                         ids=["stdit3", "latte"])
+def test_packed_trunk_single_device_matches_unpacked(setup, monkeypatch):
+    """No-mesh packed path (the TPU production route): exercises the fused
+    LN+mod qkv/mlp matmuls (lnmod_matmul) in interpret mode."""
+    core, params, x, t, cond = setup()
+    monkeypatch.setenv("MAGCACHE_STDIT3_PACKED", "0")
+    ref = np.asarray(_forward(core, params, x, t, cond))
+    monkeypatch.setenv("MAGCACHE_STDIT3_PACKED", "interpret")
+    out = _forward(core, params, x, t, cond)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
 def test_packed_stays_enabled_under_mesh(monkeypatch):
     """The round-4 opt-out (_ACTIVE -> unpacked) is gone: with a plan active
     and a TPU-or-interpret backend, _use_packed-gated packing must engage.

@@ -32,13 +32,17 @@ def scan_time(name, f, x, reps=REPS):
         # cheap data dependency back into the carry
         return c + 1e-6 * y.reshape(c.shape).astype(c.dtype), None
 
-    fn = jax.jit(lambda x0: jax.lax.scan(body, x0, None, length=reps)[0])
-    jax.block_until_ready(fn(x))
+    # one scalar readback per timing (block_until_ready does NOT block on
+    # the axon tunnel — see .claude/skills/verify); ~28 ms round-trip
+    # subtracted, amortized over reps anyway
+    fn = jax.jit(lambda x0: jnp.sum(
+        jax.lax.scan(body, x0, None, length=reps)[0].astype(jnp.float32)))
+    float(fn(x))
     best = 1e9
     for _ in range(3):
         t0 = time.time()
-        jax.block_until_ready(fn(x))
-        best = min(best, time.time() - t0)
+        float(fn(x))
+        best = min(best, time.time() - t0 - 0.028)
     print(f"{name:46s} {best/reps*1e3:8.2f} ms/op   ({best*1e3:7.1f} total)")
     return best / reps
 
@@ -143,13 +147,57 @@ def main():
         sc_ = jnp.zeros((rows, d), jnp.float32)
         return layer_norm_mod(h, scale=sc_, shift=sc_, eps=1e-6)
 
+    from magcache_tpu.ops.fused_prologue import lnmod_matmul
+
+    sc0 = jnp.zeros((rows, d), jnp.float32)
+
+    def spatial_chain_fused(h):
+        qkv = lnmod_matmul(h, sc0, sc0, p["qkv"]["w"], p["qkv"].get("b"),
+                           eps=1e-6)
+        qkv = qkv.reshape(rows * T, S, 3 * heads * dp)
+        if Sg != S:
+            qkv = jnp.pad(qkv, ((0, 0), (0, Sg - S), (0, 0)))
+        o = grouped_attention_fused_qkv(qkv, heads, group=Sg, group_valid=S,
+                                        scale=sc, qk_gains=gains,
+                                        fixed_max=QKNORM_FIXED_MAX, true_d=td,
+                                        eps=1e-6)
+        a = linear(p["proj"], o)
+        return a[:, :S].reshape(rows, N, d)
+
+    def mlp_chain_fused(h):
+        yy = lnmod_matmul(h, sc0, sc0, p["mlp1"]["w"], p["mlp1"].get("b"),
+                          act="gelu", eps=1e-6)
+        return linear(p["mlp2"], yy)
+
+    def cross_unpacked(h):
+        # packed cross projections burn (128-72)/72 = 78% extra MXU columns;
+        # the attention itself is tiny (L=300 keys) — candidate: keep cross
+        # at the checkpoint head_dim
+        pu = jax.tree.map(lambda a: a[0], params["spatial"])
+        q = linear(pu["cross_q"], h).reshape(rows, N, heads, td)
+        kv = linear(pu["cross_kv"], y[..., :d])
+        kc, vc = jnp.split(kv, 2, axis=-1)
+        rs4 = lambda t_: t_.reshape(rows, L, heads, td)
+        o = attention(q, rs4(kc), rs4(vc))
+        return linear(pu["cross_o"], o.reshape(rows, N, d))
+
+    def head_chain(h):
+        n = layer_norm_mod(h, scale=sc0, shift=sc0, eps=1e-6)
+        out = linear({"w": jnp.zeros((d, 32), bf)}, n)
+        return jnp.broadcast_to(jnp.pad(out, ((0, 0), (0, 0), (0, d - 32))),
+                                h.shape)
+
     scan_time("mlp (control, ~88% MFU known)", mlp_chain, h)
     scan_time("qkv matmul packed [.,1152]->[.,6144]", qkv_only, h)
     scan_time("spatial chain (qkv+oneshot+proj)", spatial_chain, h)
+    scan_time("spatial chain FUSED (lnmod_mm+oneshot+proj)", spatial_chain_fused, h)
     scan_time("spatial oneshot kernel only", spatial_oneshot_only, h)
     scan_time("temporal chain (tr+qkv+pad+fqkv+proj+tr)", temporal_chain, h)
-    scan_time("cross chain (q+kv+attn+o)", cross_chain, h)
+    scan_time("cross chain packed (q+kv+attn+o)", cross_chain, h)
+    scan_time("cross chain UNPACKED 72-lane", cross_unpacked, h)
+    scan_time("mlp chain FUSED (lnmod_mm gelu + mlp2)", mlp_chain_fused, h)
     scan_time("layer_norm_mod", lnmod_only, h)
+    scan_time("final-head (ln+mod+thin proj)", head_chain, h)
 
 
 if __name__ == "__main__":
