@@ -33,7 +33,7 @@ from magcache_tpu.core.sampler import DiTCore
 from magcache_tpu.models.common import linear, linear_params, timestep_embedding
 from magcache_tpu.ops.attention import (
     QKNORM_FIXED_MAX, attention, flash_attention_bshd,
-    grouped_attention_fused_qkv)
+    fused_cross_attention, grouped_attention_fused_qkv)
 from magcache_tpu.ops.fused_prologue import layer_norm_mod, lnmod_matmul
 from magcache_tpu.ops.norms import layer_norm, rms_norm
 from magcache_tpu.ops.rope import apply_rope, rope_freqs_1d
@@ -463,9 +463,18 @@ def make_stdit3_core(
 
         def compute_cross(h):
             y = ctx["y"]
-            q = linear(p["cross_q"], h)
             kv = linear(p["cross_kv"], y)
             k, v = jnp.split(kv, 2, axis=-1)
+            if packed and _plan() is None:
+                # whole module in one kernel: q-proj + 300-key attention +
+                # out-proj with weights and the K/V context VMEM-resident
+                # (ops.attention.fused_cross_attention) — the q and
+                # attention-out intermediates never round-trip HBM
+                return fused_cross_attention(
+                    h, p["cross_q"]["w"], p["cross_q"].get("b"), k, v,
+                    p["cross_o"]["w"], p["cross_o"].get("b"), cfg.heads,
+                    scale=sc_attn, interpret=_interp())
+            q = linear(p["cross_q"], h)
             hd_c = dp if packed else cfg.head_dim
             rs = lambda t_: t_.reshape(t_.shape[0], t_.shape[1], cfg.heads, hd_c)
             o = attention(rs(q), rs(k), rs(v),

@@ -43,7 +43,8 @@ def _pair_swap_np(d: int) -> "np.ndarray":
     P[2 * idx, 2 * idx + 1] = 1.0
     return P
 
-__all__ = ["attention", "flash_attention_bhsd", "flash_attention_bshd", "QKNORM_FIXED_MAX"]
+__all__ = ["attention", "flash_attention_bhsd", "flash_attention_bshd",
+           "fused_cross_attention", "QKNORM_FIXED_MAX"]
 
 _NEG_INF = -1e30
 
@@ -856,6 +857,141 @@ def grouped_attention_fused_qkv(
         interpret=interpret,
     )(*operands)
     return out[:, :s_len]
+
+
+def _cross_fused_kernel(x_ref, wq_ref, bq_ref, k_ref, v_ref, wo_ref, bo_ref,
+                        o_ref, *, heads: int, d: int, scale_log2e: float,
+                        kv_valid: int):
+    """q-projection + short-context attention + out-projection, one pass."""
+    q = jax.lax.dot(x_ref[...], wq_ref[...],
+                    preferred_element_type=jnp.float32)
+    q = (q + bq_ref[...]).astype(k_ref.dtype)     # rounds like the unfused q
+    k = k_ref[...]
+    v = v_ref[...]
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], k.shape[0]), 1)
+            < kv_valid)
+    outs = []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        s = jax.lax.dot_general(q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(mask, s * scale_log2e, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        oh = jax.lax.dot(p.astype(v.dtype), v[:, sl],
+                         preferred_element_type=jnp.float32)
+        outs.append(oh / l)
+    o = jnp.concatenate(outs, axis=-1).astype(wo_ref.dtype)
+    acc = jax.lax.dot(o, wo_ref[...], preferred_element_type=jnp.float32)
+    o_ref[...] = (acc + bo_ref[...]).astype(o_ref.dtype)
+
+
+def fused_cross_attention(
+    x: jnp.ndarray,
+    wq: jnp.ndarray,
+    bq: Optional[jnp.ndarray],
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    wo: jnp.ndarray,
+    bo: Optional[jnp.ndarray],
+    heads: int,
+    *,
+    scale: Optional[float] = None,
+    kv_valid: Optional[int] = None,
+    block_s: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole cross-attention module — ``linear_q -> attention(k, v) ->
+    linear_o`` — as ONE kernel for short KV contexts (DiT caption
+    cross-attention: a few hundred keys vs tens of thousands of queries).
+
+    x: [B, N, d_model]; wq: [d_model, H*D]; k/v: [B, L, H*D] (the
+    precomputed, head-aligned key/value projections of the context); wo:
+    [H*D, d_out]. Returns [B, N, d_out].
+
+    Both weights and the whole K/V stay VMEM-resident across the query
+    grid, so the ~N*H*D-sized q and attention-output intermediates never
+    round-trip HBM (2 x 195 MB/block at STDiT3-480p), and the per-head
+    score tiles are [block_s, Lp] slivers instead of flash-sized blocks.
+    The reference runs this module as three separate launches around a
+    flash call (``videosys/models/modules/attentions.py:107-141``).
+
+    Padded keys beyond ``kv_valid`` (default: all L are valid — STDiT3
+    attends the full 300-token padded caption, matching
+    `models.stdit3` parity) are masked; L is padded to a lane multiple
+    internally. D must be 128-aligned (use the packed weights)."""
+    b, n, dm = x.shape
+    hd = wq.shape[-1]
+    d = hd // heads
+    L = k.shape[1]
+    d_out = wo.shape[-1]
+    scale = (1.0 / math.sqrt(d)) if scale is None else scale
+    kv_valid = L if kv_valid is None else kv_valid
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    enabled = os.environ.get("MAGCACHE_FUSED_CROSS", "1") != "0"
+    from magcache_tpu.parallel.mesh import _ACTIVE
+    if not interpret and (not on_tpu or not enabled or d % 128 != 0
+                          or dm % 128 != 0 or d_out % 128 != 0
+                          or _ACTIVE.get() is not None):
+        q = x @ wq
+        if bq is not None:
+            q = q + bq
+        rs = lambda t_, s_: t_.reshape(t_.shape[0], s_, heads, d)
+        o = attention(rs(q, n), rs(k, L), rs(v, L), scale=scale,
+                      kv_len=(kv_valid if kv_valid != L else None))
+        o = o.reshape(b, n, hd) @ wo
+        if bo is not None:
+            o = o + bo
+        return o.astype(x.dtype)
+
+    Lp = -(-L // 128) * 128
+    if Lp != L:
+        pad = ((0, 0), (0, Lp - L), (0, 0))
+        k, v = jnp.pad(k, pad), jnp.pad(v, pad)
+        kv_valid = min(kv_valid, L)
+    bq2 = (jnp.asarray(bq, jnp.float32).reshape(1, hd)
+           if bq is not None else jnp.zeros((1, hd), jnp.float32))
+    bo2 = (jnp.asarray(bo, jnp.float32).reshape(1, d_out)
+           if bo is not None else jnp.zeros((1, d_out), jnp.float32))
+    block_s = min(block_s, max(8, 1 << (n - 1).bit_length()))
+    ns = -(-n // block_s)
+    const = lambda shape: pl.BlockSpec(shape, lambda bi, i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_cross_fused_kernel, heads=heads, d=d,
+                          scale_log2e=scale * _LOG2E, kv_valid=kv_valid),
+        grid=(b, ns),
+        in_specs=[
+            pl.BlockSpec((None, block_s, dm), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            const((dm, hd)),
+            const((1, hd)),
+            pl.BlockSpec((None, Lp, hd), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Lp, hd), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((hd, d_out)),
+            const((1, d_out)),
+        ],
+        out_specs=pl.BlockSpec((None, block_s, d_out),
+                               lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d_out), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * dm * hd + 4 * b * n * Lp * hd
+            + 2 * b * n * hd * d_out,
+            bytes_accessed=(x.size + b * n * d_out) * x.dtype.itemsize
+            + (wq.size + wo.size + k.size + v.size) * k.dtype.itemsize,
+            transcendentals=b * heads * n * Lp,
+        ),
+        interpret=interpret,
+    )(x, wq, bq2, k, v, wo, bo2)
+    return out
 
 
 def flash_attention_bhsd_aux(
