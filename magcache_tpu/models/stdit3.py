@@ -409,15 +409,22 @@ def make_stdit3_core(
                     # (ops/fused_prologue.lnmod_matmul): the modulate is
                     # per-token, so it commutes with the [rows,N,d] ->
                     # [rows*T,S,d] frame reshape and the separate ~VPU-bound
-                    # LN/mod pass + its HBM round-trip disappear under the MXU
-                    qkv = lnmod_matmul(h, sc_a[:, 0], sh_a[:, 0],
+                    # LN/mod pass + its HBM round-trip disappear under the
+                    # MXU. rows_out=Sg: the attention-group row padding is
+                    # zero-filled by the kernel's write — no separate pad
+                    # copy of the 6144-wide projection output (~1.4 ms)
+                    qkv = lnmod_matmul(h.reshape(rows * T, S, d),
+                                       sc_a[:, 0], sh_a[:, 0],
                                        p["qkv"]["w"], p["qkv"].get("b"),
-                                       eps=cfg.eps, interpret=_interp())
-                    qkv = qkv.reshape(rows * T, S, qkv.shape[-1])
+                                       eps=cfg.eps,
+                                       rows_out=(Sg if Sg <= 2048 else None),
+                                       batch_repeat=T, interpret=_interp())
                 elif packed:
                     xn = _mod_attn(h)
                     qkv = linear(p_slice(p, "qkv"),
                                  xn.reshape(rows * T, S, d))
+                    if Sg != S and Sg <= 2048:
+                        qkv = jnp.pad(qkv, ((0, 0), (0, Sg - S), (0, 0)))
                 else:
                     xn = _mod_attn(h)
                     xr = xn.reshape(rows * T, S, d)
@@ -425,8 +432,6 @@ def make_stdit3_core(
                     # one-shot per-frame softmax: group = the (16-aligned)
                     # frame token count — 1.3% pad waste vs 66% for pow2
                     # flash blocks at S=1590, no KV re-fetch
-                    if Sg != S:
-                        qkv = jnp.pad(qkv, ((0, 0), (0, Sg - S), (0, 0)))
                     plan = _plan()
                     if plan is None:
                         o = grouped_attention_fused_qkv(

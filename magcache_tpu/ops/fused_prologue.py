@@ -40,13 +40,18 @@ __all__ = ["rms_norm_rope", "layer_norm_mod", "lnmod_matmul"]
 
 
 def _lnmod_mm_kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref, *,
-                     eps: float, act: Optional[str]):
+                     eps: float, act: Optional[str], valid_s: int,
+                     block_s: int):
     """(LayerNorm + AdaLN modulate + matmul [+ bias] [+ gelu]) in one pass.
 
     The separate LN+mod pass is VPU-compute-bound (~1.5 ms at STDiT3-480p,
     insensitive to block size — measured round 5) and costs a full HBM
     round-trip of the activation; inside the matmul kernel its VPU work
-    overlaps the MXU and the round-trip disappears."""
+    overlaps the MXU and the round-trip disappears.
+
+    ``valid_s``: rows >= valid_s of the (possibly longer) output are
+    zero-filled — emitting attention-group row padding directly instead of
+    a separate full-width pad copy of the projection output."""
     x32 = x_ref[...].astype(jnp.float32)                  # [bs, d_in]
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     cent = x32 - mean
@@ -62,6 +67,10 @@ def _lnmod_mm_kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref, *,
     acc = acc + bias_ref[...]
     if act == "gelu":
         acc = jax.nn.gelu(acc, approximate=True)
+    if valid_s is not None:  # static: output carries zero-filled pad rows
+        row = (pl.program_id(1) * block_s
+               + jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0))
+        acc = jnp.where(row < valid_s, acc, 0.0)
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
@@ -75,13 +84,20 @@ def lnmod_matmul(
     act: Optional[str] = None,
     eps: float = 1e-6,
     block_s: int = 512,
+    rows_out: Optional[int] = None,
+    batch_repeat: int = 1,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """``(layer_norm(x) * (1+scale) + shift) @ w [+ bias]`` fused, with an
     optional gelu epilogue (the MLP-in projection).
 
-    x: [B, S, d_in]; scale/shift: [B, d_in] (per-sample AdaLN rows);
-    w: [d_in, d_out]; bias: [d_out]. Returns [B, S, d_out] in x.dtype.
+    x: [B, S, d_in]; scale/shift: [B/batch_repeat, d_in] (per-sample AdaLN
+    rows; ``batch_repeat`` > 1 maps consecutive groups of x batch rows to
+    one modulation row — the per-frame view of a [rows, T*S, d] trunk
+    hidden); w: [d_in, d_out]; bias: [d_out]. Returns [B, rows_out, d_out]
+    in x.dtype, where ``rows_out >= S`` appends ZERO-filled rows per batch
+    row — attention-group padding emitted directly by the kernel's write
+    instead of a separate full-width pad copy of the projection output.
     The weight stays VMEM-resident across the token grid (d_in*d_out*2B —
     14 MB at STDiT3's qkv), so the LN/mod VPU work runs under the MXU.
     Falls back to the unfused composition off-TPU, under a mesh plan, or
@@ -92,33 +108,49 @@ def lnmod_matmul(
 
     b, s, d_in = x.shape
     d_out = w.shape[-1]
+    rows_out = s if rows_out is None else rows_out
     on_tpu = jax.default_backend() in ("tpu", "axon")
     enabled = (os.environ.get("MAGCACHE_FUSED_PROLOGUE", "1") != "0"
                and os.environ.get("MAGCACHE_LNMOD_MM", "1") != "0")
     if not interpret and (not on_tpu or not enabled or d_in % 128 != 0
                           or d_out % 128 != 0 or _ACTIVE.get() is not None):
-        y = layer_norm_mod(x, scale=scale, shift=shift, eps=eps,
+        sc2 = (jnp.repeat(scale, batch_repeat, axis=0)
+               if batch_repeat > 1 else scale)
+        sh2 = (jnp.repeat(shift, batch_repeat, axis=0)
+               if batch_repeat > 1 else shift)
+        y = layer_norm_mod(x, scale=sc2, shift=sh2, eps=eps,
                            interpret=interpret)
         out = jnp.einsum("bsd,df->bsf", y.astype(w.dtype), w)
         if bias is not None:
             out = out + bias.astype(out.dtype)
         if act == "gelu":
             out = jax.nn.gelu(out, approximate=True)
-        return out.astype(x.dtype)
+        out = out.astype(x.dtype)
+        if rows_out != s:
+            out = jnp.pad(out, ((0, 0), (0, rows_out - s), (0, 0)))
+        return out
 
-    a2 = scale.reshape(b, 1, d_in).astype(jnp.float32)
-    b2 = shift.reshape(b, 1, d_in).astype(jnp.float32)
+    nb = b // batch_repeat
+    a2 = scale.reshape(nb, 1, d_in).astype(jnp.float32)
+    b2 = shift.reshape(nb, 1, d_in).astype(jnp.float32)
     bias2 = (jnp.asarray(bias, jnp.float32).reshape(1, d_out)
              if bias is not None else jnp.zeros((1, d_out), jnp.float32))
-    a_spec = pl.BlockSpec((None, 1, d_in), lambda bi, i: (bi, 0, 0),
+    rep = batch_repeat
+    a_spec = pl.BlockSpec((None, 1, d_in), lambda bi, i: (bi // rep, 0, 0),
                           memory_space=pltpu.VMEM)
     block_s = min(block_s, max(8, 1 << (s - 1).bit_length()))
-    ns = -(-s // block_s)
+    ns = -(-rows_out // block_s)
+    # the grid covers rows_out; clamp input fetches of fully-padded tail
+    # blocks into range (an OOB block index is an OOB DMA — worker crash)
+    ns_in_max = (s - 1) // block_s
     out = pl.pallas_call(
-        functools.partial(_lnmod_mm_kernel, eps=eps, act=act),
+        functools.partial(_lnmod_mm_kernel, eps=eps, act=act,
+                          valid_s=(s if rows_out != s else None),
+                          block_s=block_s),
         grid=(b, ns),
         in_specs=[
-            pl.BlockSpec((None, block_s, d_in), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((None, block_s, d_in),
+                         lambda bi, i: (bi, jnp.minimum(i, ns_in_max), 0),
                          memory_space=pltpu.VMEM),
             a_spec,
             a_spec,
@@ -130,7 +162,7 @@ def lnmod_matmul(
         out_specs=pl.BlockSpec((None, block_s, d_out),
                                lambda bi, i: (bi, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s, d_out), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, rows_out, d_out), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -138,7 +170,7 @@ def lnmod_matmul(
         cost_estimate=pl.CostEstimate(
             flops=2 * b * s * d_in * d_out,
             bytes_accessed=(x.size * x.dtype.itemsize
-                            + b * s * d_out * x.dtype.itemsize
+                            + b * rows_out * d_out * x.dtype.itemsize
                             + w.size * w.dtype.itemsize),
             transcendentals=b * s * (d_out if act else 0),
         ),
