@@ -331,6 +331,9 @@ def make_stdit3_core(
             return m
 
         def _gated(res, g, z_g):
+            import os as _os
+            if _os.environ.get("MAGCACHE_KNOCK") == "gate":
+                return res
             if x_mask is None:
                 return g * res
             return _tmask_select(x_mask, g * res, z_g * res)
@@ -373,13 +376,19 @@ def make_stdit3_core(
                     xr = xr4.reshape(rows * S, Tp, d)
                     qkv = linear(p_slice(p, "qkv"), xr)   # [R, Tp, 3*H*dp]
                     plan = _plan()
-                    if plan is None:
+                    import os as _os
+                    if _os.environ.get("MAGCACHE_KNOCK") == "temp_attn":
+                        o = qkv.reshape(1, rows * S * Tp, 3 * cfg.heads * dp
+                                        )[..., :cfg.heads * dp]
+                    elif plan is None:
+                        _tb = int(_os.environ.get("MAGCACHE_TBLOCK", "0"))
                         o = grouped_attention_fused_qkv(
                             qkv.reshape(1, rows * S * Tp, 3 * cfg.heads * dp),
                             cfg.heads, group=Tp, group_valid=T,
                             scale=sc_attn, qk_gains=_gains(), fixed_max=QKNORM_FIXED_MAX,
                             rope_tables=rope_packed, true_d=cfg.head_dim,
-                            eps=1e-6, interpret=_interp())
+                            eps=1e-6, block=(_tb or None),
+                            interpret=_interp())
                     else:
                         from magcache_tpu.parallel.collectives import (
                             sharded_grouped_attention_fused_qkv)
@@ -433,7 +442,10 @@ def make_stdit3_core(
                     # frame token count — 1.3% pad waste vs 66% for pow2
                     # flash blocks at S=1590, no KV re-fetch
                     plan = _plan()
-                    if plan is None:
+                    import os as _os
+                    if _os.environ.get("MAGCACHE_KNOCK") == "spat_attn":
+                        o = qkv[..., :cfg.heads * dp]
+                    elif plan is None:
                         o = grouped_attention_fused_qkv(
                             qkv, cfg.heads, group=Sg, group_valid=S,
                             scale=sc_attn, qk_gains=_gains(), fixed_max=QKNORM_FIXED_MAX,
@@ -466,7 +478,7 @@ def make_stdit3_core(
                 a = a.reshape(rows, N, d)
             return a
 
-        def compute_cross(h):
+        def compute_cross(h, residual=False):
             y = ctx["y"]
             kv = linear(p["cross_kv"], y)
             k, v = jnp.split(kv, 2, axis=-1)
@@ -474,20 +486,27 @@ def make_stdit3_core(
                 # whole module in one kernel: q-proj + 300-key attention +
                 # out-proj with weights and the K/V context VMEM-resident
                 # (ops.attention.fused_cross_attention) — the q and
-                # attention-out intermediates never round-trip HBM
+                # attention-out intermediates never round-trip HBM;
+                # true_d rides the softmax normalizer on the AV pad column,
+                # residual fuses the trunk add into the epilogue
                 return fused_cross_attention(
                     h, p["cross_q"]["w"], p["cross_q"].get("b"), k, v,
                     p["cross_o"]["w"], p["cross_o"].get("b"), cfg.heads,
-                    scale=sc_attn, interpret=_interp())
+                    scale=sc_attn, true_d=cfg.head_dim, residual=residual,
+                    interpret=_interp())
             q = linear(p["cross_q"], h)
             hd_c = dp if packed else cfg.head_dim
             rs = lambda t_: t_.reshape(t_.shape[0], t_.shape[1], cfg.heads, hd_c)
             o = attention(rs(q), rs(k), rs(v),
                           scale=(sc_attn if packed else None)
                           ).reshape(rows, N, cfg.heads * hd_c)
-            return linear(p["cross_o"], o)
+            o = linear(p["cross_o"], o)
+            return (h + o) if residual else o
 
         def compute_mlp(h):
+            import os as _os
+            if _os.environ.get("MAGCACHE_KNOCK") == "mlp":
+                return h
             if x_mask is None:
                 # LN + modulate + mlp1 matmul + gelu in one kernel pass
                 # (the gelu rides the MXU epilogue in f32)
@@ -520,9 +539,9 @@ def make_stdit3_core(
         if cached is not None:
             c = cached["cross"] if reuse_flags["cross"] else compute_cross(h)
             new_cached["cross"] = c
+            h = h + c
         else:
-            c = compute_cross(h)
-        h = h + c
+            h = compute_cross(h, residual=True)
 
         if cached is not None:
             mo = cached["mlp"] if reuse_flags["mlp"] else compute_mlp(h)

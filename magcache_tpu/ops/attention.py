@@ -861,8 +861,15 @@ def grouped_attention_fused_qkv(
 
 def _cross_fused_kernel(x_ref, wq_ref, bq_ref, k_ref, v_ref, wo_ref, bo_ref,
                         o_ref, *, heads: int, d: int, scale_log2e: float,
-                        kv_valid: int):
-    """q-projection + short-context attention + out-projection, one pass."""
+                        kv_valid: int, l_lane: bool, residual: bool):
+    """q-projection + short-context attention + out-projection, one pass.
+
+    ``l_lane``: the wrapper planted 1.0 at lane d-1 of every (zero-padded)
+    V head, so the softmax normalizer arrives as a free column of the AV
+    matmul — no VPU lane-sum reduce; the packed ``wo``'s zero pad-rows
+    erase the normalizer lane in the out-projection.
+    ``residual``: write ``x + cross(x)`` (the input block IS the trunk
+    hidden, already in VMEM — the caller's residual add disappears)."""
     q = jax.lax.dot(x_ref[...], wq_ref[...],
                     preferred_element_type=jnp.float32)
     q = (q + bq_ref[...]).astype(k_ref.dtype)     # rounds like the unfused q
@@ -878,13 +885,19 @@ def _cross_fused_kernel(x_ref, wq_ref, bq_ref, k_ref, v_ref, wo_ref, bo_ref,
         s = jnp.where(mask, s * scale_log2e, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
         oh = jax.lax.dot(p.astype(v.dtype), v[:, sl],
                          preferred_element_type=jnp.float32)
-        outs.append(oh / l)
+        if l_lane:
+            outs.append(oh / oh[:, d - 1:d])
+        else:
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(oh / l)
     o = jnp.concatenate(outs, axis=-1).astype(wo_ref.dtype)
     acc = jax.lax.dot(o, wo_ref[...], preferred_element_type=jnp.float32)
-    o_ref[...] = (acc + bo_ref[...]).astype(o_ref.dtype)
+    acc = acc + bo_ref[...]
+    if residual:
+        acc = acc + x_ref[...].astype(jnp.float32)
+    o_ref[...] = acc.astype(o_ref.dtype)
 
 
 def fused_cross_attention(
@@ -899,12 +912,21 @@ def fused_cross_attention(
     *,
     scale: Optional[float] = None,
     kv_valid: Optional[int] = None,
+    true_d: Optional[int] = None,
+    residual: bool = False,
     block_s: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Whole cross-attention module — ``linear_q -> attention(k, v) ->
     linear_o`` — as ONE kernel for short KV contexts (DiT caption
     cross-attention: a few hundred keys vs tens of thousands of queries).
+
+    ``true_d`` < D declares the per-head lanes >= true_d of k/v as zero
+    padding (the packed-weight layout); the kernel then rides the softmax
+    normalizer on the AV matmul's last pad column instead of a VPU
+    lane-sum (the out-projection's zero pad-rows erase it).
+    ``residual`` returns ``x + cross(x)`` with the add fused into the
+    kernel's epilogue (requires d_out == d_model).
 
     x: [B, N, d_model]; wq: [d_model, H*D]; k/v: [B, L, H*D] (the
     precomputed, head-aligned key/value projections of the context); wo:
@@ -943,6 +965,8 @@ def fused_cross_attention(
         o = o.reshape(b, n, hd) @ wo
         if bo is not None:
             o = o + bo
+        if residual:
+            o = o + x
         return o.astype(x.dtype)
 
     Lp = -(-L // 128) * 128
@@ -950,6 +974,11 @@ def fused_cross_attention(
         pad = ((0, 0), (0, Lp - L), (0, 0))
         k, v = jnp.pad(k, pad), jnp.pad(v, pad)
         kv_valid = min(kv_valid, L)
+    l_lane = true_d is not None and true_d < d
+    if l_lane:
+        ones = np.zeros((1, 1, hd), np.float32)
+        ones[..., d - 1::d] = 1.0
+        v = v + jnp.asarray(ones, v.dtype)
     bq2 = (jnp.asarray(bq, jnp.float32).reshape(1, hd)
            if bq is not None else jnp.zeros((1, hd), jnp.float32))
     bo2 = (jnp.asarray(bo, jnp.float32).reshape(1, d_out)
@@ -960,7 +989,8 @@ def fused_cross_attention(
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_cross_fused_kernel, heads=heads, d=d,
-                          scale_log2e=scale * _LOG2E, kv_valid=kv_valid),
+                          scale_log2e=scale * _LOG2E, kv_valid=kv_valid,
+                          l_lane=l_lane, residual=residual),
         grid=(b, ns),
         in_specs=[
             pl.BlockSpec((None, block_s, dm), lambda bi, i: (bi, i, 0),
