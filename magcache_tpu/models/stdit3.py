@@ -34,7 +34,8 @@ from magcache_tpu.models.common import linear, linear_params, timestep_embedding
 from magcache_tpu.ops.attention import (
     QKNORM_FIXED_MAX, attention, flash_attention_bshd,
     fused_cross_attention, grouped_attention_fused_qkv)
-from magcache_tpu.ops.fused_prologue import layer_norm_mod, lnmod_matmul
+from magcache_tpu.ops.fused_prologue import (layer_norm_mod, lnmod_matmul,
+                                             matmul_gated_residual)
 from magcache_tpu.ops.norms import layer_norm, rms_norm
 from magcache_tpu.ops.rope import apply_rope, rope_freqs_1d
 from magcache_tpu.ops.tiny_attention import tiny_temporal_attention
@@ -331,9 +332,6 @@ def make_stdit3_core(
             return m
 
         def _gated(res, g, z_g):
-            import os as _os
-            if _os.environ.get("MAGCACHE_KNOCK") == "gate":
-                return res
             if x_mask is None:
                 return g * res
             return _tmask_select(x_mask, g * res, z_g * res)
@@ -376,19 +374,13 @@ def make_stdit3_core(
                     xr = xr4.reshape(rows * S, Tp, d)
                     qkv = linear(p_slice(p, "qkv"), xr)   # [R, Tp, 3*H*dp]
                     plan = _plan()
-                    import os as _os
-                    if _os.environ.get("MAGCACHE_KNOCK") == "temp_attn":
-                        o = qkv.reshape(1, rows * S * Tp, 3 * cfg.heads * dp
-                                        )[..., :cfg.heads * dp]
-                    elif plan is None:
-                        _tb = int(_os.environ.get("MAGCACHE_TBLOCK", "0"))
+                    if plan is None:
                         o = grouped_attention_fused_qkv(
                             qkv.reshape(1, rows * S * Tp, 3 * cfg.heads * dp),
                             cfg.heads, group=Tp, group_valid=T,
                             scale=sc_attn, qk_gains=_gains(), fixed_max=QKNORM_FIXED_MAX,
                             rope_tables=rope_packed, true_d=cfg.head_dim,
-                            eps=1e-6, block=(_tb or None),
-                            interpret=_interp())
+                            eps=1e-6, interpret=_interp())
                     else:
                         from magcache_tpu.parallel.collectives import (
                             sharded_grouped_attention_fused_qkv)
@@ -442,10 +434,7 @@ def make_stdit3_core(
                     # frame token count — 1.3% pad waste vs 66% for pow2
                     # flash blocks at S=1590, no KV re-fetch
                     plan = _plan()
-                    import os as _os
-                    if _os.environ.get("MAGCACHE_KNOCK") == "spat_attn":
-                        o = qkv[..., :cfg.heads * dp]
-                    elif plan is None:
+                    if plan is None:
                         o = grouped_attention_fused_qkv(
                             qkv, cfg.heads, group=Sg, group_valid=S,
                             scale=sc_attn, qk_gains=_gains(), fixed_max=QKNORM_FIXED_MAX,
@@ -504,9 +493,6 @@ def make_stdit3_core(
             return (h + o) if residual else o
 
         def compute_mlp(h):
-            import os as _os
-            if _os.environ.get("MAGCACHE_KNOCK") == "mlp":
-                return h
             if x_mask is None:
                 # LN + modulate + mlp1 matmul + gelu in one kernel pass
                 # (the gelu rides the MXU epilogue in f32)
@@ -517,6 +503,62 @@ def make_stdit3_core(
             xm = _modulate(h, sh_m, sc_m, z_sh_m, z_sc_m).astype(h.dtype)
             return linear(p["mlp2"], jax.nn.gelu(linear(p["mlp1"], xm),
                                                  approximate=True))
+
+        def attn_into(h):
+            """Plain-path packed attention with the whole epilogue — out-
+            projection + AdaLN gate (+ trunk residual, spatial) — in one
+            kernel (`matmul_gated_residual`): the projection output never
+            round-trips HBM for the gate multiply / residual add, and the
+            attention-group row padding drops out in the kernel's write
+            grid instead of a slice copy."""
+            if temporal:
+                xn = _mod_attn(h)
+                xr4 = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3)
+                if Tp != T:
+                    xr4 = jnp.pad(xr4, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+                qkv = linear(p_slice(p, "qkv"), xr4.reshape(rows * S, Tp, d))
+                o = grouped_attention_fused_qkv(
+                    qkv.reshape(1, rows * S * Tp, 3 * cfg.heads * dp),
+                    cfg.heads, group=Tp, group_valid=T, scale=sc_attn,
+                    qk_gains=_gains(), fixed_max=QKNORM_FIXED_MAX,
+                    rope_tables=rope_packed, true_d=cfg.head_dim,
+                    eps=1e-6, interpret=_interp())
+                # gate fuses here (per-(row, lane): token order irrelevant);
+                # the residual add stays after the [S,T]->[T,S] transpose
+                a = matmul_gated_residual(
+                    o.reshape(rows * S, Tp, cfg.heads * dp),
+                    p["proj"]["w"], p["proj"].get("b"), g_a[:, 0], None,
+                    rows_out=T, batch_repeat=S, interpret=_interp())
+                a = (a.reshape(rows, S, T, d).transpose(0, 2, 1, 3)
+                     .reshape(rows, N, d))
+                return h + a
+            qkv = lnmod_matmul(h.reshape(rows * T, S, d),
+                               sc_a[:, 0], sh_a[:, 0],
+                               p["qkv"]["w"], p["qkv"].get("b"), eps=cfg.eps,
+                               rows_out=Sg, batch_repeat=T,
+                               interpret=_interp())
+            o = grouped_attention_fused_qkv(
+                qkv, cfg.heads, group=Sg, group_valid=S, scale=sc_attn,
+                qk_gains=_gains(), fixed_max=QKNORM_FIXED_MAX,
+                true_d=cfg.head_dim, eps=1e-6, interpret=_interp())
+            return matmul_gated_residual(
+                o, p["proj"]["w"], p["proj"].get("b"), g_a[:, 0],
+                h.reshape(rows * T, S, d), rows_out=S, batch_repeat=T,
+                interpret=_interp()).reshape(rows, N, d)
+
+        def mlp_into(h):
+            y = lnmod_matmul(h, sc_m[:, 0], sh_m[:, 0], p["mlp1"]["w"],
+                             p["mlp1"].get("b"), act="gelu", eps=cfg.eps,
+                             interpret=_interp())
+            return matmul_gated_residual(
+                y, p["mlp2"]["w"], p["mlp2"].get("b"), g_m[:, 0], h,
+                interpret=_interp())
+
+        if (cached is None and packed and x_mask is None
+                and _plan() is None and Sg <= 2048):
+            h = attn_into(h)
+            h = compute_cross(h, residual=True)
+            return mlp_into(h), {}
 
         # PAB reuse decisions are STATIC python bools: the broadcast masks
         # are host-known per step, and `trunk_pab` specializes one

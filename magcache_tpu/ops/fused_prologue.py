@@ -36,7 +36,133 @@ from jax.experimental.pallas import tpu as pltpu
 from magcache_tpu.ops.norms import rms_norm
 from magcache_tpu.ops.rope import _pair_swap_matrix, apply_rope
 
-__all__ = ["rms_norm_rope", "layer_norm_mod", "lnmod_matmul"]
+__all__ = ["rms_norm_rope", "layer_norm_mod", "lnmod_matmul",
+           "matmul_gated_residual"]
+
+
+def _mm_gate_res_kernel(x_ref, w_ref, bias_ref, g_ref, r_ref, o_ref, *,
+                        has_res: bool, valid_s, block_s: int):
+    """matmul + AdaLN gate + residual epilogue in one pass.
+
+    out = [resid +] gate * (x @ w + bias). Parity with the unfused trunk
+    composition: the matmul result is rounded to the activation dtype
+    BEFORE the f32 gate multiply (the trunk converts the projection output
+    with .astype(f32) around the gate), and the residual add happens on
+    the f32 gated value like `h + _gated(...)` after its astype."""
+    acc = jax.lax.dot(x_ref[...], w_ref[...],
+                      preferred_element_type=jnp.float32)
+    acc = acc + bias_ref[...]
+    y = acc.astype(o_ref.dtype).astype(jnp.float32)
+    y = y * g_ref[...]
+    if has_res:
+        y = y.astype(o_ref.dtype).astype(jnp.float32) + r_ref[...].astype(jnp.float32)
+    if valid_s is not None:
+        row = (pl.program_id(1) * block_s
+               + jax.lax.broadcasted_iota(jnp.int32, y.shape, 0))
+        y = jnp.where(row < valid_s, y, 0.0)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def matmul_gated_residual(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    gate: jnp.ndarray,
+    resid: Optional[jnp.ndarray] = None,
+    *,
+    rows_out: Optional[int] = None,
+    batch_repeat: int = 1,
+    block_s: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``[resid +] gate * (x @ w + bias)`` — the DiT block epilogue
+    (out-projection or MLP-down matmul, AdaLN gate, trunk residual) as one
+    kernel, so the projection output never round-trips HBM for the gate
+    multiply and the residual add.
+
+    x: [B, S_in, d_in]; gate: [B/batch_repeat, d_out]; resid: [B, rows_out,
+    d_out] or None. ``rows_out`` < S_in drops trailing input rows (the
+    attention-group padding) for free via the write grid; > S_in zero-fills
+    (symmetric to `lnmod_matmul`). Falls back to the unfused composition
+    off-TPU, under a mesh plan, or for non-128-aligned dims."""
+    import os
+
+    from magcache_tpu.parallel.mesh import _ACTIVE
+
+    b, s_in, d_in = x.shape
+    d_out = w.shape[-1]
+    rows_out = s_in if rows_out is None else rows_out
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    enabled = (os.environ.get("MAGCACHE_FUSED_PROLOGUE", "1") != "0"
+               and os.environ.get("MAGCACHE_LNMOD_MM", "1") != "0")
+    if not interpret and (not on_tpu or not enabled or d_in % 128 != 0
+                          or d_out % 128 != 0 or _ACTIVE.get() is not None):
+        y = x[:, :rows_out] if rows_out < s_in else x
+        out = jnp.einsum("bsd,df->bsf", y.astype(w.dtype), w)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        g2 = (jnp.repeat(gate, batch_repeat, axis=0)
+              if batch_repeat > 1 else gate)
+        out = (out.astype(x.dtype).astype(jnp.float32)
+               * g2[:, None].astype(jnp.float32))
+        if resid is not None:
+            out = (out.astype(x.dtype).astype(jnp.float32)
+                   + resid[:, :out.shape[1]].astype(jnp.float32))
+        out = out.astype(x.dtype)
+        if rows_out > s_in:   # zero pad rows, matching the kernel's write
+            out = jnp.pad(out, ((0, 0), (0, rows_out - s_in), (0, 0)))
+        return out
+
+    nb = b // batch_repeat
+    g2 = gate.reshape(nb, 1, d_out).astype(jnp.float32)
+    bias2 = (jnp.asarray(bias, jnp.float32).reshape(1, d_out)
+             if bias is not None else jnp.zeros((1, d_out), jnp.float32))
+    rep = batch_repeat
+    block_s = min(block_s, max(8, 1 << (rows_out - 1).bit_length()))
+    ns = -(-rows_out // block_s)
+    ns_in_max = (s_in - 1) // block_s
+    has_res = resid is not None
+    r_arr = resid if has_res else jnp.zeros((b, 1, d_out), x.dtype)
+    r_spec = (pl.BlockSpec((None, block_s, d_out), lambda bi, i: (bi, i, 0),
+                           memory_space=pltpu.VMEM)
+              if has_res else
+              pl.BlockSpec((None, 1, d_out), lambda bi, i: (bi, 0, 0),
+                           memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        functools.partial(
+            _mm_gate_res_kernel, has_res=has_res,
+            valid_s=(s_in if rows_out > s_in else None), block_s=block_s),
+        grid=(b, ns),
+        in_specs=[
+            pl.BlockSpec((None, block_s, d_in),
+                         lambda bi, i: (bi, jnp.minimum(i, ns_in_max), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, d_out), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_out), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, d_out), lambda bi, i: (bi // rep, 0, 0),
+                         memory_space=pltpu.VMEM),
+            r_spec,
+        ],
+        out_specs=pl.BlockSpec((None, block_s, d_out),
+                               lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, rows_out, d_out), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * min(rows_out, s_in) * d_in * d_out,
+            bytes_accessed=((x.size + (r_arr.size if has_res else 0)) * x.dtype.itemsize
+                            + b * rows_out * d_out * x.dtype.itemsize
+                            + w.size * w.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w, bias2, g2, r_arr)
+    return out
 
 
 def _lnmod_mm_kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref, *,
