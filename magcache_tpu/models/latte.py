@@ -25,8 +25,10 @@ from magcache_tpu.core.sampler import DiTCore
 from magcache_tpu.models.common import linear, linear_params, timestep_embedding
 from magcache_tpu.models.packed import pack_block_group
 from magcache_tpu.models.stdit3 import _pos_embed_2d
-from magcache_tpu.ops.attention import attention, grouped_attention_fused_qkv
-from magcache_tpu.ops.fused_prologue import layer_norm_mod
+from magcache_tpu.ops.attention import (attention, fused_cross_attention,
+                                        grouped_attention_fused_qkv)
+from magcache_tpu.ops.fused_prologue import (layer_norm_mod, lnmod_matmul,
+                                             matmul_gated_residual)
 from magcache_tpu.ops.norms import layer_norm
 from magcache_tpu.ops.tiny_attention import tiny_temporal_attention
 from magcache_tpu.ops.rope import rope_freqs_1d
@@ -283,6 +285,62 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
                                 eps=cfg.eps)
             return linear(p["ff2"], jax.nn.gelu(linear(p["ff1"], xm),
                                                 approximate=True))
+
+        def attn_into(h):
+            """Plain-path packed attention with the epilogue (out-proj +
+            AdaLN gate [+ residual]) fused — see stdit3._block.attn_into."""
+            if temporal:
+                xn = layer_norm_mod(h, scale=sc_a[:, 0], shift=sh_a[:, 0],
+                                    eps=cfg.eps)
+                xr4 = xn.reshape(rows, T, S, d).transpose(0, 2, 1, 3)
+                if Tp != T:
+                    xr4 = jnp.pad(xr4, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+                qkv = linear(p["qkv"], xr4.reshape(rows * S, Tp, d))
+                o = grouped_attention_fused_qkv(
+                    qkv.reshape(1, rows * S * Tp, 3 * cfg.heads * dp),
+                    cfg.heads, group=Tp, group_valid=T, scale=sc_attn,
+                    true_d=d_head, interpret=_interp())
+                a = matmul_gated_residual(
+                    o.reshape(rows * S, Tp, cfg.heads * dp),
+                    p["proj"]["w"], p["proj"].get("b"), g_a[:, 0], None,
+                    rows_out=T, batch_repeat=S, interpret=_interp())
+                a = (a.reshape(rows, S, T, d).transpose(0, 2, 1, 3)
+                     .reshape(rows, N, d))
+                return h + a
+            qkv = lnmod_matmul(h.reshape(rows * T, S, d),
+                               sc_a[:, 0], sh_a[:, 0],
+                               p["qkv"]["w"], p["qkv"].get("b"), eps=cfg.eps,
+                               rows_out=Sg, batch_repeat=T,
+                               interpret=_interp())
+            o = grouped_attention_fused_qkv(
+                qkv, cfg.heads, group=Sg, group_valid=S, scale=sc_attn,
+                true_d=d_head, interpret=_interp())
+            return matmul_gated_residual(
+                o, p["proj"]["w"], p["proj"].get("b"), g_a[:, 0],
+                h.reshape(rows * T, S, d), rows_out=S, batch_repeat=T,
+                interpret=_interp()).reshape(rows, N, d)
+
+        def cross_into(h):
+            y = ctx["y"]
+            k, v = jnp.split(linear(p["cross_kv"], y), 2, axis=-1)
+            return fused_cross_attention(
+                h, p["cross_q"]["w"], p["cross_q"].get("b"), k, v,
+                p["cross_o"]["w"], p["cross_o"].get("b"), cfg.heads,
+                scale=sc_attn, true_d=d_head, residual=True,
+                interpret=_interp())
+
+        def mlp_into(h):
+            yv = lnmod_matmul(h, sc_m[:, 0], sh_m[:, 0], p["ff1"]["w"],
+                              p["ff1"].get("b"), act="gelu", eps=cfg.eps,
+                              interpret=_interp())
+            return matmul_gated_residual(yv, p["ff2"]["w"], p["ff2"].get("b"),
+                                         g_m[:, 0], h, interpret=_interp())
+
+        if cached is None and packed and _plan() is None and Sg <= 2048:
+            h = attn_into(h)
+            if not temporal:
+                h = cross_into(h)
+            return mlp_into(h), {}
 
         new_cached = {}
         kind = "temporal" if temporal else "spatial"
