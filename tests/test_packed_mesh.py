@@ -141,11 +141,15 @@ def test_packed_trunk_under_mesh_matches_unpacked(setup, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("setup", [_stdit3_setup, _latte_setup],
                          ids=["stdit3", "latte"])
 def test_packed_trunk_single_device_matches_unpacked(setup, monkeypatch):
-    """No-mesh packed path (the TPU production route): exercises the fused
-    LN+mod qkv/mlp matmuls (lnmod_matmul) in interpret mode."""
+    """No-mesh packed path (the TPU production route): exercises the fully
+    fused kernels (lnmod_matmul, fused_cross_attention,
+    matmul_gated_residual) in interpret mode. Slow tier: ~22 s of
+    interpret-mode kernels; the default tier covers the same kernels
+    through the mesh variant above."""
     core, params, x, t, cond = setup()
     monkeypatch.setenv("MAGCACHE_STDIT3_PACKED", "0")
     ref = np.asarray(_forward(core, params, x, t, cond))
