@@ -532,15 +532,31 @@ def make_stdit3_core(
                 a = (a.reshape(rows, S, T, d).transpose(0, 2, 1, 3)
                      .reshape(rows, N, d))
                 return h + a
+            oneshot = Sg <= 2048
             qkv = lnmod_matmul(h.reshape(rows * T, S, d),
                                sc_a[:, 0], sh_a[:, 0],
                                p["qkv"]["w"], p["qkv"].get("b"), eps=cfg.eps,
-                               rows_out=Sg, batch_repeat=T,
-                               interpret=_interp())
-            o = grouped_attention_fused_qkv(
-                qkv, cfg.heads, group=Sg, group_valid=S, scale=sc_attn,
-                qk_gains=_gains(), fixed_max=QKNORM_FIXED_MAX,
-                true_d=cfg.head_dim, eps=1e-6, interpret=_interp())
+                               rows_out=(Sg if oneshot else None),
+                               batch_repeat=T, interpret=_interp())
+            if oneshot:
+                o = grouped_attention_fused_qkv(
+                    qkv, cfg.heads, group=Sg, group_valid=S, scale=sc_attn,
+                    qk_gains=_gains(), fixed_max=QKNORM_FIXED_MAX,
+                    true_d=cfg.head_dim, eps=1e-6, interpret=_interp())
+            else:
+                # 720p-class frames (S > 2048): flash with online softmax
+                # instead of the one-shot per-frame kernel; prologue and
+                # epilogue fusions apply unchanged
+                qh, kh, vh = jnp.split(qkv, 3, axis=-1)
+                rs4 = lambda t_: t_.reshape(rows * T, S, cfg.heads, dp)
+                gains = _gains()
+                o = flash_attention_bshd(
+                    rs4(qh), rs4(kh), rs4(vh), scale=sc_attn,
+                    fixed_max=(QKNORM_FIXED_MAX if gains is not None
+                               else None),
+                    qk_gains=gains, true_d=cfg.head_dim, eps=1e-6,
+                    interpret=_interp())
+                o = o.reshape(rows * T, S, cfg.heads * dp)
             return matmul_gated_residual(
                 o, p["proj"]["w"], p["proj"].get("b"), g_a[:, 0],
                 h.reshape(rows * T, S, d), rows_out=S, batch_repeat=T,
@@ -554,8 +570,7 @@ def make_stdit3_core(
                 y, p["mlp2"]["w"], p["mlp2"].get("b"), g_m[:, 0], h,
                 interpret=_interp())
 
-        if (cached is None and packed and x_mask is None
-                and _plan() is None and Sg <= 2048):
+        if cached is None and packed and x_mask is None and _plan() is None:
             h = attn_into(h)
             h = compute_cross(h, residual=True)
             return mlp_into(h), {}

@@ -158,6 +158,31 @@ def test_packed_trunk_single_device_matches_unpacked(setup, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
+def test_packed_trunk_large_frame_flash_path(monkeypatch):
+    """S > 2048 (720p-class frames): the fused fast path must route the
+    spatial attention through bshd flash while keeping the lnmod prologue
+    and gated epilogue fused."""
+    from magcache_tpu.models.stdit3 import (STDiT3Config, init_stdit3_params,
+                                            make_stdit3_core)
+    cfg = STDiT3Config.tiny()
+    grid = (2, 46, 46)                      # S = 2116 > 2048
+    core = make_stdit3_core(cfg, grid, 4)
+    params = init_stdit3_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(1, 2, 92, 92, cfg.in_channels)),
+                    jnp.float32)
+    cond = {"y": jnp.asarray(rng.normal(size=(1, 4, cfg.caption_dim)),
+                             jnp.float32),
+            "fps": jnp.full((1,), 24.0, jnp.float32)}
+    t = jnp.full((1,), 400.0, jnp.float32)
+    monkeypatch.setenv("MAGCACHE_STDIT3_PACKED", "0")
+    ref = np.asarray(_forward(core, params, x, t, cond))
+    monkeypatch.setenv("MAGCACHE_STDIT3_PACKED", "interpret")
+    out = _forward(core, params, x, t, cond)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
 def test_packed_stays_enabled_under_mesh(monkeypatch):
     """The round-4 opt-out (_ACTIVE -> unpacked) is gone: with a plan active
     and a TPU-or-interpret backend, _use_packed-gated packing must engage.
