@@ -3,7 +3,7 @@
 Per-op standalone re-timing is useless on the tunneled TPU backend (~22 ms
 dispatch latency swamps sub-50 ms ops), so perf attribution must come from
 the XLA trace itself.  This walks the TensorBoard dump written by
-``jax.profiler.trace(outdir)`` (plugins/profile/*/\*.trace.json.gz), keeps
+``jax.profiler.trace(outdir)`` (plugins/profile/*/*.trace.json.gz), keeps
 only TPU-device tracks (ignoring host threads), and prints total duration
 grouped by a normalized op name (fusion indices stripped), so repeated
 scan iterations of the same fused op aggregate into one line.
