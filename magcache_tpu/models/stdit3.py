@@ -570,10 +570,44 @@ def make_stdit3_core(
                 y, p["mlp2"]["w"], p["mlp2"].get("b"), g_m[:, 0], h,
                 interpret=_interp())
 
-        if cached is None and packed and x_mask is None and _plan() is None:
-            h = attn_into(h)
-            h = compute_cross(h, residual=True)
-            return mlp_into(h), {}
+        plan_b = _plan()
+        if cached is None and packed and x_mask is None:
+            if plan_b is None:
+                h = attn_into(h)
+                h = compute_cross(h, residual=True)
+                return mlp_into(h), {}
+            axes_b = dict(plan_b.mesh.shape)
+            if (axes_b.get("tp", 1) == 1
+                    and rows % max(axes_b.get("dp", 1), 1) == 0):
+                # mesh fused path (dp x sp, tp=1): cross and MLP are purely
+                # per-token, so their fused kernels run inside shard_map
+                # with replicated weights and no collectives (parallel.
+                # collectives wrappers); the attention keeps the existing
+                # resharded composition (its qkv would otherwise reshard
+                # 5.3x wider data). tp>1 falls through — the contraction
+                # dim is sharded there and XLA's declarative path handles
+                # the psum placement.
+                from magcache_tpu.parallel.collectives import (
+                    sharded_fused_cross_attention, sharded_lnmod_matmul,
+                    sharded_matmul_gated_residual)
+                a = compute_attn(h)
+                h = h + _gated(a.astype(jnp.float32), g_a, None
+                               ).astype(h.dtype)
+                kv = linear(p["cross_kv"], ctx["y"])
+                kk, vv = jnp.split(kv, 2, axis=-1)
+                h = sharded_fused_cross_attention(
+                    h, p["cross_q"]["w"], p["cross_q"].get("b"), kk, vv,
+                    p["cross_o"]["w"], p["cross_o"].get("b"), cfg.heads,
+                    plan_b.mesh, scale=sc_attn, true_d=cfg.head_dim,
+                    residual=True, interpret=_interp())
+                yv = sharded_lnmod_matmul(
+                    h, sc_m[:, 0], sh_m[:, 0], p["mlp1"]["w"],
+                    p["mlp1"].get("b"), plan_b.mesh, act="gelu",
+                    eps=cfg.eps, interpret=_interp())
+                h = sharded_matmul_gated_residual(
+                    yv, p["mlp2"]["w"], p["mlp2"].get("b"), g_m[:, 0], h,
+                    plan_b.mesh, interpret=_interp())
+                return h, {}
 
         # PAB reuse decisions are STATIC python bools: the broadcast masks
         # are host-known per step, and `trunk_pab` specializes one

@@ -915,6 +915,7 @@ def fused_cross_attention(
     true_d: Optional[int] = None,
     residual: bool = False,
     block_s: int = 512,
+    force: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Whole cross-attention module — ``linear_q -> attention(k, v) ->
@@ -953,9 +954,10 @@ def fused_cross_attention(
     on_tpu = jax.default_backend() in ("tpu", "axon")
     enabled = os.environ.get("MAGCACHE_FUSED_CROSS", "1") != "0"
     from magcache_tpu.parallel.mesh import _ACTIVE
-    if not interpret and (not on_tpu or not enabled or d % 128 != 0
-                          or dm % 128 != 0 or d_out % 128 != 0
-                          or _ACTIVE.get() is not None):
+    if not interpret and not force and (
+            not on_tpu or not enabled or d % 128 != 0
+            or dm % 128 != 0 or d_out % 128 != 0
+            or _ACTIVE.get() is not None):
         q = x @ wq
         if bq is not None:
             q = q + bq

@@ -73,6 +73,7 @@ def matmul_gated_residual(
     rows_out: Optional[int] = None,
     batch_repeat: int = 1,
     block_s: int = 512,
+    force: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """``[resid +] gate * (x @ w + bias)`` — the DiT block epilogue
@@ -95,8 +96,9 @@ def matmul_gated_residual(
     on_tpu = jax.default_backend() in ("tpu", "axon")
     enabled = (os.environ.get("MAGCACHE_FUSED_PROLOGUE", "1") != "0"
                and os.environ.get("MAGCACHE_LNMOD_MM", "1") != "0")
-    if not interpret and (not on_tpu or not enabled or d_in % 128 != 0
-                          or d_out % 128 != 0 or _ACTIVE.get() is not None):
+    if not interpret and not force and (
+            not on_tpu or not enabled or d_in % 128 != 0
+            or d_out % 128 != 0 or _ACTIVE.get() is not None):
         y = x[:, :rows_out] if rows_out < s_in else x
         out = jnp.einsum("bsd,df->bsf", y.astype(w.dtype), w)
         if bias is not None:
@@ -212,6 +214,7 @@ def lnmod_matmul(
     block_s: int = 512,
     rows_out: Optional[int] = None,
     batch_repeat: int = 1,
+    force: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """``(layer_norm(x) * (1+scale) + shift) @ w [+ bias]`` fused, with an
@@ -238,8 +241,12 @@ def lnmod_matmul(
     on_tpu = jax.default_backend() in ("tpu", "axon")
     enabled = (os.environ.get("MAGCACHE_FUSED_PROLOGUE", "1") != "0"
                and os.environ.get("MAGCACHE_LNMOD_MM", "1") != "0")
-    if not interpret and (not on_tpu or not enabled or d_in % 128 != 0
-                          or d_out % 128 != 0 or _ACTIVE.get() is not None):
+    # ``force``: called from inside a shard_map wrapper (parallel.
+    # collectives) — the per-shard call must take the kernel even though
+    # the mesh plan contextvar is set
+    if not interpret and not force and (
+            not on_tpu or not enabled or d_in % 128 != 0
+            or d_out % 128 != 0 or _ACTIVE.get() is not None):
         sc2 = (jnp.repeat(scale, batch_repeat, axis=0)
                if batch_repeat > 1 else scale)
         sh2 = (jnp.repeat(shift, batch_repeat, axis=0)

@@ -31,7 +31,151 @@ from magcache_tpu.parallel.mesh import AXIS_DP, AXIS_SP, AXIS_TP
 
 __all__ = ["split_sequence", "gather_sequence", "all_to_all_switch",
            "ulysses_attention", "ring_attention",
-           "sharded_grouped_attention_fused_qkv"]
+           "sharded_grouped_attention_fused_qkv",
+           "sharded_lnmod_matmul", "sharded_matmul_gated_residual",
+           "sharded_fused_cross_attention"]
+
+
+def _token_parallel(mesh: Mesh, n: int):
+    """(dp_n, sp_n, padded_n) for sharding [B, N, F] activations B over dp
+    and tokens over sp; weights replicated. Used by the fused-matmul
+    wrappers below — their kernels are strictly per-token, so the mesh
+    execution is a pure shard_map with no collectives inside."""
+    axes = dict(mesh.shape)
+    dp_n = axes.get(AXIS_DP, 1)
+    sp_n = axes.get(AXIS_SP, 1)
+    return dp_n, sp_n, -(-n // sp_n) * sp_n
+
+
+def sharded_lnmod_matmul(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    shift: jnp.ndarray,
+    w: jnp.ndarray,
+    bias,
+    mesh: Mesh,
+    *,
+    act: Optional[str] = None,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """`ops.fused_prologue.lnmod_matmul` under a device mesh: x [B, N, d_in]
+    with B over dp and tokens over sp; w/bias replicated (tp callers take
+    the declaratively-sharded composition instead — the contraction dim
+    would need an in-map psum). LayerNorm is per-token, so shards never
+    communicate."""
+    from magcache_tpu.ops.fused_prologue import lnmod_matmul
+
+    b, n, _ = x.shape
+    dp_n, sp_n, n_p = _token_parallel(mesh, n)
+    if n_p != n:
+        x = jnp.pad(x, ((0, 0), (0, n_p - n), (0, 0)))
+    spec = P(AXIS_DP, AXIS_SP, None)
+
+    def local(xl, sc, sh, wl, bl):
+        return lnmod_matmul(xl, sc, sh, wl, bl, act=act, eps=eps,
+                            force=True, interpret=interpret)
+
+    bias2 = (jnp.zeros((w.shape[-1],), jnp.float32) if bias is None
+             else jnp.asarray(bias))
+    out = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, P(AXIS_DP, None), P(AXIS_DP, None),
+                  P(None, None), P(None)),
+        out_specs=spec, check_vma=False)(x, scale, shift, w, bias2)
+    return out[:, :n]
+
+
+def sharded_matmul_gated_residual(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias,
+    gate: jnp.ndarray,
+    resid: Optional[jnp.ndarray],
+    mesh: Mesh,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """`ops.fused_prologue.matmul_gated_residual` under a device mesh
+    (token-parallel, replicated weights; same contract as
+    `sharded_lnmod_matmul`)."""
+    from magcache_tpu.ops.fused_prologue import matmul_gated_residual
+
+    b, n, _ = x.shape
+    dp_n, sp_n, n_p = _token_parallel(mesh, n)
+    if n_p != n:
+        x = jnp.pad(x, ((0, 0), (0, n_p - n), (0, 0)))
+        if resid is not None:
+            resid = jnp.pad(resid, ((0, 0), (0, n_p - n), (0, 0)))
+    spec = P(AXIS_DP, AXIS_SP, None)
+    bias2 = (jnp.zeros((w.shape[-1],), jnp.float32) if bias is None
+             else jnp.asarray(bias))
+    if resid is None:
+        def local(xl, wl, bl, g):
+            return matmul_gated_residual(xl, wl, bl, g, None, force=True,
+                                         interpret=interpret)
+
+        out = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(spec, P(None, None), P(None), P(AXIS_DP, None)),
+            out_specs=spec, check_vma=False)(x, w, bias2, gate)
+    else:
+        def local(xl, wl, bl, g, r):
+            return matmul_gated_residual(xl, wl, bl, g, r, force=True,
+                                         interpret=interpret)
+
+        out = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(spec, P(None, None), P(None), P(AXIS_DP, None), spec),
+            out_specs=spec, check_vma=False)(x, w, bias2, gate, resid)
+    return out[:, :n]
+
+
+def sharded_fused_cross_attention(
+    x: jnp.ndarray,
+    wq: jnp.ndarray,
+    bq,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    wo: jnp.ndarray,
+    bo,
+    heads: int,
+    mesh: Mesh,
+    *,
+    scale: Optional[float] = None,
+    true_d: Optional[int] = None,
+    residual: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """`ops.attention.fused_cross_attention` under a device mesh: queries
+    token-parallel over dp x sp, the short K/V context replicated over sp
+    (it is tiny — the reference replicates text context the same way,
+    ``magcache_generate.py:818-829`` KV note), weights replicated."""
+    from magcache_tpu.ops.attention import fused_cross_attention
+
+    b, n, _ = x.shape
+    dp_n, sp_n, n_p = _token_parallel(mesh, n)
+    if n_p != n:
+        x = jnp.pad(x, ((0, 0), (0, n_p - n), (0, 0)))
+    spec = P(AXIS_DP, AXIS_SP, None)
+    kv_spec = P(AXIS_DP, None, None)
+    bq2 = (jnp.zeros((wq.shape[-1],), jnp.float32) if bq is None
+           else jnp.asarray(bq))
+    bo2 = (jnp.zeros((wo.shape[-1],), jnp.float32) if bo is None
+           else jnp.asarray(bo))
+
+    def local(xl, wql, bql, kl, vl, wol, bol):
+        return fused_cross_attention(xl, wql, bql, kl, vl, wol, bol, heads,
+                                     scale=scale, true_d=true_d,
+                                     residual=residual, force=True,
+                                     interpret=interpret)
+
+    out = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, P(None, None), P(None), kv_spec, kv_spec,
+                  P(None, None), P(None)),
+        out_specs=spec, check_vma=False)(x, wq, bq2, k, v, wo, bo2)
+    return out[:, :n]
 
 
 def sharded_grouped_attention_fused_qkv(
