@@ -336,11 +336,39 @@ def make_latte_core(cfg: LatteConfig, grid: Tuple[int, int, int],
             return matmul_gated_residual(yv, p["ff2"]["w"], p["ff2"].get("b"),
                                          g_m[:, 0], h, interpret=_interp())
 
-        if cached is None and packed and _plan() is None and Sg <= 2048:
-            h = attn_into(h)
-            if not temporal:
-                h = cross_into(h)
-            return mlp_into(h), {}
+        plan_b = _plan()
+        if cached is None and packed and Sg <= 2048:
+            if plan_b is None:
+                h = attn_into(h)
+                if not temporal:
+                    h = cross_into(h)
+                return mlp_into(h), {}
+            axes_b = dict(plan_b.mesh.shape)
+            if (axes_b.get("tp", 1) == 1
+                    and rows % max(axes_b.get("dp", 1), 1) == 0):
+                # mesh fused path for the per-token cross/MLP kernels
+                # (see stdit3._block — same wrappers, same rationale)
+                from magcache_tpu.parallel.collectives import (
+                    sharded_fused_cross_attention, sharded_lnmod_matmul,
+                    sharded_matmul_gated_residual)
+                a = compute_attn(h)
+                h = h + (g_a * a.astype(jnp.float32)).astype(h.dtype)
+                if not temporal:
+                    y = ctx["y"]
+                    kk, vv = jnp.split(linear(p["cross_kv"], y), 2, axis=-1)
+                    h = sharded_fused_cross_attention(
+                        h, p["cross_q"]["w"], p["cross_q"].get("b"), kk, vv,
+                        p["cross_o"]["w"], p["cross_o"].get("b"), cfg.heads,
+                        plan_b.mesh, scale=sc_attn, true_d=d_head,
+                        residual=True, interpret=_interp())
+                yv = sharded_lnmod_matmul(
+                    h, sc_m[:, 0], sh_m[:, 0], p["ff1"]["w"],
+                    p["ff1"].get("b"), plan_b.mesh, act="gelu", eps=cfg.eps,
+                    interpret=_interp())
+                h = sharded_matmul_gated_residual(
+                    yv, p["ff2"]["w"], p["ff2"].get("b"), g_m[:, 0], h,
+                    plan_b.mesh, interpret=_interp())
+                return h, {}
 
         new_cached = {}
         kind = "temporal" if temporal else "spatial"
