@@ -72,7 +72,7 @@ def matmul_gated_residual(
     *,
     rows_out: Optional[int] = None,
     batch_repeat: int = 1,
-    block_s: int = 512,
+    block_s: int = 128,
     force: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -211,7 +211,7 @@ def lnmod_matmul(
     *,
     act: Optional[str] = None,
     eps: float = 1e-6,
-    block_s: int = 512,
+    block_s: int = 128,
     rows_out: Optional[int] = None,
     batch_repeat: int = 1,
     force: bool = False,
