@@ -557,8 +557,24 @@ def flash_attention_bshd(
     return out.reshape(b, sq, h, d)
 
 
+
+def _group_mask_add(block: int, group: int, gvalid: int):
+    """Additive score mask for `_grouped_kernel` (None when nothing needs
+    masking): 0 in-group, -inf outside / on padded group tails."""
+    if block == group and gvalid == group:
+        return None
+    if block == group:
+        row = np.where(np.arange(block) < gvalid, 0.0, _NEG_INF)
+        return row.reshape(1, block).astype(np.float32)
+    qi = np.arange(block)[:, None]
+    ki = np.arange(block)[None, :]
+    return np.where((qi // group == ki // group) & (ki % group < gvalid),
+                    0.0, _NEG_INF).astype(np.float32)
+
+
 def _grouped_kernel(q_ref, k_ref, v_ref, *rest, group: int, gvalid: int,
                     scale_log2e: float, norm=None, rope: bool = False,
+                    masked: bool = False,
                     fixed_max: Optional[float] = None):
     """One-shot softmax attention within contiguous ``group``-token groups.
 
@@ -573,11 +589,13 @@ def _grouped_kernel(q_ref, k_ref, v_ref, *rest, group: int, gvalid: int,
     refs are [group, D] tables (identity past ``true_d``), tiled to the block
     rows, applied in matmul form against the [D, D] pair-swap ref."""
     it = iter(rest)
-    qg_ref = kg_ref = cos_ref = sin_ref = pm_ref = None
+    qg_ref = kg_ref = cos_ref = sin_ref = pm_ref = madd_ref = None
     if norm is not None:
         qg_ref, kg_ref = next(it), next(it)
     if rope:
         cos_ref, sin_ref, pm_ref = next(it), next(it), next(it)
+    if masked:
+        madd_ref = next(it)
     o_ref = next(it)
     v = v_ref[...]
     if norm is not None:
@@ -588,9 +606,10 @@ def _grouped_kernel(q_ref, k_ref, v_ref, *rest, group: int, gvalid: int,
         q = q_ref[...].astype(jnp.float32)
         k = k_ref[...].astype(jnp.float32)
     if rope:
-        reps = q.shape[0] // group
-        cos_t = jnp.tile(cos_ref[...], (reps, 1))
-        sin_t = jnp.tile(sin_ref[...], (reps, 1))
+        # tables arrive pre-tiled to [block, D] (the per-step jnp.tile was
+        # a recurring VPU copy over a static pattern)
+        cos_t = cos_ref[...]
+        sin_t = sin_ref[...]
         pm = pm_ref[...]
         q = q * cos_t + jax.lax.dot(q, pm) * sin_t
         k = k * cos_t + jax.lax.dot(k, pm) * sin_t
@@ -598,21 +617,12 @@ def _grouped_kernel(q_ref, k_ref, v_ref, *rest, group: int, gvalid: int,
     k = k.astype(v.dtype)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    block = s.shape[0]
-    if block == group and gvalid == group:
-        mask = None                         # one group, no padded tail
-    elif block == group:
-        # one-shot case: the whole block IS one group, so only the padded
-        # tail columns need masking — a 1-D lane condition instead of two
-        # full [block, block] iota tensors (measured VPU savings at S=1600)
-        k_loc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = k_loc < gvalid
-    else:
-        q_loc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        k_loc = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = (q_loc // group == k_loc // group) & (k_loc % group < gvalid)
-    if mask is not None:
-        s = jnp.where(mask, s, _NEG_INF)
+    # the mask pattern is identical for every grid step, so the wrapper
+    # passes it as an ADDITIVE f32 operand (0 in-group / -inf out): the
+    # per-step cost is one add, not iota/div/mod/compare/where chains
+    # (measured: the temporal grouped kernel was VPU-bound on exactly these)
+    if masked:
+        s = s + madd_ref[...]
     if fixed_max is not None:
         # norm-bounded scores (RMS qk-norm): static shift, no row-max lane
         # reduction; overflow guard as in _flash_kernel_fixed_max
@@ -686,9 +696,11 @@ def grouped_flash_attention_bshd(
     vf = v.reshape(b, s_p, h * d)
     grid = (b * h, s_p // block)
     norm = (true_d, eps) if qk_gains is not None else None
+    madd = _group_mask_add(block, group, gvalid)
     kernel = functools.partial(_grouped_kernel, group=group, gvalid=gvalid,
                                scale_log2e=scale * _LOG2E, norm=norm,
                                rope=rope_tables is not None,
+                               masked=madd is not None,
                                fixed_max=fixed_max)
     spec = pl.BlockSpec((None, block, d), lambda g, i, h=h: (g // h, i, g % h),
                         memory_space=pltpu.VMEM)
@@ -701,7 +713,9 @@ def grouped_flash_attention_bshd(
         operands += [jnp.asarray(qk_gains[0], jnp.float32).reshape(h, 1, d),
                      jnp.asarray(qk_gains[1], jnp.float32).reshape(h, 1, d)]
     if rope_tables is not None:
-        tab_spec = pl.BlockSpec((group, d), lambda g, i: (0, 0),
+        # pre-tile the [group, D] tables to the block rows (trace-time; the
+        # kernel previously re-tiled them on the VPU every grid step)
+        tab_spec = pl.BlockSpec((block, d), lambda g, i: (0, 0),
                                 memory_space=pltpu.VMEM)
         pm_spec = pl.BlockSpec((d, d), lambda g, i: (0, 0),
                                memory_space=pltpu.VMEM)
@@ -709,9 +723,15 @@ def grouped_flash_attention_bshd(
         td = d if true_d is None else true_d
         pm[:td, :td] = _pair_swap_np(td)
         in_specs += [tab_spec, tab_spec, pm_spec]
-        operands += [jnp.asarray(rope_tables[0], jnp.float32),
-                     jnp.asarray(rope_tables[1], jnp.float32),
+        operands += [jnp.tile(jnp.asarray(rope_tables[0], jnp.float32),
+                              (block // group, 1)),
+                     jnp.tile(jnp.asarray(rope_tables[1], jnp.float32),
+                              (block // group, 1)),
                      jnp.asarray(pm)]
+    if madd is not None:
+        in_specs += [pl.BlockSpec(madd.shape, lambda g, i: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+        operands += [jnp.asarray(madd)]
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -801,9 +821,11 @@ def grouped_attention_fused_qkv(
         qkv = jnp.pad(qkv, ((0, 0), (0, s_p - s_len), (0, 0)))
     grid = (b * h, s_p // block)
     norm = (true_d, eps) if qk_gains is not None else None
+    madd = _group_mask_add(block, group, gvalid)
     kernel = functools.partial(_grouped_kernel, group=group, gvalid=gvalid,
                                scale_log2e=scale * _LOG2E, norm=norm,
                                rope=rope_tables is not None,
+                               masked=madd is not None,
                                fixed_max=fixed_max)
     if head_major:
         # feature layout [h, 3, d]: q/k/v of head g%h at lane blocks 3*(g%h)+{0,1,2}
@@ -826,7 +848,9 @@ def grouped_attention_fused_qkv(
         operands += [jnp.asarray(qk_gains[0], jnp.float32).reshape(h, 1, d),
                      jnp.asarray(qk_gains[1], jnp.float32).reshape(h, 1, d)]
     if rope_tables is not None:
-        tab_spec = pl.BlockSpec((group, d), lambda g, i: (0, 0),
+        # pre-tile the [group, D] tables to the block rows (trace-time; the
+        # kernel previously re-tiled them on the VPU every grid step)
+        tab_spec = pl.BlockSpec((block, d), lambda g, i: (0, 0),
                                 memory_space=pltpu.VMEM)
         pm_spec = pl.BlockSpec((d, d), lambda g, i: (0, 0),
                                memory_space=pltpu.VMEM)
@@ -834,9 +858,15 @@ def grouped_attention_fused_qkv(
         td = d if true_d is None else true_d
         pm[:td, :td] = _pair_swap_np(td)
         in_specs += [tab_spec, tab_spec, pm_spec]
-        operands += [jnp.asarray(rope_tables[0], jnp.float32),
-                     jnp.asarray(rope_tables[1], jnp.float32),
+        operands += [jnp.tile(jnp.asarray(rope_tables[0], jnp.float32),
+                              (block // group, 1)),
+                     jnp.tile(jnp.asarray(rope_tables[1], jnp.float32),
+                              (block // group, 1)),
                      jnp.asarray(pm)]
+    if madd is not None:
+        in_specs += [pl.BlockSpec(madd.shape, lambda g, i: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+        operands += [jnp.asarray(madd)]
     out = pl.pallas_call(
         kernel,
         grid=grid,
