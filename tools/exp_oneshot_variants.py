@@ -120,7 +120,8 @@ def main():
     kg = jnp.ones((H, 1, D), jnp.float32)
 
     base_out = None
-    for variant in ("base", "dotsonly", "passthru"):
+    for variant in ("base", "nonorm", "rowmax", "noguard", "bf16p", "mxusum",
+                    "dotsonly", "passthru"):
         call = build(variant)
 
         def step(c, _):
