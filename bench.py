@@ -505,6 +505,63 @@ def main():
             return run_pab(tiny=tiny or quick)
         _pab()
 
+    # ---- Latte packed-trunk evidence (shares every STDiT3 fused kernel) ---
+    _gc.collect()
+    jax.clear_caches()
+    if os.environ.get("MAGCACHE_BENCH_LATTE", "1") != "0" and not quick:
+        @section("latte_forward")
+        def _latte():
+            import jax.numpy as jnp
+
+            from magcache_tpu.models.latte import (
+                LatteConfig, init_latte_params, make_latte_core)
+            cfg_l = LatteConfig(dtype="bfloat16")
+            T_l, H_l, W_l = (4, 8, 8) if tiny else (16, 32, 32)
+            rows_l, L_l = 2, 120
+            k0 = jax.random.PRNGKey(0)
+            params_l = init_latte_params(k0, cfg_l)
+            x_l = jax.random.normal(
+                k0, (rows_l, T_l, H_l * 2, W_l * 2, cfg_l.in_channels),
+                jnp.float32) * 0.1
+            t_l = jnp.full((rows_l,), 500.0, jnp.float32)
+            cond_l = {"y": jax.random.normal(
+                k0, (rows_l, L_l, cfg_l.caption_dim), jnp.float32) * 0.1}
+            res = {}
+            for mode in ("0", "1"):
+                os.environ["MAGCACHE_STDIT3_PACKED"] = mode
+                core_l = make_latte_core(cfg_l, (T_l, H_l, W_l), L_l)
+
+                def step(params, x, t, cond, core=core_l):
+                    hid, ctx = core.prepare(params, x, t, cond)
+                    out = core.head(params, core.trunk(params, hid, ctx),
+                                    ctx)
+                    return out[..., :cfg_l.in_channels] * 0.1
+
+                fn = jax.jit(step)
+                probe = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
+                xx = fn(params_l, x_l, t_l, cond_l)
+                float(probe(xx))
+                reps, best = 8, 1e9
+                for _ in range(3):
+                    t0 = time.time()
+                    xx = x_l
+                    for _ in range(reps):
+                        xx = fn(params_l, xx, t_l, cond_l)
+                    float(probe(xx))
+                    best = min(best, (time.time() - t0 - 0.028) / reps)
+                res[mode] = round(best * 1e3, 1)
+            os.environ.pop("MAGCACHE_STDIT3_PACKED", None)
+            return {
+                "geometry": "Latte-1 512x512x16f XL" if not tiny else "tiny",
+                "ms_per_forward_unpacked": res["0"],
+                "ms_per_forward_packed_fused": res["1"],
+                "speedup": round(res["0"] / res["1"], 3),
+                "note": "whole forward, chained-readback protocol; the "
+                        "packed path shares STDiT3's fused lnmod/cross/"
+                        "gated-epilogue kernels (OSP-v110 rides this core)",
+            }
+        _latte()
+
     # headline value/vs_baseline were flushed right after the whole-run
     # measurements; _emit prints the single JSON line from _STATE
     _emit()
