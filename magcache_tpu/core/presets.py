@@ -101,6 +101,14 @@ def make_config(
     match (``prepare_mag_ratios``). E/K/R overrides mirror the reference CLI
     flags ``--magcache_thresh/--magcache_K/--retention_ratio``.
     """
+    if preset not in PRESETS:
+        # common shorthand: the "-dev" model-id suffix dropped
+        if f"{preset}-dev" in PRESETS:
+            preset = f"{preset}-dev"
+        else:
+            raise KeyError(
+                f"unknown MagCache preset {preset!r}; known: "
+                f"{sorted(PRESETS)}")
     p = PRESETS[preset]
     num_steps = sample_steps * p.lanes
     if ratios is not None:
