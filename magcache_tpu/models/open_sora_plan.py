@@ -140,6 +140,29 @@ def _rope_half(x, cos, sin, D):
     return jnp.concatenate(parts, axis=-1).astype(x.dtype)
 
 
+def _rope_half_matrix(D3: int, dp: int) -> np.ndarray:
+    """`rotate_half` per D3-wide third as a [dp, dp] signed permutation, so
+    the rotation runs as one aligned matmul on the 128-lane packed layout
+    (x @ P: out[base+m] = -x[base+half+m], out[base+half+m] = x[base+m];
+    zero rows/cols past the three thirds)."""
+    P = np.zeros((dp, dp), np.float32)
+    half = D3 // 2
+    for i in range(3):
+        base = i * D3
+        for m in range(half):
+            P[base + half + m, base + m] = -1.0
+            P[base + m, base + half + m] = 1.0
+    return P
+
+
+def _rope_half_packed(x, cosp, sinp, P):
+    """Half-split RoPE3D on the packed [B, N, H, dp] layout: identity past
+    the true head dim (cos=1/sin=0 pad lanes; P zero there)."""
+    x32 = x.astype(jnp.float32)
+    rot = jnp.einsum("bnhd,de->bnhe", x32, P)
+    return (x32 * cosp[:, None] + rot * sinp[:, None]).astype(x.dtype)
+
+
 def make_osp_core(cfg: OpenSoraPlanConfig, grid: Tuple[int, int, int],
                   caption_len: int, *, pab=None, timesteps=None) -> DiTCore:
     """cond = {"y": f[B, caption_len, caption_dim]}; x = latent video
@@ -152,6 +175,38 @@ def make_osp_core(cfg: OpenSoraPlanConfig, grid: Tuple[int, int, int],
     D3 = cfg.head_dim // 3
     rope_np = osp_rope_tables(cfg, grid)
     rope = (jnp.asarray(rope_np[0]), jnp.asarray(rope_np[1]))
+    # packed 128-lane execution (models/packed.py; same 16x72 geometry and
+    # rationale as STDiT3 — sub-128 head dims relayout-copy on every
+    # reshape): RoPE3D rides the aligned layout as cos/sin tables padded
+    # with identity plus a signed-permutation matmul
+    dp = -(-cfg.head_dim // 128) * 128
+    if cfg.head_dim % 2 == 0:
+        cosp_np = np.ones((N, dp), np.float32)
+        sinp_np = np.zeros((N, dp), np.float32)
+        cosp_np[:, :cfg.head_dim] = rope_np[0]
+        sinp_np[:, :cfg.head_dim] = rope_np[1]
+        rope_packed = (jnp.asarray(cosp_np), jnp.asarray(sinp_np),
+                       jnp.asarray(_rope_half_matrix(D3, dp)))
+    else:
+        rope_packed = None
+
+    def _plan():
+        from magcache_tpu.parallel.mesh import _ACTIVE
+        return _ACTIVE.get()
+
+    def _use_packed():
+        """Trace-time packed-path gate (see stdit3/latte _use_packed;
+        MAGCACHE_STDIT3_PACKED governs all three)."""
+        import os
+        env = os.environ.get("MAGCACHE_STDIT3_PACKED", "1")
+        if env == "0" or rope_packed is None:
+            return False
+        if jax.default_backend() not in ("tpu", "axon") and env != "interpret":
+            return False
+        return cfg.head_dim % 128 != 0
+
+    def _interp():
+        return jax.default_backend() not in ("tpu", "axon")
 
     masks = None
     if pab is not None:
@@ -176,10 +231,46 @@ def make_osp_core(cfg: OpenSoraPlanConfig, grid: Tuple[int, int, int],
         y = linear(params["caption"]["out"], y).astype(cfg.jdtype)
         return h, {"t6": t6, "te": te, "y": y}
 
-    def _block(p, h, ctx, cached=None, flags=None):
+    def _block(p, h, ctx, cached=None, flags=None, packed=False):
         e = (p["scale_shift"][None] + ctx["t6"]).astype(jnp.float32)
         sh_a, sc_a, g_a, sh_m, sc_m, g_m = [e[:, i][:, None] for i in range(6)]
         rs = lambda x: x.reshape(x.shape[0], x.shape[1], cfg.heads, -1)
+
+        if packed:
+            # plain-path fused pipeline on the 128-lane packed weights
+            # (mirrors stdit3._block's fast path; PAB keeps the general
+            # path below — its caches need pre-gate outputs)
+            from magcache_tpu.ops.attention import (
+                flash_attention_bshd, fused_cross_attention)
+            from magcache_tpu.ops.fused_prologue import (
+                lnmod_matmul, matmul_gated_residual)
+            rows = h.shape[0]
+            cosp, sinp, Pm = rope_packed
+            sc_attn = 1.0 / float(np.sqrt(cfg.head_dim))
+            qkv = lnmod_matmul(h, sc_a[:, 0], sh_a[:, 0], p["qkv"]["w"],
+                               p["qkv"].get("b"), eps=cfg.eps,
+                               interpret=_interp())
+            qh, kh, vh = jnp.split(qkv, 3, axis=-1)
+            rs4 = lambda t_: t_.reshape(rows, N, cfg.heads, dp)
+            q = _rope_half_packed(rs4(qh), cosp, sinp, Pm)
+            k = _rope_half_packed(rs4(kh), cosp, sinp, Pm)
+            o = flash_attention_bshd(q, k, rs4(vh), scale=sc_attn,
+                                     interpret=_interp())
+            h = matmul_gated_residual(
+                o.reshape(rows, N, cfg.heads * dp), p["proj"]["w"],
+                p["proj"].get("b"), g_a[:, 0], h, interpret=_interp())
+            kk, vv = jnp.split(linear(p["cross_kv"], ctx["y"]), 2, axis=-1)
+            h = fused_cross_attention(
+                h, p["cross_q"]["w"], p["cross_q"].get("b"), kk, vv,
+                p["cross_o"]["w"], p["cross_o"].get("b"), cfg.heads,
+                scale=sc_attn, true_d=cfg.head_dim, residual=True,
+                interpret=_interp())
+            y = lnmod_matmul(h, sc_m[:, 0], sh_m[:, 0], p["ff1"]["w"],
+                             p["ff1"].get("b"), act="gelu", eps=cfg.eps,
+                             interpret=_interp())
+            h = matmul_gated_residual(y, p["ff2"]["w"], p["ff2"].get("b"),
+                                      g_m[:, 0], h, interpret=_interp())
+            return h, {}
 
         def compute_attn(h):
             # full 3-D self-attention over all T*H*W tokens, RoPE3D
@@ -231,11 +322,17 @@ def make_osp_core(cfg: OpenSoraPlanConfig, grid: Tuple[int, int, int],
         return h, new_cached
 
     def trunk(params, h, ctx):
+        blocks = params["blocks"]
+        packed = _use_packed() and _plan() is None
+        if packed:
+            from magcache_tpu.models.packed import pack_block_group
+            blocks = pack_block_group(blocks, cfg.heads, cfg.head_dim, dp)
+
         def body(carry, p):
-            out, _ = _block(p, carry, ctx)
+            out, _ = _block(p, carry, ctx, packed=packed)
             return out, None
 
-        h, _ = jax.lax.scan(body, h, params["blocks"])
+        h, _ = jax.lax.scan(body, h, blocks)
         return h
 
     def init_state(params, hidden_shape, ctx_shape):

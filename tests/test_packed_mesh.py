@@ -141,9 +141,26 @@ def test_packed_trunk_under_mesh_matches_unpacked(setup, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
 
 
+def _osp_setup():
+    from magcache_tpu.models.open_sora_plan import (OpenSoraPlanConfig,
+                                                    init_osp_params,
+                                                    make_osp_core)
+    cfg = OpenSoraPlanConfig.tiny()
+    grid = (4, 4, 4)
+    core = make_osp_core(cfg, grid, 4)
+    params = init_osp_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 8, cfg.in_channels)),
+                    jnp.float32)
+    cond = {"y": jnp.asarray(rng.normal(size=(2, 4, cfg.caption_dim)),
+                             jnp.float32)}
+    t = jnp.full((2,), 400.0, jnp.float32)
+    return core, params, x, t, cond
+
+
 @pytest.mark.slow
-@pytest.mark.parametrize("setup", [_stdit3_setup, _latte_setup],
-                         ids=["stdit3", "latte"])
+@pytest.mark.parametrize("setup", [_stdit3_setup, _latte_setup, _osp_setup],
+                         ids=["stdit3", "latte", "osp_v120"])
 def test_packed_trunk_single_device_matches_unpacked(setup, monkeypatch):
     """No-mesh packed path (the TPU production route): exercises the fully
     fused kernels (lnmod_matmul, fused_cross_attention,
