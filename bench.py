@@ -294,11 +294,11 @@ def main():
             log(f"  whole[{tag}] {dt:.1f}s")
             return dt
 
-        # whole-run measurements for the headline and the quality config;
-        # E024K6R02 is reconstructed from the measured step costs
+        # whole-run measurements for all three published configs (r5:
+        # E024K6R02 measured too — previously reconstructed)
         cached_times["E012K2R02"] = whole(masks["E012K2R02"], "E012K2R02")
         cached_times["E012K4R02"] = whole(masks["E012K4R02"], "E012K4R02")
-        cached_times["E024K6R02"] = recon("E024K6R02")
+        cached_times["E024K6R02"] = whole(masks["E024K6R02"], "E024K6R02")
         t_full = whole(no_skips, "full")
         method = "measured-whole-run"
     t_cached = cached_times[headline_name]
@@ -390,8 +390,7 @@ def main():
         extra[name] = {"speedup": round(t_full / tc, 3),
                        "sec_per_video": round(tc, 2), "steps_elided": ns,
                        "ceiling": round(steps / (steps - ns), 3),
-                       "measured_whole_run": not recon_only
-                       and name != "E024K6R02"}
+                       "measured_whole_run": not recon_only}
         log(f"  config {name}: {t_full/tc:.2f}x ({tc:.1f}s, {ns} steps elided)")
 
     # achieved MFU of a compute step against the chip's bf16 peak, from the
