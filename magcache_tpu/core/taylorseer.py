@@ -107,9 +107,12 @@ def taylor_update(derivs: jnp.ndarray, y: jnp.ndarray, ud, hs,
     the previous fresh step; ``hs``: #fresh steps so far (depth-k differences
     only become valid once k prior fresh features exist — the published
     first-enhance guard)."""
-    new = [y]
+    # derivative stack stays in its own (f32) dtype regardless of the
+    # trunk compute dtype — a bf16 y would otherwise make jnp.stack promote
+    # inconsistently between the fresh/forecast cond branches
+    new = [y.astype(derivs.dtype)]
     for k in range(1, order + 1):
-        d_k = (new[k - 1] - derivs[k - 1]) / ud.astype(y.dtype)
+        d_k = (new[k - 1] - derivs[k - 1]) / ud.astype(derivs.dtype)
         new.append(jnp.where(hs >= k, d_k, jnp.zeros_like(d_k)))
     return jnp.stack(new)
 
@@ -164,7 +167,7 @@ def sample_euler_taylorseer(
     x_l0 = _stack_lanes(x_init, n_lanes)
     t0 = jnp.asarray(timesteps[:1])
     resid0 = _init_cache(core, params, x_l0, t0, cond)
-    derivs0 = jnp.zeros((order + 1,) + resid0.shape, resid0.dtype)
+    derivs0 = jnp.zeros((order + 1,) + resid0.shape, jnp.float32)
 
     ts = jnp.asarray(np.asarray(timesteps, np.float32))
     dts_a = jnp.asarray(np.asarray(dts, np.float32))
@@ -183,7 +186,13 @@ def sample_euler_taylorseer(
 
         def do_forecast(args):
             hidden, derivs = args
-            return hidden + taylor_forecast(derivs, xf, order), derivs
+            fc = taylor_forecast(derivs, xf, order)
+            # the trunk hidden rides the compute dtype (bf16 in production)
+            # while the forecast math is f32 — cast the reconstructed
+            # feature back so both cond branches agree (bf16 trunks crashed
+            # the cond on dtype mismatch before)
+            h = (hidden.astype(fc.dtype) + fc).astype(hidden.dtype)
+            return h, derivs
 
         h_out, derivs = jax.lax.cond(is_fresh, do_fresh, do_forecast,
                                      (hidden, derivs))

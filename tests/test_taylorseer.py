@@ -102,6 +102,34 @@ def test_interval_one_equals_full_compute():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_bf16_trunk_runs():
+    """Regression: a bf16 trunk hidden crashed the fresh/forecast lax.cond
+    on dtype mismatch (the derivative stack and forecast are f32) — the
+    production OmniGen2 dtype; caught by the round-5 CLI policy sweep."""
+    base, params = make_toy(1)
+
+    def _prep(p, x, t, c):
+        h, ctx = base.prepare(p, x, t, c)
+        return h.astype(jnp.bfloat16), ctx
+
+    core = DiTCore(
+        prepare=_prep,
+        trunk=lambda p, h, ctx: base.trunk(
+            p, h.astype(jnp.float32), ctx).astype(jnp.bfloat16),
+        head=base.head)
+    steps = 8
+    sch = FlowMatchSchedule.create(steps)
+    dts = np.diff(sch.sigmas)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, DIM)),
+                    jnp.float32)
+    cond = jnp.zeros((1, 4), jnp.float32)
+    cfg = TaylorSeerConfig(num_steps=steps, interval=3, order=2, warmup=1)
+    out = sample_euler_taylorseer(core, params, x, cond,
+                                  timesteps=sch.timesteps, dts=dts,
+                                  ts_cfg=cfg)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
 def test_linear_residual_forecast_is_exact():
     """A trunk whose residual is linear in t forecasts exactly at order>=1
     (backward finite differences reproduce degree-1 polynomials)."""
