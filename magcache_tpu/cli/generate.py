@@ -948,6 +948,14 @@ def build_pipeline(args):
     picks the family builder. Returns ``(pipeline, pipeline_config, steps)``.
     Shared by ``generate`` and the serving endpoint (``cli/serve.py``).
     """
+    _known = ("flux", "qwen", "hunyuan", "framepack", "open-sora",
+              "cogvideox", "latte", "vchitect", "omnigen2",
+              # wan task ids (the fallback family)
+              "t2v", "t2i", "i2v", "flf2v", "ti2v", "vace")
+    if not args.task.startswith(_known):
+        raise SystemExit(
+            f"--task {args.task!r} matches no model family; known prefixes: "
+            f"{', '.join(_known)} (e.g. t2v-1.3B, flux-dev, open-sora)")
     if args.task.startswith("flux"):
         pipe, cfg = _flux_pipeline(args)
         steps = cfg.num_inference_steps
